@@ -1,0 +1,168 @@
+"""Streaming FIR filtering as MXU-friendly banded-Toeplitz GEMM.
+
+Functional parity with the reference's direct-form FIR
+(``/root/reference/src/filter/fir.rs:43-102`` — per-sample
+``state.rotate_right(1); state[0]=x; sum(taps*state)``) — but designed
+for the TPU: instead of an O(T) memmove per sample, a block of N
+samples is filtered as a single matrix product
+
+    Y[r, p] = sum_k taps[k] * xext[r*P + p - k + (T-1)]
+            = (W @ B)[r, p]
+
+where ``W`` is the windowed input ([R, T+P-1], rows overlapping by
+T-1 samples, built from two shifted reshapes — no gather) and ``B`` is
+the banded tap matrix ([T+P-1, P]).  With P=128 output phases per row
+the product maps straight onto the MXU; complex inputs use XLA's
+native complex-matmul decomposition.  FIR at typical tap counts is
+HBM-bandwidth bound, so this formulation reaches the same
+speed-of-light as a hand kernel while staying fusable.
+
+Streaming semantics: the carried state is the last ``T-1`` input
+samples (time-ordered, oldest first).  Output is independent of how
+the stream is chopped into blocks — the exact property that makes
+time-block sharding across chips correct (SURVEY.md section 5).
+
+State mapping from the reference: its ``state`` vector holds past
+inputs most-recent-first and its *last* element is shifted out before
+ever contributing (fir.rs:51-53), so a reference state ``s`` maps to
+``ctx = flip(s[:T-1])``; use :func:`ctx_from_reference_state`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "init_ctx",
+    "ctx_from_reference_state",
+    "banded_tap_matrix",
+    "fir_block",
+    "fir_apply",
+    "fir_decimate_block",
+]
+
+# Output phases per GEMM row.  128 = MXU lane width.
+_DEFAULT_PHASES = 128
+
+
+def init_ctx(num_taps: int, dtype=jnp.complex64):
+    """Zero carried context (the reference's default zero state)."""
+    return jnp.zeros((max(num_taps - 1, 0),), dtype=dtype)
+
+
+def ctx_from_reference_state(state, dtype=jnp.complex64):
+    """Convert a reference-style state vector (most-recent-first, length
+    T, last element unused) into carried context (oldest-first, T-1)."""
+    state = np.asarray(state)
+    return jnp.asarray(state[: len(state) - 1][::-1], dtype=dtype)
+
+
+def banded_tap_matrix(taps, phases: int = _DEFAULT_PHASES):
+    """Banded Toeplitz matrix B[i, p] = taps[T-1+p-i] (0 outside band).
+
+    Host-side (numpy): taps are parameters, computed once.
+    """
+    taps = np.asarray(taps)
+    T = taps.shape[0]
+    P = int(phases)
+    i = np.arange(T + P - 1)[:, None]
+    p = np.arange(P)[None, :]
+    k = T - 1 + p - i
+    valid = (k >= 0) & (k < T)
+    B = np.where(valid, taps[np.clip(k, 0, T - 1)], 0)
+    return B.astype(taps.dtype)
+
+
+def _window_rows(xext, rows: int, phases: int, taps_len: int):
+    """Build W[r, :] = xext[r*P : r*P + T+P-1] from shifted reshapes.
+
+    Requires len(xext) >= rows*phases + taps_len - 1.  Uses
+    ceil((T-1)/P)+1 shifted reshapes instead of a gather so XLA fuses it.
+    """
+    P, T = phases, taps_len
+    width = T + P - 1
+    pieces = []
+    off = 0
+    while off < width:
+        w = min(P, width - off)
+        chunk = lax.dynamic_slice_in_dim(xext, off, rows * P)
+        pieces.append(chunk.reshape(rows, P)[:, :w])
+        off += w
+    return jnp.concatenate(pieces, axis=1)
+
+
+def fir_block(x, taps, ctx, phases: int = _DEFAULT_PHASES,
+              precision=lax.Precision.HIGHEST):
+    """Filter one block. Returns (y, new_ctx); y.shape == x.shape.
+
+    ``taps`` may be a 1-D tap vector or a precomputed
+    ``banded_tap_matrix`` (2-D) whose band length implies T.
+
+    ``precision`` defaults to HIGHEST: the TPU MXU rounds f32 matmul
+    operands to bf16 in its default mode (~3e-3 abs error on unit-scale
+    signals — measured on v5e); FIR is HBM-bandwidth bound at typical
+    tap counts, so the 3-pass full-f32 mode costs no wall-clock and
+    keeps parity with the Rust reference's f32 output.  Pass
+    ``lax.Precision.DEFAULT`` to trade accuracy for MXU throughput on
+    compute-bound configurations.
+    """
+    x = jnp.asarray(x)
+    N = x.shape[0]
+    if isinstance(taps, (np.ndarray, jnp.ndarray)) and taps.ndim == 2:
+        B = jnp.asarray(taps)
+        P = B.shape[1]
+        T = B.shape[0] - P + 1
+    else:
+        taps = np.asarray(taps)
+        T = taps.shape[0]
+        P = min(phases, _DEFAULT_PHASES)
+        B = jnp.asarray(banded_tap_matrix(taps, P))
+
+    out_dtype = jnp.result_type(x.dtype, B.dtype)
+    if T == 1:
+        y = (x.astype(out_dtype) * B[0, 0]).astype(out_dtype)
+        return y, ctx
+
+    xext = jnp.concatenate([ctx.astype(x.dtype), x])  # [T-1 + N]
+    new_ctx = xext[-(T - 1):]
+
+    R = -(-N // P)  # cdiv
+    # Each shifted-reshape piece reads xpad[off : off + R*P] with off up
+    # to P*floor((T+P-2)/P); pad so the last piece is in range (otherwise
+    # dynamic_slice clamps the start and reads shifted data).
+    width = T + P - 1
+    last_off = P * ((width - 1) // P)
+    pad = last_off + R * P - xext.shape[0]
+    xpad = jnp.pad(xext, (0, max(pad, 0)))
+    W = _window_rows(xpad, R, P, T)  # [R, T+P-1]
+    Y = jnp.dot(
+        W.astype(out_dtype), B.astype(out_dtype),
+        preferred_element_type=out_dtype, precision=precision,
+    )  # [R, P]
+    y = Y.reshape(R * P)[:N]
+    return y, new_ctx
+
+
+def fir_apply(x, taps, phases: int = _DEFAULT_PHASES):
+    """Stateless FIR with zero initial context (one-shot convenience)."""
+    taps_arr = np.asarray(taps) if not hasattr(taps, "ndim") else taps
+    T = taps_arr.shape[0] if taps_arr.ndim == 1 else taps_arr.shape[0] - taps_arr.shape[1] + 1
+    ctx = init_ctx(T, dtype=jnp.result_type(jnp.asarray(x).dtype))
+    y, _ = fir_block(x, taps, ctx, phases=phases)
+    return y
+
+
+def fir_decimate_block(x, taps, ctx, rate: int, phases: int = _DEFAULT_PHASES):
+    """Fused FIR + keep-every-``rate``-th-sample (per-block phase reset,
+    matching DecimateNode semantics, resample_node.rs:53-65).
+
+    Returns (y_dec, new_ctx).  v1 computes the full FIR then strides;
+    the Pallas polyphase kernel replaces this on the hot path.
+    """
+    y, new_ctx = fir_block(x, taps, ctx, phases=phases)
+    if rate in (0, 1):
+        return y, new_ctx
+    return y[::rate], new_ctx

@@ -1,0 +1,25 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that every sharding /
+collective code path is exercised without TPU hardware, per the
+multi-device test strategy the reference lacks (SURVEY.md section 4).
+Environment must be set before jax is first imported.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
+# the config update below (after import, before first backend use) wins.
+jax.config.update("jax_platforms", "cpu")
+
+# Host-side golden tests compare against float64 oracles.
+jax.config.update("jax_enable_x64", True)

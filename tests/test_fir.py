@@ -1,0 +1,118 @@
+"""FIR parity tests against a per-sample oracle implementing the
+reference's semantics (fir.rs:43-102) and its golden test vector
+(fir_node.rs:259-315)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.ops import fir
+
+
+def oracle_batch_fir(x, taps, state):
+    """Reference semantics: state rotate_right(1); state[0]=x; dot."""
+    state = list(state)
+    out = []
+    for s in x:
+        state = [state[-1]] + state[:-1]
+        state[0] = s
+        out.append(sum(t * v for t, v in zip(taps, state)))
+    return np.array(out), np.array(state)
+
+
+def test_fir_golden_reference_vector():
+    # fir_node.rs:259-315 — integer taps/input, exact expected outputs.
+    taps = np.array([9, 8 + 7j, 6 + 5j, 4 + 3j, 2 + 1j], dtype=np.complex128)
+    x = np.array(
+        [1 + 2j, 3 + 4j, 5 + 6j, 7 + 8j, 9, 0, 0, 0, 0], dtype=np.complex128
+    )
+    expected = np.array(
+        [9 + 18j, 21 + 59j, 37 + 124j, 57 + 205j, 81 + 204j,
+         78 + 196j, 62 + 115j, 42 + 50j, 18 + 9j]
+    )
+    ctx = fir.init_ctx(len(taps), dtype=jnp.complex128)
+    y, _ = fir.fir_block(jnp.asarray(x), taps, ctx)
+    assert np.allclose(np.asarray(y), expected, atol=1e-9)
+
+
+def test_fir_doc_example_initial_state():
+    # fir.rs doc example: taps [.2,.6,.6,.2], state [1,.5,.25,.125].
+    taps = np.array([0.2, 0.6, 0.6, 0.2], dtype=np.complex128)
+    ref_state = np.array([1.0, 0.5, 0.25, 0.125], dtype=np.complex128)
+    x = np.cos(np.arange(20)).astype(np.complex128)
+
+    expected, _ = oracle_batch_fir(x, taps, ref_state)
+
+    ctx = fir.ctx_from_reference_state(ref_state, dtype=jnp.complex128)
+    y, _ = fir.fir_block(jnp.asarray(x), taps, ctx)
+    assert np.allclose(np.asarray(y), expected, atol=1e-12)
+
+
+def test_fir_block_size_invariance():
+    """Output must be independent of block chopping (the property that
+    makes time-block sharding correct)."""
+    rng = np.random.default_rng(0)
+    T = 33
+    taps = (rng.normal(size=T) + 1j * rng.normal(size=T)).astype(np.complex128)
+    x = (rng.normal(size=384) + 1j * rng.normal(size=384)).astype(np.complex128)
+
+    ctx = fir.init_ctx(T, dtype=jnp.complex128)
+    y_once, _ = fir.fir_block(jnp.asarray(x), taps, ctx)
+
+    for bs in (48, 128, 131):
+        ctx = fir.init_ctx(T, dtype=jnp.complex128)
+        outs = []
+        for i in range(0, len(x), bs):
+            y, ctx = fir.fir_block(jnp.asarray(x[i : i + bs]), taps, ctx)
+            outs.append(np.asarray(y))
+        y_stream = np.concatenate(outs)
+        assert np.allclose(y_stream, np.asarray(y_once), atol=1e-10), bs
+
+
+def test_fir_real_dtype():
+    rng = np.random.default_rng(1)
+    taps = rng.normal(size=63)
+    x = rng.normal(size=500)
+    expected, _ = oracle_batch_fir(x, taps, np.zeros(63))
+    y = fir.fir_apply(jnp.asarray(x), taps)
+    assert np.allclose(np.asarray(y), expected, atol=1e-10)
+
+
+def test_fir_single_tap():
+    x = jnp.arange(10.0)
+    y = fir.fir_apply(x, np.array([2.0]))
+    assert np.allclose(np.asarray(y), 2.0 * np.arange(10.0))
+
+
+def test_fir_jit_and_grad_compatible():
+    taps = np.hanning(16)
+    f = jax.jit(lambda x, c: fir.fir_block(x, taps, c))
+    x = jnp.ones(256, dtype=jnp.float64)
+    c = fir.init_ctx(16, dtype=jnp.float64)
+    y, c2 = f(x, c)
+    assert y.shape == (256,)
+    assert c2.shape == (15,)
+
+
+def test_fir_decimate_matches_separate_ops():
+    rng = np.random.default_rng(2)
+    taps = rng.normal(size=17)
+    x = rng.normal(size=300)
+    ctx = fir.init_ctx(17, dtype=jnp.float64)
+    y_full, _ = fir.fir_block(jnp.asarray(x), taps, ctx)
+    y_dec, _ = fir.fir_decimate_block(
+        jnp.asarray(x), taps, fir.init_ctx(17, dtype=jnp.float64), rate=5
+    )
+    assert np.allclose(np.asarray(y_dec), np.asarray(y_full)[::5])
+
+
+def test_banded_matrix_structure():
+    taps = np.arange(1.0, 5.0)  # T=4
+    B = fir.banded_tap_matrix(taps, phases=4)
+    # B[i, p] = taps[T-1+p-i]
+    assert B.shape == (7, 4)
+    for i in range(7):
+        for p in range(4):
+            k = 3 + p - i
+            expect = taps[k] if 0 <= k < 4 else 0.0
+            assert B[i, p] == expect
