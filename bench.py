@@ -1,0 +1,61 @@
+"""Benchmark: end-to-end FM-receiver chain throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+
+Baseline: the reference's implied real-time bound — its threaded FM
+pipeline keeps up with an RTL-SDR at 1.14 Msps complex input
+(examples/fm_radio.rs:57,144; BASELINE.md).  vs_baseline is the
+speedup over that 1.14 Msamples/s sustained rate.
+
+The chain is the full fm_receiver block (u8 convert -> 63-tap FIR ->
+/5 -> FM demod -> 63-tap FIR -> /5) on 2^18-sample blocks, steady
+state, input pre-staged on device, output fetched (audio is 1/25 of
+input so the d2h cost is real but small, as in production streaming).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from comms_tpu.models import fm_receiver
+
+    cfg = fm_receiver.FmReceiverConfig(block=1 << 18)
+    block_fn = fm_receiver.make_block_fn(cfg)
+    state = fm_receiver.init_state(cfg)
+
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray(
+        rng.integers(0, 256, size=(cfg.block, 2), dtype=np.uint8)
+    )
+
+    # Warmup / compile.
+    audio, state = block_fn(state, iq)
+    jax.block_until_ready(audio)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, state = block_fn(state, iq)
+    jax.block_until_ready(audio)
+    dt = time.perf_counter() - t0
+
+    samples = iters * cfg.block
+    msps = samples / dt / 1e6
+    baseline_msps = 1.14  # reference real-time bound (BASELINE.md)
+    print(json.dumps({
+        "metric": "fm_receiver_chain_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / baseline_msps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

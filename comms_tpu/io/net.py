@@ -1,0 +1,176 @@
+"""Socket transport for sample blocks: the ZMQ path, TPU-framework style.
+
+Functional parity with ``/root/reference/src/io/zmq_node.rs:9-141``
+(``ZMQSend``/``ZMQRecv``): typed sample blocks serialized and moved
+between processes over a socket, PUB/SUB or PUSH/PULL style.  The
+reference serializes with CBOR (zmq_node.rs:62); here blocks are
+numpy arrays, so the wire format is a fixed 16-byte header
+(magic, dtype code, byte length) + raw array bytes — zero-copy on
+both ends and dtype-checked, which is both faster and stricter than
+CBOR for fixed-schema sample streams.
+
+If ``pyzmq`` is importable it is used (PUB binds / SUB connects+
+subscribes-all, matching zmq_node.rs:47-49,115-118); otherwise a
+plain-TCP fallback with identical framing provides PUSH/PULL
+semantics so the transport works in this hermetic environment.
+
+Role in the TPU design (SURVEY.md section 2.4): intra-pod movement is
+ICI collectives; this transport is for host-boundary egress — feeding
+visualization, recording, or non-JAX consumers from host 0.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:  # optional, like the reference's zmq_node cargo feature
+    import zmq as _zmq  # type: ignore
+
+    HAVE_ZMQ = True
+except Exception:  # pragma: no cover - environment-dependent
+    _zmq = None
+    HAVE_ZMQ = False
+
+__all__ = ["BlockSender", "BlockReceiver", "HAVE_ZMQ"]
+
+_MAGIC = 0x43544655  # "CTFU"
+_HEADER = struct.Struct("<IIQ")  # magic, dtype code, payload bytes
+
+_DTYPE_CODES = {
+    np.dtype(np.int16): 1,
+    np.dtype(np.float32): 2,
+    np.dtype(np.uint8): 3,
+    np.dtype(np.int8): 4,
+    np.dtype(np.float64): 5,
+    np.dtype(np.int32): 6,
+}
+_CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
+
+
+def _pack(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    code = _DTYPE_CODES.get(arr.dtype)
+    if code is None:
+        raise TypeError(f"unsupported wire dtype {arr.dtype} "
+                        "(complex crosses as float32 pairs)")
+    return _HEADER.pack(_MAGIC, code, arr.nbytes) + arr.tobytes()
+
+
+def _unpack_header(hdr: bytes) -> Tuple[np.dtype, int]:
+    magic, code, nbytes = _HEADER.unpack(hdr)
+    if magic != _MAGIC:
+        raise ValueError("bad frame magic")
+    dt = _CODE_DTYPES.get(code)
+    if dt is None:
+        raise ValueError(f"unknown dtype code {code}")
+    return dt, nbytes
+
+
+class BlockSender:
+    """Sends 1-D sample blocks.  ``ZMQSend`` parity.
+
+    endpoint: "tcp://host:port".  With pyzmq, ``sock_type`` "PUB"
+    (binds) or "PUSH" (connects), as the reference constructs
+    (zmq_node.rs:41-55).  The TCP fallback always binds and streams
+    to the first accepted client.
+    """
+
+    def __init__(self, endpoint: str, sock_type: str = "PUB"):
+        self.endpoint = endpoint
+        host, port = _parse_tcp(endpoint)
+        if HAVE_ZMQ:
+            ctx = _zmq.Context.instance()
+            st = getattr(_zmq, sock_type)
+            self._sock = ctx.socket(st)
+            if sock_type == "PUB":
+                self._sock.bind(endpoint)
+            else:
+                self._sock.connect(endpoint)
+            self._send = self._sock.send
+        else:
+            self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._srv.bind((host, port))
+            self._srv.listen(1)
+            self._conn: Optional[socket.socket] = None
+            self._lock = threading.Lock()
+
+            def send(data: bytes):
+                with self._lock:
+                    if self._conn is None:
+                        self._conn, _ = self._srv.accept()
+                    self._conn.sendall(data)
+
+            self._send = send
+
+    def send(self, arr) -> None:
+        self._send(_pack(np.asarray(arr)))
+
+    def close(self):
+        if HAVE_ZMQ:
+            self._sock.close(0)
+        else:
+            if self._conn is not None:
+                self._conn.close()
+            self._srv.close()
+
+
+class BlockReceiver:
+    """Receives 1-D sample blocks.  ``ZMQRecv`` parity (SUB
+    connects-and-subscribes-all, zmq_node.rs:115-118)."""
+
+    def __init__(self, endpoint: str, sock_type: str = "SUB",
+                 timeout: Optional[float] = None):
+        self.endpoint = endpoint
+        host, port = _parse_tcp(endpoint)
+        if HAVE_ZMQ:
+            ctx = _zmq.Context.instance()
+            st = getattr(_zmq, sock_type)
+            self._sock = ctx.socket(st)
+            if sock_type == "SUB":
+                self._sock.connect(endpoint)
+                self._sock.setsockopt_string(_zmq.SUBSCRIBE, "")
+            else:
+                self._sock.bind(endpoint)
+            if timeout is not None:
+                self._sock.setsockopt(_zmq.RCVTIMEO, int(timeout * 1000))
+        else:
+            self._sock = socket.create_connection((host, port),
+                                                  timeout=timeout)
+
+    def recv(self) -> np.ndarray:
+        if HAVE_ZMQ:
+            data = self._sock.recv()
+            dt, nbytes = _unpack_header(data[: _HEADER.size])
+            return np.frombuffer(data[_HEADER.size:], dtype=dt)
+        hdr = self._recv_exact(_HEADER.size)
+        dt, nbytes = _unpack_header(hdr)
+        return np.frombuffer(self._recv_exact(nbytes), dtype=dt)
+
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = []
+        while n:
+            c = self._sock.recv(n)
+            if not c:
+                raise ConnectionError("peer closed mid-frame")
+            chunks.append(c)
+            n -= len(c)
+        return b"".join(chunks)
+
+    def close(self):
+        if HAVE_ZMQ:
+            self._sock.close(0)
+        else:
+            self._sock.close()
+
+
+def _parse_tcp(endpoint: str) -> Tuple[str, int]:
+    if not endpoint.startswith("tcp://"):
+        raise ValueError(f"only tcp:// endpoints supported, got {endpoint}")
+    host, _, port = endpoint[6:].partition(":")
+    return host or "127.0.0.1", int(port)

@@ -1,0 +1,150 @@
+"""FM broadcast receiver: the reference's flagship Rx pipeline.
+
+Chain parity with ``/root/reference/examples/fm_radio.rs:144-168``
+(10 threads, 9 channel hops there; ONE jitted function here):
+
+    u8 IQ (262,144/block @ 1.14 Msps) -> (x-127.5)/127.5
+    -> 63-tap LPF (FIR) -> decimate /5 -> FM quadrature demod
+    -> 63-tap LPF (FIR) -> decimate /5 -> 45.6 kHz audio f32
+
+The SDR source is replaced by recorded IQ (BASELINE config:
+"recorded rtl-sdr IQ file -> FIR decimate -> FM quadrature demod ->
+audio-rate resample"); the audio device sink becomes a PCM buffer /
+WAV writer.  The FIR+decimate pairs fuse into banded-Toeplitz GEMMs;
+carried state = 62-sample FIR tails + 1-sample FM prev.
+
+The 63 LPF coefficients are the data constants from fm_radio.rs:29-55.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.ops import demodulation, fir
+
+__all__ = ["FM_LPF_TAPS", "FmReceiverConfig", "make_block_fn", "init_state",
+           "run_file"]
+
+# Low-pass filter coefficients from the reference example
+# (fm_radio.rs:29-55) — data, symmetric 63-tap LPF.
+FM_LPF_TAPS = np.array([
+    -0.01801270027742274, -0.004656920885448867, -0.002648852132912597,
+    0.0008677368918448623, 0.005009212152225975, 0.008526175375849215,
+    0.010172968340398776, 0.00912437509989248, 0.005334905990231011,
+    -0.0003335859703032652, -0.0063014158102353, -0.01064075999239304,
+    -0.011581891677991056, -0.008341954525032592, -0.0012824780121151447,
+    0.007845515892673058, 0.016328062816332187, 0.021185546181771774,
+    0.02007654361670823, 0.01217403940591024, -0.0013140567851934943,
+    -0.017152074443356792, -0.030621606809715814, -0.03659663988110718,
+    -0.030901697984472332, -0.01147126195667417, 0.02079513703320541,
+    0.06194329755943689, 0.10559594630001239, 0.14421303245485026,
+    0.17074726962322123, 0.18019648556329151, 0.17074726962322123,
+    0.14421303245485026, 0.10559594630001239, 0.06194329755943689,
+    0.02079513703320541, -0.01147126195667417, -0.030901697984472332,
+    -0.03659663988110718, -0.030621606809715814, -0.017152074443356792,
+    -0.0013140567851934943, 0.01217403940591024, 0.02007654361670823,
+    0.021185546181771774, 0.016328062816332187, 0.007845515892673058,
+    -0.0012824780121151447, -0.008341954525032592, -0.011581891677991056,
+    -0.01064075999239304, -0.0063014158102353, -0.0003335859703032652,
+    0.005334905990231011, 0.00912437509989248, 0.010172968340398776,
+    0.008526175375849215, 0.005009212152225975, 0.0008677368918448623,
+    -0.002648852132912597, -0.004656920885448867, -0.01801270027742274,
+], dtype=np.float64)
+
+
+class FmReceiverConfig:
+    """Block 262,144 samples (the rtl-sdr read granularity,
+    rtlsdr_radio.rs:74-77); decimations 5 and 5 (fm_radio.rs:148-151)."""
+
+    def __init__(self, block: int = 262144, dec1: int = 5, dec2: int = 5):
+        self.block = int(block)
+        self.dec1 = int(dec1)
+        self.dec2 = int(dec2)
+        t = FM_LPF_TAPS.astype(np.complex64)
+        self.B_iq = fir.banded_tap_matrix(t)           # complex chain filter
+        self.B_audio = fir.banded_tap_matrix(
+            FM_LPF_TAPS.astype(np.float32))            # real audio filter
+        self.num_taps = len(FM_LPF_TAPS)
+
+    @property
+    def audio_per_block(self) -> int:
+        # Per-block-reset decimation keeps ceil(n/rate) samples
+        # (resample_node.rs:53-65), so 2^18 blocks are fine.
+        mid = -(-self.block // self.dec1)
+        return -(-mid // self.dec2)
+
+
+def init_state(cfg: FmReceiverConfig):
+    """Boundary-safe state: complex FIR tail as f32 pairs."""
+    T = cfg.num_taps
+    return (
+        jnp.zeros((T - 1, 2), dtype=jnp.float32),   # IQ FIR ctx (pairs)
+        jnp.zeros((2,), dtype=jnp.float32),         # FM prev (re, im)
+        jnp.zeros((T - 1,), dtype=jnp.float32),     # audio FIR ctx
+    )
+
+
+def make_block_fn(cfg: FmReceiverConfig):
+    """jitted ``(state, iq_u8_pairs[N, 2]) -> (audio_f32[M], new_state)``.
+
+    Input rows are raw rtl-sdr bytes (re, im) as uint8, exactly the
+    recorded file layout.
+    """
+    # numpy closures, not device arrays (complex can't device_put
+    # on axon; see runtime/boundary.py).
+    B_iq = cfg.B_iq
+    B_audio = cfg.B_audio
+
+    @jax.jit
+    def block(state, iq_u8):
+        ctx_pairs, prev_pair, actx = state
+        # ConvertNode (fm_radio.rs:77-91): u8 -> (x - 127.5) / 127.5
+        f = (iq_u8.astype(jnp.float32) - 127.5) / 127.5
+        x = jax.lax.complex(f[:, 0], f[:, 1])
+
+        ctx = jax.lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
+        y, ctx = fir.fir_block(x, B_iq, ctx)
+        y = y[:: cfg.dec1]
+
+        prev = jax.lax.complex(prev_pair[0], prev_pair[1])
+        d, prev = demodulation.fm_demod_block(y, prev)
+
+        a, actx = fir.fir_block(d, B_audio, actx)
+        audio = a[:: cfg.dec2]
+
+        new_state = (
+            jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1),
+            jnp.stack([jnp.real(prev), jnp.imag(prev)]),
+            actx,
+        )
+        return audio, new_state
+
+    return block
+
+
+def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
+             out_path=None) -> np.ndarray:
+    """Demodulate a recorded u8-IQ file; returns (and optionally
+    writes, as f32 PCM) the audio stream."""
+    cfg = cfg or FmReceiverConfig()
+    block = make_block_fn(cfg)
+    state = init_state(cfg)
+    chunks = []
+    nbytes = cfg.block * 2
+    with open(iq_path, "rb") as f:
+        while True:
+            data = f.read(nbytes)
+            if len(data) < nbytes:
+                break
+            iq = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
+            audio, state = block(state, jnp.asarray(iq))
+            chunks.append(np.asarray(audio))
+    audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    if out_path is not None:
+        audio.astype(np.float32).tofile(out_path)
+    return audio

@@ -1,3 +1,14 @@
 """Pure DSP math ops (jax.numpy on device, numpy for host-side params)."""
 
-from comms_tpu.ops import taps  # noqa: F401
+from comms_tpu.ops import (  # noqa: F401
+    demodulation,
+    fft,
+    fir,
+    mixer,
+    modulation,
+    prns,
+    pulse,
+    random,
+    resample,
+    taps,
+)

@@ -1,0 +1,122 @@
+"""Demodulation and synchronization estimators.
+
+Functional parity with the reference:
+
+* FM quadrature demod (``/root/reference/src/modulation/analog.rs:22-34``):
+  ``y[n] = arg(x[n] * conj(x[n-1]))`` with ``prev`` carried across
+  blocks (zero-initialized; arg(0) = 0).
+* Frequency-offset estimator
+  (``src/demodulation/frequency_estimator.rs:27-42``):
+  ``arg(sum(x[1:] * conj(x[:-1])))`` rad/sample (Meyr/Moeneclaey/
+  Fechtel ch. 8.2.2).
+* PSK/QAM phase estimators (``src/demodulation/phase_estimator.rs:26-65``):
+  ``arg(sum(x^m))/m`` and ``arg(sum(-x^4))/4`` (Mengali 5.7.4/5.7.5).
+* Feedforward NDA ML timing estimator
+  (``src/demodulation/timing_estimator.rs:13-113``, Mengali ch. 8.4):
+  mix by ``exp(-j*pi*n/N)``, run parallel q-filter and ND-sample
+  delay, ``-N * arg(sum(q .* d)) / (2*pi)`` samples.
+
+All estimators are elementwise products + one reduction — VPU work
+that XLA fuses; on a sharded time axis the sums become ``psum``.
+The FM demod's lag-1 product is the 1-sample-halo op of the
+framework (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from comms_tpu.ops import fir as _fir
+from comms_tpu.ops import taps as _taps
+
+__all__ = [
+    "fm_demod_init",
+    "fm_demod_block",
+    "frequency_offset_estimate",
+    "psk_phase_estimate",
+    "qam_phase_estimate",
+    "TimingEstimator",
+]
+
+
+def fm_demod_init(dtype=jnp.complex64):
+    """Carried ``prev`` sample, zero-initialized (analog.rs:44-47)."""
+    return jnp.zeros((), dtype=dtype)
+
+
+def fm_demod_block(x, prev):
+    """Quadrature FM demod of one block.  Returns ``(y, new_prev)``;
+    y is real with the dtype of ``x.real``."""
+    x = jnp.asarray(x)
+    shifted = jnp.concatenate([prev[None].astype(x.dtype), x[:-1]])
+    y = jnp.angle(x * jnp.conj(shifted))
+    return y.astype(x.real.dtype), x[-1]
+
+
+def frequency_offset_estimate(x):
+    """Carrier-offset estimate in rad/sample (pre-matched-filter)."""
+    x = jnp.asarray(x)
+    acc = jnp.sum(x[1:] * jnp.conj(x[:-1]))
+    return jnp.angle(acc)
+
+
+def psk_phase_estimate(symbols, m: int):
+    """Mengali 5.7.4: ``arg(sum(x^m)) / m`` for M-PSK symbols."""
+    x = jnp.asarray(symbols)
+    return jnp.angle(jnp.sum(x ** int(m))) / float(m)
+
+
+def qam_phase_estimate(symbols):
+    """Mengali 5.7.5: ``arg(sum(-x^4)) / 4`` for square QAM."""
+    x = jnp.asarray(symbols)
+    return jnp.angle(jnp.sum(-(x ** 4))) / 4.0
+
+
+class TimingEstimator:
+    """Feedforward NDA ML timing estimator (Mengali ch. 8.4).
+
+    Mirrors the reference construction (timing_estimator.rs:42-58):
+    q-filter = ``qfilt_taps(2*N*D + 1, alpha, N)``; delay filter =
+    ND zeros followed by 1 (a pure ND-sample delay).  Each ``push``
+    uses fresh zero filter state (timing_estimator.rs:97-103), so the
+    estimate is a pure function of the block — ideal for jit.
+
+    The mixing ramp ``exp(-j*pi*n/N)`` is precomputed on the host in
+    f64 for the configured block length and cached per length.
+    """
+
+    def __init__(self, n: int, d: int, alpha: float):
+        if not 0.0 <= alpha <= 1.0:
+            raise _taps.InvalidRolloffError(f"alpha={alpha} not in [0, 1]")
+        self.n = int(n)
+        self.d = int(d)
+        self.alpha = float(alpha)
+        q = _taps.qfilt_taps(2 * self.n * self.d + 1, alpha, self.n)
+        self.qfilt = q.astype(np.complex128)
+        self._ramps: dict[int, np.ndarray] = {}
+
+    def _ramp(self, length: int) -> np.ndarray:
+        r = self._ramps.get(length)
+        if r is None:
+            k = np.arange(length, dtype=np.float64)
+            r = np.exp(-1j * np.pi * k / self.n)
+            self._ramps[length] = r
+        return r
+
+    def estimate(self, samples):
+        """Timing estimate in samples for one block (push semantics)."""
+        x = jnp.asarray(samples)
+        r = jnp.asarray(self._ramp(int(x.shape[0])), dtype=x.dtype)
+        qin = jnp.conj(x) * r
+        din = x * r
+        qout = _fir.fir_apply(qin, self.qfilt.astype(np.complex64)
+                              if x.dtype == jnp.complex64 else self.qfilt)
+        nd = self.n * self.d
+        # Delay filter = [0]*ND + [1]: pure ND-sample causal delay.
+        dout = jnp.concatenate([jnp.zeros((nd,), din.dtype), din[: -nd or None]])
+        s = jnp.sum(qout * dout)
+        return -float(self.n) * jnp.angle(s) / (2.0 * np.pi)
+
+    __call__ = estimate

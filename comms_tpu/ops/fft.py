@@ -1,0 +1,67 @@
+"""FFT / IFFT over sample blocks.
+
+Functional parity with the reference's rustfft wrappers
+(``/root/reference/src/fft/mod.rs:20-185``):
+
+* ``BatchFFT.run_fft`` — transform one ``fft_size`` block at a time.
+* ``SampleFFT`` — accumulate single samples until ``fft_size`` are
+  buffered, then transform (fft/mod.rs:106-185).  Under the block
+  framework this is pure reblocking (a reshape) + the same batch FFT.
+* rustfft's inverse transform is **unnormalized** (no 1/N), so
+  reference parity mode keeps that convention; pass
+  ``normalize=True`` for the conventional scaled inverse.
+
+TPU-first: blocks are reshaped to [num_ffts, fft_size] and transformed
+with one batched ``jnp.fft.fft`` — XLA lowers to its native TPU FFT.
+The reference upcasts any input to f64 for the transform
+(fft/mod.rs:78-96); on TPU the transform runs in the block's own
+precision (c64), validated against the reference tolerance
+(fft_node.rs:242-244, per-bin error < 1e-5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["fft_block", "ifft_block", "fft_reblock"]
+
+
+def fft_block(x, fft_size: int):
+    """FFT each consecutive ``fft_size`` chunk of ``x``.
+
+    ``len(x)`` must be a multiple of ``fft_size``; returns the same
+    shape flattened back to 1-D (matching the node's stream-of-blocks
+    contract, fft_node.rs:26-84).
+    """
+    x = jnp.asarray(x)
+    blocks = x.reshape(-1, int(fft_size))
+    return jnp.fft.fft(blocks, axis=-1).reshape(x.shape).astype(
+        _complex_like(x)
+    )
+
+
+def ifft_block(x, fft_size: int, normalize: bool = False):
+    """Inverse FFT per chunk.  Default is rustfft's unnormalized
+    convention (output scaled by N relative to numpy's ifft)."""
+    x = jnp.asarray(x)
+    blocks = x.reshape(-1, int(fft_size))
+    y = jnp.fft.ifft(blocks, axis=-1)
+    if not normalize:
+        y = y * jnp.asarray(fft_size, dtype=y.real.dtype)
+    return y.reshape(x.shape).astype(_complex_like(x))
+
+
+def fft_reblock(samples, fft_size: int):
+    """SampleFFT semantics: view a sample stream as FFT frames,
+    dropping the ragged tail (the reference buffers it for the next
+    call; in the block framework the pipeline reblocker carries it).
+
+    Returns ``frames[num_ffts, fft_size]`` and the leftover tail.
+    """
+    samples = jnp.asarray(samples)
+    n = (samples.shape[0] // int(fft_size)) * int(fft_size)
+    return samples[:n].reshape(-1, int(fft_size)), samples[n:]
+
+
+def _complex_like(x):
+    return jnp.result_type(x.dtype, jnp.complex64)

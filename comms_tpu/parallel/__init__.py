@@ -1,0 +1,4 @@
+"""Parallel layer: mesh helpers, time-block sharding with halo
+exchange, channel sharding, multi-host init."""
+
+from comms_tpu.parallel import sharding, wideband  # noqa: F401

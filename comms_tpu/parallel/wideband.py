@@ -1,0 +1,124 @@
+"""Multi-chip wideband chain (BASELINE config 5): time-block sharded
+FIR + FM demod + FIR + channelizer with overlap-save halo exchange.
+
+One ``shard_map`` program over a 1-D ``"time"`` mesh:
+
+    u8/f32 IQ pairs [N, 2], N sharded over chips
+      -> FIR LPF        (halo = T-1 via ppermute)
+      -> decimate /D1   (local; shard length % D1 == 0)
+      -> FM demod       (halo = 1)
+      -> FIR audio LPF  (halo = T-1)
+      -> decimate /D2
+      plus frequency-offset estimate (psum reduction)
+
+All collectives are neighbor ppermutes + one psum — ICI-friendly,
+no all-gathers.  Carried stream state crosses blocks as f32 pairs.
+
+This module is the multi-chip "training step" analogue for the
+framework: ``make_sharded_step`` returns a pjit-ted function running
+the full chain on a sharded block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from comms_tpu.ops import demodulation, fir
+from comms_tpu.parallel import sharding as sh
+
+__all__ = ["WidebandConfig", "make_sharded_step", "init_state"]
+
+
+class WidebandConfig:
+    def __init__(self, taps_lpf, block: int = 1 << 20, dec1: int = 5,
+                 dec2: int = 5):
+        t = np.asarray(taps_lpf)
+        self.num_taps = len(t)
+        self.B_iq = fir.banded_tap_matrix(t.astype(np.complex64))
+        self.B_audio = fir.banded_tap_matrix(t.astype(np.float32))
+        self.block = int(block)
+        self.dec1 = int(dec1)
+        self.dec2 = int(dec2)
+
+
+def init_state(cfg: WidebandConfig):
+    T = cfg.num_taps
+    return (
+        jnp.zeros((T - 1, 2), dtype=jnp.float32),  # IQ FIR tail (pairs)
+        jnp.zeros((2,), dtype=jnp.float32),        # FM prev
+        jnp.zeros((T - 1,), dtype=jnp.float32),    # audio FIR tail
+    )
+
+
+def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
+                      axis: str = "time"):
+    """Returns jitted ``(state, iq_pairs[N, 2]) ->
+    ((audio[M], freq_est[]), new_state)`` with ``iq_pairs`` sharded
+    over ``axis`` and audio returned sharded the same way."""
+    n = mesh.shape[axis]
+    if cfg.block % n:
+        raise ValueError("block must divide evenly over shards")
+    local = cfg.block // n
+    if local % cfg.dec1 or (local // cfg.dec1) % cfg.dec2:
+        raise ValueError("per-shard length must divide by dec1 and dec2")
+    T = cfg.num_taps
+    B_iq, B_audio = cfg.B_iq, cfg.B_audio
+
+    def local_chain(state, iq_pairs):
+        ctx_pairs, prev_pair, actx = state
+        x = lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
+
+        # --- FIR LPF with ring halo (overlap-save).
+        ctx = lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
+        halo = sh.halo_exchange(x, ctx, T - 1, axis)
+        y, _ = fir.fir_block(x, B_iq, halo)
+        new_ctx = sh.collect_ctx(x, T - 1, axis)
+
+        # --- frequency estimate on filtered signal (psum).
+        lag = y[1:] * jnp.conj(y[:-1])
+        # cross-shard lag-1 term: left neighbor's last y sample.
+        yprev = sh.halo_exchange(y, jnp.zeros((1,), y.dtype), 1, axis)
+        idx = lax.axis_index(axis)
+        edge = jnp.where(idx == 0, 0j, y[0] * jnp.conj(yprev[0]))
+        fsum = sh.psum_estimate(jnp.sum(lag) + edge, axis)
+        freq = jnp.arctan2(jnp.imag(fsum), jnp.real(fsum))
+
+        # --- decimate (local; shard length % dec == 0 keeps global
+        #     stride aligned).
+        y = y[:: cfg.dec1]
+
+        # --- FM demod with 1-sample halo.
+        prev_g = lax.complex(prev_pair[0], prev_pair[1])
+        hp = sh.halo_exchange(y, prev_g[None], 1, axis)
+        shifted = jnp.concatenate([hp, y[:-1]])
+        d = jnp.angle(y * jnp.conj(shifted)).astype(jnp.float32)
+        new_prev_c = sh.collect_ctx(y, 1, axis)
+
+        # --- audio FIR + decimate.
+        ah = sh.halo_exchange(d, actx, T - 1, axis)
+        a, _ = fir.fir_block(d, B_audio, ah)
+        new_actx = sh.collect_ctx(d, T - 1, axis)
+        audio = a[:: cfg.dec2]
+
+        new_state = (
+            jnp.stack([jnp.real(new_ctx), jnp.imag(new_ctx)], axis=-1),
+            jnp.stack([jnp.real(new_prev_c[0]), jnp.imag(new_prev_c[0])]),
+            new_actx,
+        )
+        return (audio, freq), new_state
+
+    state_specs = (P(), P(), P())
+    fn = shard_map(
+        local_chain, mesh=mesh,
+        in_specs=(state_specs, P(axis, None)),
+        out_specs=((P(axis), P()), state_specs),
+    )
+    return jax.jit(fn)

@@ -1,0 +1,420 @@
+"""The Block-op protocol: the TPU-native replacement for `Node`.
+
+The reference runs each `Node` in its own OS thread, blocking on
+crossbeam channels (``/root/reference/src/node/mod.rs:94-98``,
+``node_derive/src/lib.rs:199-211``).  Here a node becomes a **pure
+block transform**
+
+    apply(state, x) -> (y, new_state)
+
+over a fixed-size sample block, with all per-sample carried state
+(FIR tail, mixer phase, FM ``prev``, LFSR register, PRNG key) held in
+an explicit pytree.  A pipeline of ops composes into one function that
+``jax.jit`` fuses into a single XLA program — the reference's
+``single_thread_*`` examples prove this is the semantically identical
+"no runtime" shape of the same graph (examples/single_thread_bpsk.rs).
+
+Rate semantics: each op declares a static rational rate
+(``out_per_in`` as a Fraction) so the composer can check that block
+sizes stay integral at trace time — the reference's `#[aggregate]`
+variable-rate nodes become fixed-ratio reblocking (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Any, Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from comms_tpu.ops import demodulation as _demod
+from comms_tpu.ops import fft as _fft
+from comms_tpu.ops import fir as _fir
+from comms_tpu.ops import mixer as _mixer
+from comms_tpu.ops import prns as _prns
+from comms_tpu.ops import pulse as _pulse
+from comms_tpu.ops import random as _random
+from comms_tpu.ops import resample as _resample
+
+__all__ = [
+    "BlockOp",
+    "Lambda",
+    "Fir",
+    "FirDecimate",
+    "Mixer",
+    "Nco",
+    "FmDemod",
+    "Decimate",
+    "Upsample",
+    "PulseShape",
+    "Fft",
+    "Ifft",
+    "BpskMod",
+    "QpskMod",
+    "PrnSource",
+    "UniformSource",
+    "NormalSource",
+    "RandomBitSource",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockOp:
+    """Base class: stateless passthrough with unit rate.
+
+    Subclasses override ``init_state`` / ``apply`` and ``rate``.
+    ``halo``: number of carried *input* samples the op needs from the
+    previous block (drives halo exchange when time-sharded).
+    """
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(1, 1)
+
+    @property
+    def halo(self) -> int:
+        return 0
+
+    def init_state(self, dtype=jnp.complex64) -> Any:
+        return ()
+
+    def apply(self, state, x):
+        return x, state
+
+
+@dataclasses.dataclass(frozen=True)
+class Lambda(BlockOp):
+    """Wrap any stateless elementwise/shape-preserving function —
+    the ConvertNode pattern in the reference examples
+    (examples/fm_radio.rs:63-143)."""
+
+    fn: Callable
+    out_per_in: Fraction = Fraction(1, 1)
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(self.out_per_in)
+
+    def apply(self, state, x):
+        return self.fn(x), state
+
+
+@dataclasses.dataclass(frozen=True)
+class Fir(BlockOp):
+    """Streaming FIR (reference FirNode/BatchFirNode,
+    src/filter/fir_node.rs:43-221)."""
+
+    taps: tuple  # hashable; stored as tuple of complex
+    _B: Any = dataclasses.field(default=None, repr=False, compare=False)
+
+    @staticmethod
+    def make(taps) -> "Fir":
+        taps = np.asarray(taps)
+        B = _fir.banded_tap_matrix(taps)
+        return Fir(tuple(np.asarray(taps).tolist()), B)
+
+    @property
+    def num_taps(self) -> int:
+        return len(self.taps)
+
+    @property
+    def halo(self) -> int:
+        return self.num_taps - 1
+
+    def init_state(self, dtype=jnp.complex64):
+        return _fir.init_ctx(self.num_taps, dtype=dtype)
+
+    def apply(self, state, x):
+        y, new_ctx = _fir.fir_block(x, self._B, state)
+        return y, new_ctx
+
+
+@dataclasses.dataclass(frozen=True)
+class FirDecimate(BlockOp):
+    """Fused FIR + decimate (the fm_radio hot pair, fm_radio.rs:144-150)."""
+
+    taps: tuple
+    dec: int
+    _B: Any = dataclasses.field(default=None, repr=False, compare=False)
+
+    @staticmethod
+    def make(taps, dec: int) -> "FirDecimate":
+        taps = np.asarray(taps)
+        return FirDecimate(tuple(taps.tolist()), int(dec),
+                           _fir.banded_tap_matrix(taps))
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(1, max(self.dec, 1))
+
+    @property
+    def halo(self) -> int:
+        return len(self.taps) - 1
+
+    def init_state(self, dtype=jnp.complex64):
+        return _fir.init_ctx(len(self.taps), dtype=dtype)
+
+    def apply(self, state, x):
+        y, ctx = _fir.fir_block(x, self._B, state)
+        return _resample.decimate_block(y, self.dec), ctx
+
+
+@dataclasses.dataclass(frozen=True)
+class Mixer(BlockOp):
+    """Closed-form complex mixer (reference MixerNode, mixer.rs:91-148).
+
+    The unit ramp is precomputed per block length at pipeline build
+    time (host float64) and cached.
+    """
+
+    dphase: float
+    phase0: float = 0.0
+
+    def init_state(self, dtype=jnp.complex64):
+        # Only dphase is normalized at construction (mixer.rs:43-51);
+        # the initial phase is taken as given.
+        return jnp.asarray(self.phase0, dtype=jnp.float32)
+
+    def apply(self, state, x):
+        ramp, adv = _ramp_cache(self.dphase, int(x.shape[0]),
+                                np.dtype(np.complex64)
+                                if x.dtype == jnp.complex64
+                                else np.dtype(np.complex128))
+        return _mixer.mixer_block(x, state, ramp, adv)
+
+
+_RAMPS: dict = {}
+
+
+def _ramp_cache(dphase: float, n: int, cdtype):
+    key = (float(dphase), n, str(cdtype))
+    hit = _RAMPS.get(key)
+    if hit is None:
+        hit = _mixer.mixer_ramp(n, dphase, dtype=cdtype)
+        _RAMPS[key] = hit
+    return hit
+
+
+@dataclasses.dataclass(frozen=True)
+class Nco(BlockOp):
+    """NCO over a block of phase errors (reference NcoNode,
+    nco.rs:84-134)."""
+
+    dphase: float
+    phase0: float = 0.0
+
+    def init_state(self, dtype=jnp.complex64):
+        return jnp.asarray(self.phase0, dtype=jnp.float32)
+
+    def apply(self, state, perr):
+        return _mixer.nco_block(perr, state, self.dphase)
+
+
+@dataclasses.dataclass(frozen=True)
+class FmDemod(BlockOp):
+    """Quadrature FM demod (reference FMDemodNode,
+    modulation/analog_node.rs:18-52).  Complex in, real out."""
+
+    @property
+    def halo(self) -> int:
+        return 1
+
+    def init_state(self, dtype=jnp.complex64):
+        return _demod.fm_demod_init(dtype=dtype)
+
+    def apply(self, state, x):
+        return _demod.fm_demod_block(x, state)
+
+
+@dataclasses.dataclass(frozen=True)
+class Decimate(BlockOp):
+    """Keep every rate-th sample.  ``streaming=False`` resets the
+    stride each block (reference DecimateNode semantics,
+    resample_node.rs:53-65); ``streaming=True`` carries the phase."""
+
+    dec: int
+    streaming: bool = False
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(1, max(self.dec, 1))
+
+    def init_state(self, dtype=jnp.complex64):
+        return _resample.decimate_stream_init() if self.streaming else ()
+
+    def apply(self, state, x):
+        if self.streaming:
+            return _resample.decimate_stream(x, state, self.dec)
+        return _resample.decimate_block(x, self.dec), state
+
+
+@dataclasses.dataclass(frozen=True)
+class Upsample(BlockOp):
+    """Zero-stuff (reference UpsampleNode, resample_node.rs:120-131)."""
+
+    ups: int
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(max(self.ups, 1), 1)
+
+    def apply(self, state, x):
+        return _resample.upsample_block(x, self.ups), state
+
+
+@dataclasses.dataclass(frozen=True)
+class PulseShape(BlockOp):
+    """Polyphase pulse shaping (reference PulseNode, pulse.rs:36-93):
+    symbols in, sps samples per symbol out."""
+
+    taps: tuple
+    sps: int
+    _H: Any = dataclasses.field(default=None, repr=False, compare=False)
+
+    @staticmethod
+    def make(taps, sps: int) -> "PulseShape":
+        taps = np.asarray(taps)
+        return PulseShape(tuple(taps.tolist()), int(sps),
+                          _pulse.polyphase_taps(taps, sps))
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(self.sps, 1)
+
+    def init_state(self, dtype=jnp.complex64):
+        return _pulse.pulse_init_ctx(len(self.taps), self.sps, dtype=dtype)
+
+    def apply(self, state, x):
+        return _pulse.pulse_shape_block(x, self._H, state)
+
+
+@dataclasses.dataclass(frozen=True)
+class Fft(BlockOp):
+    """Per-block FFT (reference FFTBatchNode, fft/fft_node.rs:26-84)."""
+
+    fft_size: int
+
+    def apply(self, state, x):
+        return _fft.fft_block(x, self.fft_size), state
+
+
+@dataclasses.dataclass(frozen=True)
+class Ifft(BlockOp):
+    """Per-block IFFT, rustfft-unnormalized by default."""
+
+    fft_size: int
+    normalize: bool = False
+
+    def apply(self, state, x):
+        return _fft.ifft_block(x, self.fft_size, self.normalize), state
+
+
+@dataclasses.dataclass(frozen=True)
+class BpskMod(BlockOp):
+    """Bits -> BPSK symbols.  ``example_convention`` selects the
+    examples' 2b-1 map over digital.rs's 1-2b map."""
+
+    example_convention: bool = False
+    dtype: Any = jnp.complex64
+
+    def apply(self, state, bits):
+        from comms_tpu.ops import modulation as _m
+        fn = (_m.bpsk_bit_mod_example if self.example_convention
+              else _m.bpsk_bit_mod)
+        return fn(bits, dtype=self.dtype), state
+
+
+@dataclasses.dataclass(frozen=True)
+class QpskMod(BlockOp):
+    """Bit pairs -> QPSK symbols (2 bits in per symbol out)."""
+
+    example_convention: bool = False
+    dtype: Any = jnp.complex64
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(1, 2)
+
+    def apply(self, state, bits):
+        from comms_tpu.ops import modulation as _m
+        if self.example_convention:
+            return _m.qpsk_bits_mod_example(bits, dtype=self.dtype), state
+        pairs = bits.reshape(-1, 2)
+        vals = pairs[:, 0].astype(jnp.int32) + 2 * pairs[:, 1].astype(jnp.int32)
+        return _m.qpsk_bit_mod(vals, dtype=self.dtype), state
+
+
+# ----------------------------------------------------------------- sources
+
+@dataclasses.dataclass(frozen=True)
+class PrnSource(BlockOp):
+    """LFSR bit source (reference PrnsNode, prns.rs:93-134)."""
+
+    spec: Any = dataclasses.field(compare=False)
+    seed: int = 0x01
+
+    @staticmethod
+    def make(poly_mask: int, seed: int, width: int, block: int) -> "PrnSource":
+        return PrnSource(_prns.PrnSpec.make(poly_mask, width, block), seed)
+
+    def init_state(self, dtype=jnp.complex64):
+        return self.spec.init_state(self.seed)
+
+    def apply(self, state, _x=None):
+        return _prns.prn_block(self.spec, state)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformSource(BlockOp):
+    """Uniform random source (reference UniformNode, rand_node.rs:25-75)."""
+
+    block: int
+    start: float = 0.0
+    end: float = 1.0
+    seed: int = 0
+    dtype: Any = jnp.float32
+
+    def init_state(self, dtype=jnp.complex64):
+        return _random.source_init(self.seed)
+
+    def apply(self, state, _x=None):
+        x, key = _random.uniform_block(state, self.block, self.start,
+                                       self.end, self.dtype)
+        return x, key
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalSource(BlockOp):
+    """Normal random source (reference NormalNode, rand_node.rs:97-139)."""
+
+    block: int
+    mu: float = 0.0
+    std_dev: float = 1.0
+    seed: int = 0
+    dtype: Any = jnp.float32
+
+    def init_state(self, dtype=jnp.complex64):
+        return _random.source_init(self.seed)
+
+    def apply(self, state, _x=None):
+        x, key = _random.normal_block(state, self.block, self.mu,
+                                      self.std_dev, self.dtype)
+        return x, key
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomBitSource(BlockOp):
+    """random_bit() source (rand_node.rs:150-152)."""
+
+    block: int
+    seed: int = 0
+
+    def init_state(self, dtype=jnp.complex64):
+        return _random.source_init(self.seed)
+
+    def apply(self, state, _x=None):
+        bits, key = _random.random_bits_block(state, self.block)
+        return bits, key

@@ -1,0 +1,115 @@
+"""Pipeline composer + streaming drivers.
+
+The reference wires nodes with ``connect_nodes!`` and spawns a thread
+per node (``/root/reference/src/node/mod.rs:149-284``).  Here a linear
+chain composes into ONE pure function over a block, jitted once:
+
+    pipe = Pipeline([PrnSource.make(...), BpskMod(), PulseShape.make(...)])
+    state = pipe.init_state()
+    y, state = pipe.step(state, x)            # one jitted block
+    ys, state = pipe.run(state, x_blocks)     # lax.scan over blocks
+
+Design notes
+------------
+* State is a tuple pytree (one leaf group per op) — snapshotting the
+  whole pipeline is ``jax.device_get(state)`` (the checkpointing the
+  reference lacks, SURVEY.md section 5).
+* ``run`` drives ``lax.scan`` over a [num_blocks, block] array: the
+  sequential carry is tiny (a few scalars/tap-tails), so XLA overlaps
+  the per-block compute aggressively; for throughput the block size
+  should be large (>= 2^17 samples).
+* Rate bookkeeping: block sizes through the chain must stay integral;
+  checked at trace time with clear errors.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from comms_tpu.runtime.block import BlockOp
+
+__all__ = ["Pipeline"]
+
+
+class Pipeline:
+    """A linear chain of :class:`BlockOp` compiled into one block step."""
+
+    def __init__(self, ops: Sequence[BlockOp], state_dtype=jnp.complex64):
+        self.ops = list(ops)
+        self.state_dtype = state_dtype
+        self._jit_step = jax.jit(self._step)
+
+    # ------------------------------------------------------------ state
+    def init_state(self):
+        return tuple(op.init_state(dtype=self.state_dtype)
+                     for op in self.ops)
+
+    @property
+    def rate(self) -> Fraction:
+        r = Fraction(1, 1)
+        for op in self.ops:
+            r *= op.rate
+        return r
+
+    # ------------------------------------------------------------- step
+    def _step(self, state, x):
+        new_state = []
+        y = x
+        for i, op in enumerate(self.ops):
+            y, s = op.apply(state[i], y)
+            new_state.append(s)
+        return y, tuple(new_state)
+
+    def step(self, state, x=None):
+        """Process one block (jitted).  For source-headed pipelines
+        pass ``x=None``."""
+        return self._jit_step(state, x)
+
+    # -------------------------------------------------------------- run
+    def run(self, state, blocks=None, num_blocks: Optional[int] = None):
+        """Drive many blocks with ``lax.scan``.
+
+        ``blocks``: [num_blocks, block_len] array (or None for a
+        source-headed pipeline, in which case ``num_blocks`` is
+        required).  Returns ``(ys[num_blocks, out_len], final_state)``.
+        """
+        if blocks is None:
+            if num_blocks is None:
+                raise ValueError("num_blocks required for source pipelines")
+
+            def body(carry, _):
+                y, carry = self._step(carry, None)
+                return carry, y
+
+            final, ys = lax.scan(body, state, None, length=num_blocks)
+            return ys, final
+
+        def body(carry, xb):
+            y, carry = self._step(carry, xb)
+            return carry, y
+
+        final, ys = lax.scan(body, state, blocks)
+        return ys, final
+
+    # ------------------------------------------------------ introspection
+    def check_block_size(self, n: int) -> int:
+        """Validate that block length ``n`` stays integral through the
+        chain; returns the output length."""
+        cur = Fraction(n)
+        for op in self.ops:
+            cur *= op.rate
+            if cur.denominator != 1:
+                raise ValueError(
+                    f"block size {n} is not integral after {op} "
+                    f"(rate {op.rate}): {cur}"
+                )
+        return int(cur)
+
+    def __repr__(self):
+        inner = ", ".join(type(op).__name__ for op in self.ops)
+        return f"Pipeline([{inner}], rate={self.rate})"

@@ -1,0 +1,171 @@
+"""Flagship model parity vs float64 numpy oracles implementing the
+reference example chains sample-by-sample (single_thread_bpsk.rs:16-52,
+single_thread_qpsk.rs:16-52, fm_radio.rs:144-168)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.models import bpsk_tx, fm_receiver, qpsk_tx
+from comms_tpu.ops import taps
+
+
+def oracle_fir_stream(x, t, state):
+    """Reference batch_fir semantics (fir.rs:87-102), complex f64."""
+    T = len(t)
+    st = list(state)
+    out = []
+    for s in x:
+        st = [st[-1]] + st[:-1]
+        st[0] = s
+        out.append(sum(ti * vi for ti, vi in zip(t, st)))
+    return np.array(out), st
+
+
+def tx_oracle(bits, qpsk: bool):
+    """single_thread_{bpsk,qpsk}.rs: map -> zero-stuff x4 -> RRC ->
+    *8192 -> trunc i16."""
+    t = taps.rrc_taps(32, 4.0, 0.25)
+    if qpsk:
+        sym = (2.0 * bits[0::2] - 1) + 1j * (2.0 * bits[1::2] - 1)
+    else:
+        sym = (2.0 * bits - 1) + 0j
+    ups = np.zeros(len(sym) * 4, dtype=np.complex128)
+    ups[::4] = sym
+    y, _ = oracle_fir_stream(ups, t, [0j] * 32)
+    re = np.trunc(y.real * 8192.0).astype(np.int16)
+    im = np.trunc(y.imag * 8192.0).astype(np.int16)
+    return np.stack([re, im], axis=-1)
+
+
+def test_bpsk_tx_block_matches_oracle():
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=512)
+    block = jax.jit(bpsk_tx.make_block_fn(cfg))
+    state = bpsk_tx.init_state(cfg, seed=7)
+    iq, _ = block(state)
+
+    # Recover the bits the device PRNG drew, then run the oracle.
+    from comms_tpu.ops import random as crandom
+    key = crandom.source_init(7)
+    bits, _ = crandom.random_bits_block(key, 512)
+    expected = tx_oracle(np.asarray(bits).astype(np.float64), qpsk=False)
+    got = np.asarray(iq)
+    # f32 pulse shaping vs f64 oracle: the i16 quantization may differ
+    # by 1 LSB where the product sits on a truncation edge.
+    assert got.shape == expected.shape
+    diff = np.abs(got.astype(np.int32) - expected.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_bpsk_tx_streaming_across_blocks():
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=256)
+    block = jax.jit(bpsk_tx.make_block_fn(cfg))
+    state = bpsk_tx.init_state(cfg, seed=3)
+    iq1, state = block(state)
+    iq2, state = block(state)
+
+    from comms_tpu.ops import random as crandom
+    key = crandom.source_init(3)
+    b1, key = crandom.random_bits_block(key, 256)
+    b2, key = crandom.random_bits_block(key, 256)
+    allbits = np.concatenate([np.asarray(b1), np.asarray(b2)]).astype(
+        np.float64)
+    expected = tx_oracle(allbits, qpsk=False)
+    got = np.concatenate([np.asarray(iq1), np.asarray(iq2)])
+    diff = np.abs(got.astype(np.int32) - expected.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_qpsk_tx_block_matches_oracle():
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=1024, dphase=0.0)
+    block = jax.jit(qpsk_tx.make_block_fn(cfg))
+    state = qpsk_tx.init_state(cfg, seed=11)
+    iq, _ = block(state)
+
+    from comms_tpu.ops import random as crandom
+    key = crandom.source_init(11)
+    bits, _ = crandom.random_bits_block(key, 1024)
+    expected = tx_oracle(np.asarray(bits).astype(np.float64), qpsk=True)
+    got = np.asarray(iq)
+    diff = np.abs(got.astype(np.int32) - expected.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_qpsk_tx_mixer_upconverts():
+    # With dphase set, spectrum shifts: a long run of constant bits
+    # gives a tone at dphase.
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=4096, dphase=1.0)
+    block = jax.jit(qpsk_tx.make_block_fn(cfg))
+    state = qpsk_tx.init_state(cfg)
+    iq, _ = block(state)
+    z = np.asarray(iq).astype(np.float64)
+    z = z[:, 0] + 1j * z[:, 1]
+    # Lag-1 autocorrelation phase = spectrum center = mixer frequency
+    # (the frequency_offset_estimate principle).
+    w = np.angle(np.sum(z[1:] * np.conj(z[:-1])))
+    assert abs(w - 1.0) < 0.05
+
+
+def fm_oracle(u8, dec1, dec2):
+    """fm_radio.rs chain in float64: convert -> FIR -> dec -> demod ->
+    FIR -> dec."""
+    t = fm_receiver.FM_LPF_TAPS
+    x = ((u8[:, 0] - 127.5) / 127.5) + 1j * ((u8[:, 1] - 127.5) / 127.5)
+    y, _ = oracle_fir_stream(x, t, [0j] * len(t))
+    y = y[::dec1]
+    prev = 0j
+    d = []
+    for s in y:
+        d.append(np.angle(s * np.conj(prev)))
+        prev = s
+    d = np.array(d)
+    a, _ = oracle_fir_stream(d, t, [0j] * len(t))
+    return np.real(a[::dec2])
+
+
+def test_fm_receiver_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 4000
+    ph = np.cumsum(0.2 + 0.1 * np.sin(2 * np.pi * np.arange(n) / 500))
+    z = np.exp(1j * ph)
+    u8 = np.stack([np.round(z.real * 100 + 127.5),
+                   np.round(z.imag * 100 + 127.5)], -1).astype(np.uint8)
+
+    cfg = fm_receiver.FmReceiverConfig(block=n, dec1=5, dec2=5)
+    block = fm_receiver.make_block_fn(cfg)
+    state = fm_receiver.init_state(cfg)
+    audio, _ = block(state, jnp.asarray(u8))
+
+    expected = fm_oracle(u8.astype(np.float64), 5, 5)
+    got = np.asarray(audio)
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, atol=2e-4)
+
+
+def test_fm_receiver_streaming_across_blocks():
+    rng = np.random.default_rng(1)
+    n = 4000
+    ph = np.cumsum(0.3 * np.ones(2 * n))
+    z = np.exp(1j * ph)
+    u8 = np.stack([np.round(z.real * 120 + 127.5),
+                   np.round(z.imag * 120 + 127.5)], -1).astype(np.uint8)
+
+    cfg = fm_receiver.FmReceiverConfig(block=n, dec1=5, dec2=5)
+    block = fm_receiver.make_block_fn(cfg)
+    state = fm_receiver.init_state(cfg)
+    a1, state = block(state, jnp.asarray(u8[:n]))
+    a2, state = block(state, jnp.asarray(u8[n:]))
+
+    expected = fm_oracle(u8.astype(np.float64), 5, 5)
+    got = np.concatenate([np.asarray(a1), np.asarray(a2)])
+    assert np.allclose(got, expected, atol=2e-4)
+
+
+def test_bpsk_run_to_file_format(tmp_path):
+    p = tmp_path / "bpsk_out.bin"
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=128)
+    n = bpsk_tx.run_to_file(p, 3, cfg, seed=0)
+    assert n == 3 * 128 * 4
+    raw = np.fromfile(p, dtype=np.int16)
+    assert len(raw) == 2 * n  # interleaved re/im pairs

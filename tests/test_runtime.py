@@ -1,0 +1,152 @@
+"""Runtime semantics tests, modeled on the reference's node tests
+(src/node/mod.rs:363-1009): simple chain, fan-in/fan-out, aggregate
+rates, stateful streaming, feedback priming — but with finite streams
+and explicit completion (the survey's flakiness warning)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from comms_tpu.ops import taps
+from comms_tpu.runtime import (
+    BpskMod,
+    Decimate,
+    Fir,
+    FmDemod,
+    Graph,
+    GraphNotConnectedError,
+    Lambda,
+    Mixer,
+    Pipeline,
+    PrnSource,
+    PulseShape,
+    Upsample,
+)
+
+import pytest
+
+
+def test_linear_pipeline_bpsk_chain():
+    # PRN -> BPSK -> upsample x4 -> RRC: the bpsk_mod graph
+    # (examples/bpsk_mod.rs) as one jitted function.
+    t = taps.rrc_taps(32, 4.0, 0.25).astype(np.complex128)
+    pipe = Pipeline([
+        PrnSource.make(0xC0, 0x01, 8, 256),
+        BpskMod(example_convention=True, dtype=jnp.complex128),
+        PulseShape.make(t, 4),
+    ], state_dtype=jnp.complex128)
+    assert pipe.check_block_size(256) == 1024
+
+    state = pipe.init_state()
+    y, state = pipe.step(state)
+    assert y.shape == (1024,)
+    # Same bits as the host oracle, shaped: spot-check energy.
+    assert float(jnp.sum(jnp.abs(y) ** 2)) > 0
+
+
+def test_pipeline_run_scan_matches_python_loop():
+    t = taps.rrc_taps(16, 2.0, 0.3).astype(np.complex128)
+    pipe = Pipeline([
+        PrnSource.make(0xC0, 0x55, 8, 64),
+        BpskMod(dtype=jnp.complex128),
+        PulseShape.make(t, 2),
+    ], state_dtype=jnp.complex128)
+
+    s0 = pipe.init_state()
+    ys, _ = pipe.run(s0, num_blocks=5)
+    assert ys.shape == (5, 128)
+
+    s = pipe.init_state()
+    expected = []
+    for _ in range(5):
+        y, s = pipe.step(s)
+        expected.append(np.asarray(y))
+    assert np.allclose(np.asarray(ys), np.stack(expected), atol=1e-12)
+
+
+def test_pipeline_rate_check_rejects_fractional():
+    pipe = Pipeline([Decimate(dec=3)])
+    with pytest.raises(ValueError):
+        pipe.check_block_size(64)  # 64/3 not integral
+    assert pipe.check_block_size(9) == 3
+
+
+def test_pipeline_fed_blocks_with_state():
+    # FIR streaming through run(): block-size invariance via scan.
+    rng = np.random.default_rng(0)
+    t = (rng.normal(size=9)).astype(np.complex128)
+    x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex128)
+
+    pipe = Pipeline([Fir.make(t)], state_dtype=jnp.complex128)
+    ys, _ = pipe.run(pipe.init_state(), jnp.asarray(x.reshape(4, 64)))
+    y_once, _ = pipe.step(pipe.init_state(), jnp.asarray(x))
+    assert np.allclose(np.asarray(ys).reshape(-1), np.asarray(y_once),
+                       atol=1e-12)
+
+
+def test_graph_fan_out_fan_in():
+    # source feeds two branches; join node sums them — the broadcast
+    # clone-to-every-sender semantics (node_derive/src/lib.rs:153-163)
+    # as SSA reuse.
+    g = Graph()
+    g.add_input("x")
+    g.add_node("double", Lambda(lambda v: v * 2), ["x"])
+    g.add_node("triple", Lambda(lambda v: v * 3), ["x"])
+    g.add_node("sum", lambda a, b: a + b, ["double", "triple"])
+    g.set_outputs(["sum"])
+
+    step = g.compile()
+    state = g.init_state()
+    (out,), state = step(state, {"x": jnp.arange(4.0)})
+    assert np.allclose(np.asarray(out), np.arange(4.0) * 5)
+
+
+def test_graph_validate_unconnected():
+    g = Graph()
+    g.add_node("a", Lambda(lambda v: v), ["missing"])
+    g.set_outputs(["a"])
+    with pytest.raises(GraphNotConnectedError):
+        g.validate()
+
+
+def test_graph_feedback_priming_doubler():
+    # The reference feedback test (node/mod.rs:945-1009): a doubler
+    # whose input is its own previous output, primed with 1, doubling
+    # once per tick (their checker observes 512 on the 10th received
+    # message because the primed default itself is message #1; here
+    # step K returns 2^K directly).
+    g = Graph()
+    g.add_node(
+        "double",
+        lambda prev: prev * 2,
+        ["double"],
+        feedback_from={"double": jnp.ones((1,), jnp.float32)},
+    )
+    g.set_outputs(["double"])
+    step = g.compile()
+    state = g.init_state()
+    seen = []
+    for _ in range(10):
+        (out,), state = step(state, {})
+        seen.append(float(np.asarray(out)[0]))
+    assert seen == [2.0 ** k for k in range(1, 11)]
+    assert seen[8] == 512.0  # the reference's observed 10th message
+
+
+def test_graph_stateful_ops_and_rates():
+    # mixer -> fm demod chain through the graph API, with carried state.
+    g = Graph()
+    g.add_input("iq")
+    g.add_node("mix", Mixer(dphase=0.2), ["iq"])
+    g.add_node("demod", FmDemod(), ["mix"])
+    g.set_outputs(["demod"])
+    step = g.compile()
+    state = g.init_state(dtype=jnp.complex128)
+
+    x = np.ones(64, dtype=np.complex128)
+    (out1,), state = step(state, {"iq": jnp.asarray(x)})
+    (out2,), state = step(state, {"iq": jnp.asarray(x)})
+    # constant input through mixer = pure tone; fm demod ~ dphase.
+    assert np.allclose(np.asarray(out2), 0.2, atol=1e-6)
+    # and the phase carried across the block boundary (no glitch at
+    # sample 0 of block 2).
+    assert np.allclose(np.asarray(out2)[0], 0.2, atol=1e-6)
