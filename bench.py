@@ -26,7 +26,9 @@ def main():
 
     from comms_tpu.models import fm_receiver
 
-    cfg = fm_receiver.FmReceiverConfig(block=1 << 18)
+    # 25 | block -> polyphase decimating-FIR path (5x less FIR work
+    # than filter-then-discard).
+    cfg = fm_receiver.FmReceiverConfig(block=409600)
     block_fn = fm_receiver.make_block_fn(cfg)
     state = fm_receiver.init_state(cfg)
 

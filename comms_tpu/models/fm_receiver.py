@@ -59,17 +59,35 @@ FM_LPF_TAPS = np.array([
 
 class FmReceiverConfig:
     """Block 262,144 samples (the rtl-sdr read granularity,
-    rtlsdr_radio.rs:74-77); decimations 5 and 5 (fm_radio.rs:148-151)."""
+    rtlsdr_radio.rs:74-77); decimations 5 and 5 (fm_radio.rs:148-151).
+
+    Two compute paths, selected by block divisibility:
+
+    * **polyphase** (block % (dec1*dec2) == 0): decimating FIRs compute
+      only the kept outputs — T MACs per *output*, a dec-x saving over
+      filter-then-discard, with continuous decimation stride across
+      blocks (streaming-correct).
+    * **dense** (reference-parity): full-rate banded-Toeplitz FIR then
+      per-block-reset stride, byte-matching the reference's chain for
+      its exact 2^18 block size (which 5 does not divide).
+    """
 
     def __init__(self, block: int = 262144, dec1: int = 5, dec2: int = 5):
         self.block = int(block)
         self.dec1 = int(dec1)
         self.dec2 = int(dec2)
-        t = FM_LPF_TAPS.astype(np.complex64)
-        self.B_iq = fir.banded_tap_matrix(t)           # complex chain filter
-        self.B_audio = fir.banded_tap_matrix(
-            FM_LPF_TAPS.astype(np.float32))            # real audio filter
         self.num_taps = len(FM_LPF_TAPS)
+        self.polyphase = (self.block % (dec1 * dec2) == 0
+                          and dec1 > 1 and dec2 > 1)
+        if self.polyphase:
+            self.Hb_iq = fir.decimating_branch_taps(
+                FM_LPF_TAPS.astype(np.complex64), dec1)
+            self.Hb_audio = fir.decimating_branch_taps(
+                FM_LPF_TAPS.astype(np.float32), dec2)
+        else:
+            self.B_iq = fir.banded_tap_matrix(FM_LPF_TAPS.astype(np.complex64))
+            self.B_audio = fir.banded_tap_matrix(
+                FM_LPF_TAPS.astype(np.float32))
 
     @property
     def audio_per_block(self) -> int:
@@ -78,14 +96,23 @@ class FmReceiverConfig:
         mid = -(-self.block // self.dec1)
         return -(-mid // self.dec2)
 
+    @property
+    def ctx1_len(self) -> int:
+        return (self.Hb_iq.size - 1 if self.polyphase
+                else self.num_taps - 1)
+
+    @property
+    def ctx2_len(self) -> int:
+        return (self.Hb_audio.size - 1 if self.polyphase
+                else self.num_taps - 1)
+
 
 def init_state(cfg: FmReceiverConfig):
     """Boundary-safe state: complex FIR tail as f32 pairs."""
-    T = cfg.num_taps
     return (
-        jnp.zeros((T - 1, 2), dtype=jnp.float32),   # IQ FIR ctx (pairs)
-        jnp.zeros((2,), dtype=jnp.float32),         # FM prev (re, im)
-        jnp.zeros((T - 1,), dtype=jnp.float32),     # audio FIR ctx
+        jnp.zeros((cfg.ctx1_len, 2), dtype=jnp.float32),  # IQ FIR ctx
+        jnp.zeros((2,), dtype=jnp.float32),               # FM prev
+        jnp.zeros((cfg.ctx2_len,), dtype=jnp.float32),    # audio FIR ctx
     )
 
 
@@ -97,8 +124,10 @@ def make_block_fn(cfg: FmReceiverConfig):
     """
     # numpy closures, not device arrays (complex can't device_put
     # on axon; see runtime/boundary.py).
-    B_iq = cfg.B_iq
-    B_audio = cfg.B_audio
+    if cfg.polyphase:
+        F1, F2 = cfg.Hb_iq, cfg.Hb_audio
+    else:
+        F1, F2 = cfg.B_iq, cfg.B_audio
 
     @jax.jit
     def block(state, iq_u8):
@@ -108,14 +137,20 @@ def make_block_fn(cfg: FmReceiverConfig):
         x = jax.lax.complex(f[:, 0], f[:, 1])
 
         ctx = jax.lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
-        y, ctx = fir.fir_block(x, B_iq, ctx)
-        y = y[:: cfg.dec1]
+        if cfg.polyphase:
+            y, ctx = fir.fir_decimate_poly(x, F1, ctx)
+        else:
+            y, ctx = fir.fir_block(x, F1, ctx)
+            y = y[:: cfg.dec1]
 
         prev = jax.lax.complex(prev_pair[0], prev_pair[1])
         d, prev = demodulation.fm_demod_block(y, prev)
 
-        a, actx = fir.fir_block(d, B_audio, actx)
-        audio = a[:: cfg.dec2]
+        if cfg.polyphase:
+            audio, actx = fir.fir_decimate_poly(d, F2, actx)
+        else:
+            a, actx = fir.fir_block(d, F2, actx)
+            audio = a[:: cfg.dec2]
 
         new_state = (
             jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1),

@@ -42,6 +42,8 @@ __all__ = [
     "fir_block",
     "fir_apply",
     "fir_decimate_block",
+    "decimating_branch_taps",
+    "fir_decimate_poly",
 ]
 
 # Output phases per GEMM row.  128 = MXU lane width.
@@ -159,10 +161,60 @@ def fir_decimate_block(x, taps, ctx, rate: int, phases: int = _DEFAULT_PHASES):
     """Fused FIR + keep-every-``rate``-th-sample (per-block phase reset,
     matching DecimateNode semantics, resample_node.rs:53-65).
 
-    Returns (y_dec, new_ctx).  v1 computes the full FIR then strides;
-    the Pallas polyphase kernel replaces this on the hot path.
+    Reference convenience form; :func:`fir_decimate_poly` is the
+    efficient polyphase version for the hot path.
     """
     y, new_ctx = fir_block(x, taps, ctx, phases=phases)
     if rate in (0, 1):
         return y, new_ctx
     return y[::rate], new_ctx
+
+
+def decimating_branch_taps(taps, rate: int) -> np.ndarray:
+    """taps[T] -> Hb[M, rate] with Hb[j, p] = taps[j*rate + p]
+    (zero-padded to M = ceil(T/rate) rows).  Host-side."""
+    taps = np.asarray(taps)
+    D = int(rate)
+    M = -(-taps.shape[0] // D)
+    flat = np.zeros(M * D, dtype=taps.dtype)
+    flat[: taps.shape[0]] = taps
+    return flat.reshape(M, D)
+
+
+def fir_decimate_poly(x, Hb, ctx):
+    """Polyphase decimating FIR: computes ONLY the kept outputs.
+
+        y[m] = sum_t taps[t] * x[m*D - t]
+             = sum_p sum_j Hb[j, p] * x[(m-j)*D - p]
+
+    ``Hb`` from :func:`decimating_branch_taps` ([M, D]); ``ctx`` is the
+    carried input tail of M*D - 1 samples (same halo length the dense
+    FIR would need after zero-padding taps to M*D).  len(x) % D == 0.
+
+    Work: T MACs per *output* sample = T/D per input sample — a D-x
+    saving over filter-then-discard.  All MACs are full-width VPU ops
+    on [N/D, D] arrays.  Returns ``(y[N//D], new_ctx)``.
+
+    Output parity: identical to ``fir_block`` + ``[::D]`` when the
+    block length divides D (both implement DecimateNode's keep-index-0
+    convention, resample_node.rs:53-65).
+    """
+    x = jnp.asarray(x)
+    Hb = jnp.asarray(Hb)
+    M, D = Hb.shape
+    N = x.shape[0]
+    if N % D:
+        raise ValueError(f"block {N} not a multiple of rate {D}")
+    frames = N // D
+    T_pad = M * D
+
+    xe = jnp.concatenate([ctx.astype(x.dtype), x])  # [T_pad - 1 + N]
+    new_ctx = xe[-(T_pad - 1):] if T_pad > 1 else ctx
+    # Dw[i, p] = xe[i*D + (D-1-p)] = x[(i - M + 1)*D - p] for row
+    # i - (M-1) = m - j; rows 0..frames+M-2 (history first).
+    R = frames + M - 1
+    Dw = jnp.flip(xe[: R * D].reshape(R, D), axis=1)
+    acc = jnp.zeros((frames, D), dtype=jnp.result_type(x.dtype, Hb.dtype))
+    for j in range(M):
+        acc = acc + Hb[j][None, :] * Dw[M - 1 - j: M - 1 - j + frames]
+    return jnp.sum(acc, axis=1), new_ctx

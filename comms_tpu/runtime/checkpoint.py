@@ -1,0 +1,82 @@
+"""Pipeline-state checkpoint / resume.
+
+The reference keeps all stream state (FIR tails, phases, LFSR
+registers) locked inside per-node structs with no way to save it
+(SURVEY.md section 5: "checkpoint/resume: absent").  Here state is an
+explicit pytree, so snapshotting a whole pipeline mid-stream is a
+pytree device_get + np.savez, and resume is exact: the restored
+stream continues bit-identically.
+
+Complex leaves are encoded as float32 pairs on the way out (the axon
+boundary cannot transfer complex, runtime/boundary.py) and re-encoded
+on restore using the pipeline's own init_state as the structure/dtype
+template.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.runtime import boundary
+
+__all__ = ["save_state", "load_state"]
+
+_COMPLEX_TAG = "__complex_pairs__"
+
+
+def save_state(path, state: Any, meta: dict | None = None) -> None:
+    """Snapshot a state pytree to an .npz (+ json metadata)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {}
+    tags = []
+    for i, leaf in enumerate(leaves):
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.complexfloating):
+            arr = boundary.complex_to_pairs(arr)
+            tags.append(_COMPLEX_TAG)
+        else:
+            tags.append("")
+        arrays[f"leaf_{i}"] = np.asarray(jax.device_get(arr))
+    np.savez(path, **arrays)
+    sidecar = {
+        "num_leaves": len(leaves),
+        "tags": tags,
+        "treedef": str(treedef),
+        "meta": meta or {},
+    }
+    with open(str(path) + ".json", "w") as f:
+        json.dump(sidecar, f)
+
+
+def load_state(path, like: Any):
+    """Restore a pytree saved by :func:`save_state`.
+
+    ``like``: a template pytree with the target structure and dtypes
+    (e.g. ``pipeline.init_state()``).
+    """
+    data = np.load(path)
+    with open(str(path) + ".json") as f:
+        sidecar = json.load(f)
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(like_leaves) != sidecar["num_leaves"]:
+        raise ValueError(
+            f"checkpoint has {sidecar['num_leaves']} leaves, template "
+            f"has {len(like_leaves)}"
+        )
+    out = []
+    for i, (tag, tmpl) in enumerate(zip(sidecar["tags"], like_leaves)):
+        arr = jnp.asarray(data[f"leaf_{i}"])
+        if tag == _COMPLEX_TAG:
+            arr = boundary.pairs_to_complex(arr).astype(
+                jnp.asarray(tmpl).dtype)
+        else:
+            arr = arr.astype(jnp.asarray(tmpl).dtype)
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,116 @@
+"""Aux subsystems: checkpoint/resume exactness, metrics, net transport,
+WAV sink, file-replay radio."""
+
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+
+from comms_tpu.hardware import FileReplayRadio
+from comms_tpu.io import audio as caudio
+from comms_tpu.io import net
+from comms_tpu.ops import taps
+from comms_tpu.runtime import Pipeline, PrnSource, BpskMod, PulseShape, Mixer
+from comms_tpu.runtime import checkpoint, metrics
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    t = taps.rrc_taps(16, 2.0, 0.3).astype(np.complex128)
+    pipe = Pipeline([
+        PrnSource.make(0xC0, 0x5A, 8, 64),
+        BpskMod(dtype=jnp.complex128),
+        PulseShape.make(t, 2),
+        Mixer(dphase=0.7),
+    ], state_dtype=jnp.complex128)
+
+    state = pipe.init_state()
+    for _ in range(3):
+        y_before, state = pipe.step(state)
+
+    ckpt = tmp_path / "stream.npz"
+    checkpoint.save_state(ckpt, state, meta={"blocks_done": 3})
+
+    y_cont, state_cont = pipe.step(state)
+
+    restored = checkpoint.load_state(ckpt, pipe.init_state())
+    y_resumed, _ = pipe.step(restored)
+    assert np.array_equal(np.asarray(y_cont), np.asarray(y_resumed))
+
+
+def test_throughput_meter():
+    m = metrics.ThroughputMeter()
+    with m.block(1000):
+        pass
+    with m.block(1000):
+        pass
+    r = m.report()
+    assert r["samples"] == 2000 and r["blocks"] == 2
+    assert m.msps > 0
+
+
+def test_roofline_memory_bound():
+    r = metrics.roofline(bytes_moved=819e9, flops=1e9, seconds=1.0)
+    assert r["bound"] == "memory"
+    assert abs(r["pct_of_sol"] - 100.0) < 1.0
+
+
+def test_net_transport_roundtrip():
+    sender = net.BlockSender("tcp://127.0.0.1:57431",
+                             sock_type="PUSH" if net.HAVE_ZMQ else "PUB")
+    payloads = [np.arange(100, dtype=np.int16),
+                np.linspace(0, 1, 64).astype(np.float32)]
+    results = []
+
+    def rx():
+        r = net.BlockReceiver("tcp://127.0.0.1:57431",
+                              sock_type="PULL" if net.HAVE_ZMQ else "SUB",
+                              timeout=10)
+        for _ in payloads:
+            results.append(r.recv())
+        r.close()
+
+    th = threading.Thread(target=rx)
+    th.start()
+    for p in payloads:
+        sender.send(p)
+    th.join(timeout=10)
+    sender.close()
+    assert len(results) == 2
+    assert np.array_equal(results[0], payloads[0])
+    assert results[0].dtype == np.int16
+    assert np.array_equal(results[1], payloads[1])
+
+
+def test_net_rejects_complex():
+    import pytest
+    with pytest.raises(TypeError):
+        net._pack(np.zeros(4, np.complex64))
+
+
+def test_wav_sink(tmp_path):
+    import wave
+    p = tmp_path / "out.wav"
+    with caudio.WavSink(p, channels=1, sample_rate=8000) as sink:
+        sink.write(np.array([0.0, 0.5, -0.5, 1.0, -1.0]))
+    with wave.open(str(p)) as w:
+        assert w.getnchannels() == 1
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 5
+        raw = np.frombuffer(w.readframes(5), dtype="<i2")
+    assert raw[0] == 0 and raw[3] == 32767 and raw[4] == -32767
+
+
+def test_file_replay_radio(tmp_path):
+    p = tmp_path / "cap.bin"
+    data = np.arange(20, dtype=np.uint8)
+    data.tofile(p)
+    r = FileReplayRadio(p, fmt="u8", loop_forever=True)
+    a = r.recv_samples(6)          # 12 bytes
+    assert a.shape == (6, 2) and a[0, 0] == 0
+    b = r.recv_samples(6)          # wraps: 8 remaining + 4 from start
+    assert b.shape == (6, 2)
+    assert b[4, 0] == 0 and b[4, 1] == 1  # wrapped to file start
+
+    r2 = FileReplayRadio(p, fmt="i16")
+    c = r2.recv_samples(5)
+    assert c.dtype == np.complex64

@@ -116,3 +116,36 @@ def test_banded_matrix_structure():
             k = 3 + p - i
             expect = taps[k] if 0 <= k < 4 else 0.0
             assert B[i, p] == expect
+
+
+def test_fir_decimate_poly_matches_filter_then_stride():
+    rng = np.random.default_rng(5)
+    T, D = 63, 5
+    t = (rng.normal(size=T) + 1j * rng.normal(size=T)).astype(np.complex128)
+    x = (rng.normal(size=400) + 1j * rng.normal(size=400)).astype(np.complex128)
+
+    y_full, _ = fir.fir_block(jnp.asarray(x), t, fir.init_ctx(T, jnp.complex128))
+    expected = np.asarray(y_full)[::D]
+
+    Hb = fir.decimating_branch_taps(t, D)
+    ctx = jnp.zeros(Hb.size - 1, dtype=jnp.complex128)
+    y, _ = fir.fir_decimate_poly(jnp.asarray(x), Hb, ctx)
+    assert np.allclose(np.asarray(y), expected, atol=1e-9)
+
+
+def test_fir_decimate_poly_streaming():
+    rng = np.random.default_rng(6)
+    T, D = 33, 4
+    t = rng.normal(size=T).astype(np.float64)
+    x = rng.normal(size=640).astype(np.float64)
+
+    Hb = fir.decimating_branch_taps(t, D)
+    y_once, _ = fir.fir_decimate_poly(
+        jnp.asarray(x), Hb, jnp.zeros(Hb.size - 1, jnp.float64))
+
+    ctx = jnp.zeros(Hb.size - 1, dtype=jnp.float64)
+    parts = []
+    for i in range(4):
+        y, ctx = fir.fir_decimate_poly(jnp.asarray(x[i*160:(i+1)*160]), Hb, ctx)
+        parts.append(np.asarray(y))
+    assert np.allclose(np.concatenate(parts), np.asarray(y_once), atol=1e-12)
