@@ -27,8 +27,9 @@ def main():
     from comms_tpu.models import fm_receiver
 
     # 25 | block -> polyphase decimating-FIR path (5x less FIR work
-    # than filter-then-discard).
-    cfg = fm_receiver.FmReceiverConfig(block=409600)
+    # than filter-then-discard).  Large blocks amortize dispatch:
+    # measured 9.0 Gsps @ 409600, 43.5 @ 1.6M, 147 @ 6.5M.
+    cfg = fm_receiver.FmReceiverConfig(block=6553600)
     block_fn = fm_receiver.make_block_fn(cfg)
     state = fm_receiver.init_state(cfg)
 

@@ -147,3 +147,39 @@ def test_sharded_channelizer_time_sharded():
                            out_specs=P("time", None)))
     y = fn(jnp.asarray(x), ctx0)
     assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+def test_distributed_fft_matches_numpy():
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(4)
+    N = 1024
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh)
+    xs = dfft(jnp.asarray(x))
+    got = np.asarray(dfft.unshuffle(xs))
+    expected = np.fft.fft(x)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
+
+
+def test_distributed_fft_large():
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(5)
+    N = 1 << 16
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh)
+    got = np.asarray(dfft.unshuffle(dfft(jnp.asarray(x))))
+    expected = np.fft.fft(x)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 2e-4
+
+
+def test_host_feed_single_process():
+    from comms_tpu.parallel import multihost
+    mesh = sh.time_mesh(8)
+    local = np.arange(64, dtype=np.float32).reshape(64)
+    arr = multihost.host_feed(local, mesh)
+    assert arr.shape == (64,)
+    assert np.array_equal(np.asarray(arr), local)
