@@ -5,5 +5,7 @@ from comms_tpu.models import (  # noqa: F401
     bpsk_tx,
     channelizer,
     fm_receiver,
+    play_audio,
+    qpsk_stream,
     qpsk_tx,
 )

@@ -1,6 +1,7 @@
 """Pure DSP math ops (jax.numpy on device, numpy for host-side params)."""
 
 from comms_tpu.ops import (  # noqa: F401
+    channelizer,
     demodulation,
     fft,
     fir,

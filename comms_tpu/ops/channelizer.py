@@ -10,9 +10,18 @@ sharded across chips" and is the EP-analogue of the framework
 
 computed for ALL K channels at once via the polyphase decomposition:
 branch filters v[m, p] = sum_j h[j*K+p] * x[(m-j)*K - p] (M small
-MACs on [frames, K] arrays, VPU-fused), then a length-K IFFT across
+MACs on [frames, K] arrays, VPU-fused), then a length-K DFT across
 the branch axis (one batched TPU FFT).  Cost per input sample: M MACs
 + log K, vs K*T for the naive bank — the classic ~K x win.
+
+Implementation shares :func:`comms_tpu.ops.fir.poly_mac_frames` with
+the decimating FIR: the within-row tap reversal is folded into the
+host-side coefficient matrix (device-side flips measured as the
+dominant temp-memory cost on TPU), and the branch reversal c = K-1-p
+folds into the DFT direction plus a constant per-channel phase
+e^{-2i pi ch / K}:
+
+    y[m, ch] = e^{-2i pi ch / K} * FFT_c(V[m, :])[ch]
 
 Carried state: the last T-1 input samples (identical halo shape to
 the streaming FIR, so time-sharding uses the same ppermute exchange).
@@ -26,6 +35,8 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+
+from comms_tpu.ops import fir as _fir
 
 __all__ = [
     "design_prototype",
@@ -48,13 +59,15 @@ def design_prototype(num_channels: int, taps_per_branch: int) -> np.ndarray:
 
 
 def branch_taps(prototype, num_channels: int) -> np.ndarray:
-    """h[T] -> Hb[M, K] with Hb[j, p] = h[j*K + p] (T must be M*K)."""
+    """h[T] -> coefficient matrix [M, K] for :func:`channelize_block`
+    (tap reversal pre-applied; see module docstring).  T must be a
+    multiple of K."""
     h = np.asarray(prototype)
     K = int(num_channels)
     if h.shape[0] % K:
         raise ValueError(f"prototype length {h.shape[0]} not a multiple "
                          f"of num_channels {K}")
-    return h.reshape(-1, K)
+    return _fir.decimating_branch_taps(h, K)
 
 
 def channelizer_init_ctx(prototype_len: int, dtype=jnp.complex64):
@@ -75,23 +88,13 @@ def channelize_block(x, Hb, ctx):
     x = jnp.asarray(x)
     Hb = jnp.asarray(Hb)
     M, K = Hb.shape
-    N = x.shape[0]
-    if N % K:
-        raise ValueError(f"block {N} not a multiple of channels {K}")
-    frames = N // K
-
-    xe = jnp.concatenate([ctx.astype(x.dtype), x])       # [T-1 + N]
-    new_ctx = xe[-(M * K - 1):] if M * K > 1 else ctx
-    # D[i, p] = xe[T-K + i*K + (K-1-p)] = x[(i-(M-1))*K - p], rows
-    # i in [0, frames + M - 1): history rows first.
-    R = frames + M - 1
-    D = jnp.flip(xe[: R * K].reshape(R, K), axis=1)
-    # v[m, p] = sum_j Hb[j, p] * D[M-1 + m - j, p]
-    v = jnp.zeros((frames, K), dtype=jnp.result_type(x.dtype, Hb.dtype))
-    for j in range(M):
-        v = v + Hb[j][None, :] * D[M - 1 - j: M - 1 - j + frames]
-    # y[m, k] = sum_p v[m, p] e^{+j 2 pi k p / K} = K * ifft_p(v)
-    y = jnp.fft.ifft(v, axis=1) * K
+    V, new_ctx = _fir.poly_mac_frames(x, Hb, ctx)   # [frames, K]
+    # V[m, c] holds branch p = K-1-c; the reversal folds into the DFT:
+    #   sum_p v[m,p] e^{+2i pi ch p / K} = e^{-2i pi ch / K} FFT(V)[ch]
+    y = jnp.fft.fft(V, axis=1)
+    ch = np.arange(K)
+    fix = np.exp(-2j * np.pi * ch / K)
+    y = y * jnp.asarray(fix, dtype=jnp.result_type(y.dtype, jnp.complex64))
     return y.astype(jnp.result_type(x.dtype, jnp.complex64)), new_ctx
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "fir_decimate_block",
     "decimating_branch_taps",
     "fir_decimate_poly",
+    "poly_mac_frames",
 ]
 
 # Output phases per GEMM row.  128 = MXU lane width.
@@ -171,37 +172,61 @@ def fir_decimate_block(x, taps, ctx, rate: int, phases: int = _DEFAULT_PHASES):
 
 
 def decimating_branch_taps(taps, rate: int) -> np.ndarray:
-    """taps[T] -> Hb[M, rate] with Hb[j, p] = taps[j*rate + p]
-    (zero-padded to M = ceil(T/rate) rows).  Host-side."""
+    """taps[T] -> C[M, rate] with C[k-1, c] = taps[k*rate - 1 - c]
+    (zero where out of range), M = ceil(T/rate).  Host-side.
+
+    The within-row reversal lives HERE (free, on taps) instead of as a
+    device-side ``reverse`` of the data — XLA materializes flips of
+    big arrays, which measured as the FM chain's dominant temp cost.
+    """
     taps = np.asarray(taps)
     D = int(rate)
     M = -(-taps.shape[0] // D)
     flat = np.zeros(M * D, dtype=taps.dtype)
     flat[: taps.shape[0]] = taps
-    return flat.reshape(M, D)
+    C = np.zeros((M, D), dtype=taps.dtype)
+    for k in range(1, M + 1):
+        for c in range(D):
+            C[k - 1, c] = flat[k * D - 1 - c]
+    return C
 
 
 def fir_decimate_poly(x, Hb, ctx):
     """Polyphase decimating FIR: computes ONLY the kept outputs.
 
         y[m] = sum_t taps[t] * x[m*D - t]
-             = sum_p sum_j Hb[j, p] * x[(m-j)*D - p]
 
-    ``Hb`` from :func:`decimating_branch_taps` ([M, D]); ``ctx`` is the
-    carried input tail of M*D - 1 samples (same halo length the dense
-    FIR would need after zero-padding taps to M*D).  len(x) % D == 0.
+    With G[i, c] = xe[i*D + c] (a plain reshape of the context-extended
+    input — no data flip) and the host-prepared coefficient matrix
+    ``Hb = C`` from :func:`decimating_branch_taps`:
+
+        y[m] = sum_{k=1..M} sum_c C[k-1, c] * G[m + M - k, c]
+
+    ``ctx`` is the carried input tail of M*D - 1 samples (the halo the
+    dense FIR would need after zero-padding taps to M*D).
+    len(x) % D == 0.
 
     Work: T MACs per *output* sample = T/D per input sample — a D-x
-    saving over filter-then-discard.  All MACs are full-width VPU ops
-    on [N/D, D] arrays.  Returns ``(y[N//D], new_ctx)``.
+    saving over filter-then-discard, as full-width VPU ops on
+    [N/D, D] arrays with zero gathers/reverses.  Returns
+    ``(y[N//D], new_ctx)``.
 
     Output parity: identical to ``fir_block`` + ``[::D]`` when the
     block length divides D (both implement DecimateNode's keep-index-0
     convention, resample_node.rs:53-65).
     """
+    acc, new_ctx = poly_mac_frames(x, Hb, ctx)
+    return jnp.sum(acc, axis=1), new_ctx
+
+
+def poly_mac_frames(x, C, ctx):
+    """Shared polyphase MAC core: returns the per-column accumulator
+    ``V[frames, D] = sum_k C[k-1, :] * G[m + M - k, :]`` (the
+    decimating FIR sums it over columns; the channelizer FFTs it).
+    Returns ``(V, new_ctx)``."""
     x = jnp.asarray(x)
-    Hb = jnp.asarray(Hb)
-    M, D = Hb.shape
+    C = jnp.asarray(C)
+    M, D = C.shape
     N = x.shape[0]
     if N % D:
         raise ValueError(f"block {N} not a multiple of rate {D}")
@@ -210,11 +235,10 @@ def fir_decimate_poly(x, Hb, ctx):
 
     xe = jnp.concatenate([ctx.astype(x.dtype), x])  # [T_pad - 1 + N]
     new_ctx = xe[-(T_pad - 1):] if T_pad > 1 else ctx
-    # Dw[i, p] = xe[i*D + (D-1-p)] = x[(i - M + 1)*D - p] for row
-    # i - (M-1) = m - j; rows 0..frames+M-2 (history first).
+    # G[i, c] = xe[i*D + c], rows i in [0, frames + M - 1).
     R = frames + M - 1
-    Dw = jnp.flip(xe[: R * D].reshape(R, D), axis=1)
-    acc = jnp.zeros((frames, D), dtype=jnp.result_type(x.dtype, Hb.dtype))
-    for j in range(M):
-        acc = acc + Hb[j][None, :] * Dw[M - 1 - j: M - 1 - j + frames]
-    return jnp.sum(acc, axis=1), new_ctx
+    G = xe[: R * D].reshape(R, D)
+    acc = jnp.zeros((frames, D), dtype=jnp.result_type(x.dtype, C.dtype))
+    for k in range(1, M + 1):
+        acc = acc + C[k - 1][None, :] * G[M - k: M - k + frames]
+    return acc, new_ctx

@@ -1,4 +1,10 @@
 """Parallel layer: mesh helpers, time-block sharding with halo
 exchange, channel sharding, multi-host init."""
 
-from comms_tpu.parallel import sharding, wideband  # noqa: F401
+from comms_tpu.parallel import (  # noqa: F401
+    dfft,
+    multihost,
+    scaling,
+    sharding,
+    wideband,
+)

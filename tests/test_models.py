@@ -169,3 +169,43 @@ def test_bpsk_run_to_file_format(tmp_path):
     assert n == 3 * 128 * 4
     raw = np.fromfile(p, dtype=np.int16)
     assert len(raw) == 2 * n  # interleaved re/im pairs
+
+
+def test_qpsk_stream_over_net_loopback():
+    import threading
+    from comms_tpu.models import qpsk_stream
+    ep = "tcp://127.0.0.1:57443"
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=256)
+    results = []
+
+    def rx():
+        results.extend(qpsk_stream.receive_blocks(ep, 2))
+
+    th = threading.Thread(target=rx)
+    th.start()
+    sent = qpsk_stream.stream_blocks(ep, 2, cfg, seed=5)
+    th.join(timeout=30)
+    assert sent == 2 * 128 * 4
+    assert len(results) == 2
+    assert results[0].dtype == np.complex64
+    # payload parity: same as running the tx model directly.
+    block = qpsk_tx.make_block_fn(cfg)
+    state = qpsk_tx.init_state(cfg, 5)
+    iq, _ = block(state)
+    expect = np.asarray(iq).astype(np.float32) / cfg.scale
+    assert np.allclose(results[0],
+                       (expect[:, 0] + 1j * expect[:, 1]), atol=0)
+
+
+def test_play_audio_to_wav(tmp_path):
+    import wave
+    from comms_tpu.models import play_audio
+    pcm = tmp_path / "tone.f32"
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+        np.float32)
+    x.tofile(pcm)
+    out = tmp_path / "tone.wav"
+    n = play_audio.play_file(pcm, out, dtype="f32", sample_rate=8000)
+    assert n == 8000
+    with wave.open(str(out)) as w:
+        assert w.getnframes() == 8000
