@@ -37,4 +37,7 @@ Layout
 
 __version__ = "0.1.0"
 
-from comms_tpu import ops  # noqa: F401
+from comms_tpu import errors, ops  # noqa: F401
+
+# Heavier layers (runtime, parallel, io, hardware, kernels, models,
+# native) import on demand: `from comms_tpu.models import fm_receiver`.

@@ -28,6 +28,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from comms_tpu.errors import CommError
+
 try:  # optional, like the reference's zmq_node cargo feature
     import zmq as _zmq  # type: ignore
 
@@ -64,10 +66,10 @@ def _pack(arr: np.ndarray) -> bytes:
 def _unpack_header(hdr: bytes) -> Tuple[np.dtype, int]:
     magic, code, nbytes = _HEADER.unpack(hdr)
     if magic != _MAGIC:
-        raise ValueError("bad frame magic")
+        raise CommError("bad frame magic")
     dt = _CODE_DTYPES.get(code)
     if dt is None:
-        raise ValueError(f"unknown dtype code {code}")
+        raise CommError(f"unknown dtype code {code}")
     return dt, nbytes
 
 
@@ -157,7 +159,7 @@ class BlockReceiver:
         while n:
             c = self._sock.recv(n)
             if not c:
-                raise ConnectionError("peer closed mid-frame")
+                raise CommError("peer closed mid-frame")
             chunks.append(c)
             n -= len(c)
         return b"".join(chunks)
