@@ -56,23 +56,26 @@ def _kernel(xr_hbm, xi_hbm, br, bi, yr, yi, slab_r, slab_i, sem, *,
     cp_r.wait()
     cp_i.wait()
 
-    def windows(slab):
-        # W[r, :] = flat_slab[r*128 : r*128 + width]; width <= 256 so
-        # row r and row r+1 cover it (row-aligned static slices).
-        p0 = slab[:tile_rows, :]
-        p1 = slab[1: tile_rows + 1, : width - _LANES]
-        return p0, p1
+    # W[r, :] = flat_slab[r*128 : r*128 + width]; width <= 256 so row
+    # r and row r+1 cover it.  The banded product splits along the
+    # window axis (Mosaic cannot concat slices with different sublane
+    # offsets, so run two matmuls per term instead):
+    #   Y = W0 @ B[:128] + W1 @ B[128:width]
+    wr0 = slab_r[:tile_rows, :]
+    wi0 = slab_i[:tile_rows, :]
+    wr1 = slab_r[1: tile_rows + 1, : width - _LANES]
+    wi1 = slab_i[1: tile_rows + 1, : width - _LANES]
 
-    wr0, wr1 = windows(slab_r[:])
-    wi0, wi1 = windows(slab_i[:])
-    wr = jnp.concatenate([wr0, wr1], axis=1)
-    wi = jnp.concatenate([wi0, wi1], axis=1)
-
-    brv = br[:]
-    biv = bi[:]
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    yr[:] = dot(wr, brv) - dot(wi, biv)
-    yi[:] = dot(wr, biv) + dot(wi, brv)
+    b0r, b1r = br[:_LANES, :], br[_LANES:, :]
+    b0i, b1i = bi[:_LANES, :], bi[_LANES:, :]
+    # HIGHEST: 3-pass f32 on the MXU — parity with ops.fir's default
+    # (bf16 operand rounding costs ~2e-3 rel error otherwise).
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    yr[:] = (dot(wr0, b0r) - dot(wi0, b0i)
+             + dot(wr1, b1r) - dot(wi1, b1i))
+    yi[:] = (dot(wr0, b0i) + dot(wi0, b0r)
+             + dot(wr1, b1i) + dot(wi1, b1r))
 
 
 def fir_block_pallas(x, taps, ctx, tile_rows: int = 128,

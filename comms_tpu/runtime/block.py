@@ -134,17 +134,22 @@ class Fir(BlockOp):
 
 @dataclasses.dataclass(frozen=True)
 class FirDecimate(BlockOp):
-    """Fused FIR + decimate (the fm_radio hot pair, fm_radio.rs:144-150)."""
+    """Fused FIR + decimate (the fm_radio hot pair, fm_radio.rs:144-150)
+    via the polyphase decimating core — T MACs per kept output.
+    Carried context is M*dec - 1 input samples (M = ceil(T/dec))."""
 
     taps: tuple
     dec: int
-    _B: Any = dataclasses.field(default=None, repr=False, compare=False)
+    _C: Any = dataclasses.field(default=None, repr=False, compare=False)
 
     @staticmethod
     def make(taps, dec: int) -> "FirDecimate":
         taps = np.asarray(taps)
+        if dec <= 1:
+            return FirDecimate(tuple(taps.tolist()), int(dec),
+                               _fir.banded_tap_matrix(taps))
         return FirDecimate(tuple(taps.tolist()), int(dec),
-                           _fir.banded_tap_matrix(taps))
+                           _fir.decimating_branch_taps(taps, dec))
 
     @property
     def rate(self) -> Fraction:
@@ -152,14 +157,19 @@ class FirDecimate(BlockOp):
 
     @property
     def halo(self) -> int:
-        return len(self.taps) - 1
+        if self.dec <= 1:
+            return len(self.taps) - 1
+        return self._C.size - 1
 
     def init_state(self, dtype=jnp.complex64):
-        return _fir.init_ctx(len(self.taps), dtype=dtype)
+        if self.dec <= 1:
+            return _fir.init_ctx(len(self.taps), dtype=dtype)
+        return jnp.zeros((self._C.size - 1,), dtype=dtype)
 
     def apply(self, state, x):
-        y, ctx = _fir.fir_block(x, self._B, state)
-        return _resample.decimate_block(y, self.dec), ctx
+        if self.dec <= 1:
+            return _fir.fir_block(x, self._C, state)
+        return _fir.fir_decimate_poly(x, self._C, state)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,3 +150,23 @@ def test_graph_stateful_ops_and_rates():
     # and the phase carried across the block boundary (no glitch at
     # sample 0 of block 2).
     assert np.allclose(np.asarray(out2)[0], 0.2, atol=1e-6)
+
+
+def test_fir_decimate_blockop_matches_dense():
+    rng = np.random.default_rng(7)
+    t = rng.normal(size=33).astype(np.complex128)
+    x = (rng.normal(size=300) + 1j * rng.normal(size=300)).astype(
+        np.complex128)
+
+    from comms_tpu.runtime import FirDecimate
+    op = FirDecimate.make(t, 5)
+    assert op.rate == __import__("fractions").Fraction(1, 5)
+    state = op.init_state(dtype=jnp.complex128)
+    y, state = op.apply(state, jnp.asarray(x[:150]))
+    y2, _ = op.apply(state, jnp.asarray(x[150:]))
+
+    dense = Pipeline([Fir.make(t), Decimate(dec=5, streaming=True)],
+                     state_dtype=jnp.complex128)
+    yref, _ = dense.step(dense.init_state(), jnp.asarray(x))
+    got = np.concatenate([np.asarray(y), np.asarray(y2)])
+    assert np.allclose(got, np.asarray(yref), atol=1e-12)
