@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""QPSK over the network transport (two processes).
+
+Parity with /root/reference/examples/qpsk_zmq.rs: sender generates
+QPSK sample blocks and pushes them over a socket; receiver
+deserializes and reports.
+
+Usage:
+  python examples/qpsk_zmq.py recv tcp://127.0.0.1:5556 &
+  python examples/qpsk_zmq.py send tcp://127.0.0.1:5556
+"""
+
+import sys
+
+from comms_tpu.models import qpsk_stream
+
+
+def main():
+    if len(sys.argv) < 3 or sys.argv[1] not in ("send", "recv"):
+        print(__doc__)
+        sys.exit(1)
+    role, endpoint = sys.argv[1], sys.argv[2]
+    blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    if role == "send":
+        n = qpsk_stream.stream_blocks(endpoint, blocks)
+        print(f"sent {n} samples")
+    else:
+        got = qpsk_stream.receive_blocks(endpoint, blocks)
+        print(f"received {sum(len(b) for b in got)} samples "
+              f"in {len(got)} blocks")
+
+
+if __name__ == "__main__":
+    main()
