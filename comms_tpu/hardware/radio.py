@@ -10,7 +10,7 @@ gated exactly like the reference's ``rtlsdr_node`` cargo feature.
 
 from __future__ import annotations
 
-from typing import Protocol, Sequence, runtime_checkable
+from typing import Protocol, runtime_checkable
 
 import numpy as np
 

@@ -10,9 +10,7 @@ available.
 
 from __future__ import annotations
 
-import struct
 import wave
-from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ bytes of the output file.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

@@ -8,8 +8,6 @@ polyphase branch MACs + batched K-point IFFT
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import jax

@@ -13,7 +13,7 @@ chunk must correspond to its time slice).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

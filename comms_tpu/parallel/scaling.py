@@ -61,8 +61,8 @@ def weak_scaling(taps, per_shard: int = 1 << 20,
         results.append({
             "shards": n,
             "block": block,
-            "gsps": round(gsps, 2),
-            "per_shard_gsps": round(per_shard_gsps, 2),
+            "gsps": round(gsps, 4),
+            "per_shard_gsps": round(per_shard_gsps, 4),
             "efficiency": round(per_shard_gsps / base_per_shard_gsps, 3),
         })
     return results

@@ -16,7 +16,6 @@ template.
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 import numpy as np

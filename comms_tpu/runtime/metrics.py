@@ -14,7 +14,6 @@ import contextlib
 import dataclasses
 import json
 import time
-from typing import Optional
 
 import jax
 

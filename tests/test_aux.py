@@ -114,3 +114,53 @@ def test_file_replay_radio(tmp_path):
     r2 = FileReplayRadio(p, fmt="i16")
     c = r2.recv_samples(5)
     assert c.dtype == np.complex64
+
+
+def test_boundary_codecs_roundtrip():
+    from comms_tpu.runtime import boundary
+    import jax
+    x = (np.arange(6) + 1j * np.arange(6)).astype(np.complex64)
+    p = boundary.host_complex_to_pairs(x)
+    assert p.shape == (6, 2) and p.dtype == np.float32
+    assert np.array_equal(boundary.host_pairs_to_complex(p), x)
+
+    @jax.jit
+    def through(pairs):
+        z = boundary.pairs_to_complex(pairs)
+        return boundary.complex_to_pairs(z * 2)
+
+    out = np.asarray(through(jnp.asarray(p)))
+    assert np.array_equal(boundary.host_pairs_to_complex(out), x * 2)
+
+
+def test_encode_decode_state_pytree():
+    from comms_tpu.runtime import boundary
+    state = {"a": jnp.ones(3, jnp.complex64), "b": jnp.zeros(2, jnp.float32)}
+    enc = boundary.encode_state(state)
+    assert enc["a"].shape == (3, 2)
+    dec = boundary.decode_state(enc, state)
+    assert np.array_equal(np.asarray(dec["a"]), np.asarray(state["a"]))
+
+
+def test_weak_scaling_harness_cpu():
+    from comms_tpu.parallel import scaling
+    from comms_tpu.models.fm_receiver import FM_LPF_TAPS
+    recs = scaling.weak_scaling(FM_LPF_TAPS, per_shard=2000,
+                                shard_counts=[1, 2], iters=1, reps=1)
+    assert [r["shards"] for r in recs] == [1, 2]
+    assert recs[0]["efficiency"] == 1.0
+    assert recs[1]["block"] == 2 * recs[0]["block"]
+    assert recs[1]["efficiency"] > 0
+
+
+def test_graph_multiple_outputs():
+    from comms_tpu.runtime import Graph, Lambda
+    g = Graph()
+    g.add_input("x")
+    g.add_node("a", Lambda(lambda v: v + 1), ["x"])
+    g.add_node("b", Lambda(lambda v: v * 2), ["a"])
+    g.set_outputs(["a", "b"])
+    step = g.compile()
+    (a, b), _ = step(g.init_state(), {"x": jnp.zeros(3)})
+    assert np.array_equal(np.asarray(a), [1, 1, 1])
+    assert np.array_equal(np.asarray(b), [2, 2, 2])
