@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from comms_tpu.ops import fir as _fir
@@ -38,6 +39,7 @@ __all__ = [
     "psk_phase_estimate",
     "qam_phase_estimate",
     "TimingEstimator",
+    "costas_loop_block",
 ]
 
 
@@ -72,6 +74,43 @@ def qam_phase_estimate(symbols):
     """Mengali 5.7.5: ``arg(sum(-x^4)) / 4`` for square QAM."""
     x = jnp.asarray(symbols)
     return jnp.angle(jnp.sum(-(x ** 4))) / 4.0
+
+
+def costas_loop_block(symbols, state, alpha: float, beta: float,
+                      order: int = 4):
+    """Decision-directed Costas carrier-tracking loop over one block.
+
+    The closed-loop use of the reference's NCO (nco.rs:71-78: each
+    step ``phase += dphase + perr``): a second-order loop where the
+    M-th-power phase detector output drives the NCO.  The per-sample
+    recurrence is irreducible, so it runs as a ``lax.scan`` — the one
+    op class the block framework keeps sequential by design
+    (SURVEY.md section 7, "hard parts"); track at symbol rate, off the
+    sample-rate hot path.
+
+    Args:
+      symbols: [N] complex symbol-rate input.
+      state: ``(phase, freq)`` float32 scalars (start ``(0, 0)``).
+      alpha, beta: proportional / integrator gains.
+      order: constellation order (4 = QPSK).
+
+    Returns ``(corrected, (phase, freq))``.
+    """
+    x = jnp.asarray(symbols)
+    phase0, freq0 = state
+
+    def step(carry, s):
+        ph, fr = carry
+        c = s * jnp.exp(-1j * ph)
+        # M-th power detector: angle of c^M over M (Mengali 5.7.4
+        # applied per-sample).
+        err = jnp.angle(c ** order) / order
+        fr = fr + beta * err
+        ph = ph + fr + alpha * err
+        return (ph, fr), c
+
+    (ph, fr), y = jax.lax.scan(step, (phase0, freq0), x)
+    return y, (ph, fr)
 
 
 class TimingEstimator:

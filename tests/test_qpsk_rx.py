@@ -1,0 +1,94 @@
+"""End-to-end QPSK loopback: tx -> impaired channel -> full receiver
+(coarse CFO -> matched filter -> NDA timing -> fine CFO -> phase) ->
+zero bit errors.  Exercises the reference's three estimators jointly
+in a closed loop (they are only ever unit-tested there)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.models import qpsk_rx, qpsk_tx
+from comms_tpu.ops import demodulation, interp, random as crandom
+
+
+def _tx(seed=1, nbits=4096):
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    block = qpsk_tx.make_block_fn(cfg)
+    iq, _ = block(qpsk_tx.init_state(cfg, seed))
+    z = np.asarray(iq).astype(np.float32) / cfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex64)
+    key = crandom.source_init(seed)
+    bits, _ = crandom.random_bits_block(key, nbits)
+    return x, np.asarray(bits)
+
+
+def _rx_ber(x, bits):
+    rx = qpsk_rx.make_rx_fn(qpsk_rx.QpskRxConfig())
+    pairs = np.stack([x.real, x.imag], -1).astype(np.float32)
+    sym, diag = rx(jnp.asarray(pairs))
+    best = qpsk_rx.resolve_ambiguity(np.asarray(sym), bits, search=1500)
+    return best, diag
+
+
+def test_loopback_clean_zero_ber():
+    x, bits = _tx()
+    ((rot, lag), errs, m), diag = _rx_ber(x, bits)
+    assert m == 3000 and errs == 0
+    assert lag == 8  # tx+rx RRC group delay: (2*32-2)/2 / 4 symbols
+
+
+def test_loopback_fractional_delay():
+    x, bits = _tx()
+    (_, errs0, _), diag0 = _rx_ber(x, bits)
+    xc = np.asarray(interp.delay_signal(jnp.asarray(x), 2.3))
+    (_, errs, m), diag = _rx_ber(xc, bits)
+    assert errs0 == 0 and errs == 0
+    # The estimate moves by +delay relative to the clean baseline
+    # (mod sps; the chain's own group delay sets the baseline).
+    delta = float(diag["timing"]) - float(diag0["timing"])
+    assert abs((delta - 2.3 + 2) % 4 - 2) < 0.15
+
+
+def test_loopback_full_impairment_zero_ber():
+    x, bits = _tx()
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.01 * n + 0.6))).astype(np.complex64)
+    xc = np.asarray(interp.delay_signal(jnp.asarray(xc), 2.3))
+    rng = np.random.default_rng(0)
+    xc = (xc + 0.02 * (rng.normal(size=len(xc))
+                       + 1j * rng.normal(size=len(xc)))).astype(np.complex64)
+    (_, errs, m), diag = _rx_ber(xc, bits)
+    assert errs == 0
+    assert abs(float(diag["freq"]) - 0.01) < 0.01  # reference tol
+
+
+def test_costas_loop_tracks_phase_step():
+    # QPSK symbols with a static rotation + slow drift: the
+    # decision-directed loop converges and the steady-state error is
+    # small.
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 4, size=2000)
+    sym = np.exp(1j * (np.pi / 4 + np.pi / 2 * v))
+    drift = 0.002
+    rx_in = sym * np.exp(1j * (0.4 + drift * np.arange(len(sym))))
+
+    y, (ph, fr) = demodulation.costas_loop_block(
+        jnp.asarray(rx_in.astype(np.complex64)),
+        (jnp.float32(0.0), jnp.float32(0.0)),
+        alpha=0.1, beta=0.02)
+    # after convergence the loop's frequency register matches the drift
+    assert abs(float(fr) - drift) < 5e-4
+    # steady state: the detector drives angle(c^4) to 0 (symbols on
+    # the axes, the loop's stable orientation).
+    tail = np.asarray(y)[-500:]
+    assert np.max(np.abs(np.angle(tail ** 4))) < 0.25
+
+
+def test_lagrange_interp_exact_on_polynomials():
+    # cubic Lagrange reproduces cubic signals exactly.
+    n = np.arange(50, dtype=np.float64)
+    x = 0.3 * n**3 - 2 * n**2 + n - 5
+    mu = 0.37
+    y = np.asarray(interp.fractional_delay(jnp.asarray(x), mu))
+    expected = 0.3 * (n - 1 - mu)**3 - 2 * (n - 1 - mu)**2 + (n - 1 - mu) - 5
+    assert np.allclose(y[4:], expected[4:], rtol=1e-6)
