@@ -165,7 +165,9 @@ def make_block_fn(cfg: FmReceiverConfig):
 def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
              out_path=None) -> np.ndarray:
     """Demodulate a recorded u8-IQ file; returns (and optionally
-    writes, as f32 PCM) the audio stream."""
+    writes, as f32 PCM) the audio stream.  The final partial block
+    (less than cfg.block samples) is dropped — static shapes under
+    jit; pad the capture or shrink cfg.block for exact tails."""
     cfg = cfg or FmReceiverConfig()
     block = make_block_fn(cfg)
     state = init_state(cfg)

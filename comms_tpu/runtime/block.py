@@ -127,6 +127,12 @@ class Fir(BlockOp):
     def init_state(self, dtype=jnp.complex64):
         return _fir.init_ctx(self.num_taps, dtype=dtype)
 
+    def __post_init__(self):
+        if self._B is None:  # direct construction without make()
+            object.__setattr__(
+                self, "_B",
+                _fir.banded_tap_matrix(np.asarray(self.taps)))
+
     def apply(self, state, x):
         y, new_ctx = _fir.fir_block(x, self._B, state)
         return y, new_ctx
@@ -150,6 +156,14 @@ class FirDecimate(BlockOp):
                                _fir.banded_tap_matrix(taps))
         return FirDecimate(tuple(taps.tolist()), int(dec),
                            _fir.decimating_branch_taps(taps, dec))
+
+    def __post_init__(self):
+        if self._C is None:
+            t = np.asarray(self.taps)
+            object.__setattr__(
+                self, "_C",
+                _fir.banded_tap_matrix(t) if self.dec <= 1
+                else _fir.decimating_branch_taps(t, self.dec))
 
     @property
     def rate(self) -> Fraction:
@@ -289,6 +303,12 @@ class PulseShape(BlockOp):
         taps = np.asarray(taps)
         return PulseShape(tuple(taps.tolist()), int(sps),
                           _pulse.polyphase_taps(taps, sps))
+
+    def __post_init__(self):
+        if self._H is None:
+            object.__setattr__(
+                self, "_H",
+                _pulse.polyphase_taps(np.asarray(self.taps), self.sps))
 
     @property
     def rate(self) -> Fraction:

@@ -164,3 +164,41 @@ def test_graph_multiple_outputs():
     (a, b), _ = step(g.init_state(), {"x": jnp.zeros(3)})
     assert np.array_equal(np.asarray(a), [1, 1, 1])
     assert np.array_equal(np.asarray(b), [2, 2, 2])
+
+
+def test_snr_metrics():
+    from comms_tpu.util import snr
+    rng = np.random.default_rng(0)
+    ref = (rng.normal(size=4000) + 1j * rng.normal(size=4000)).astype(
+        np.complex128)
+    # identical -> inf; delayed+scaled -> still inf (alignment+gain);
+    # noisy -> finite, matching the injected level.
+    assert snr.snr_db(ref, ref) == float("inf")
+    delayed = np.concatenate([np.zeros(7), ref[:-7]]) * (0.5 - 0.2j)
+    assert snr.snr_db(ref, delayed, max_lag=16) > 200
+    noisy = ref + 0.01 * (rng.normal(size=4000) + 1j * rng.normal(size=4000))
+    s = snr.snr_db(ref, noisy, max_lag=4)
+    assert 38 < s < 42  # noise/signal power ratio 1e-4 -> 40 dB
+    assert 0.5 < snr.evm_percent(ref, noisy, max_lag=4) < 2.0
+
+
+def test_bpsk_file_parity_snr(tmp_path):
+    # The device tx file vs the f64 oracle: > 60 dB (i16 quantization
+    # floor of the 8192 scale is ~ -60..-80 dB depending on content).
+    from comms_tpu.models import bpsk_tx
+    from comms_tpu.util import snr
+    from tests.test_models import tx_oracle
+    from comms_tpu.ops import random as crandom
+
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=512)
+    p = tmp_path / "dev.bin"
+    bpsk_tx.run_to_file(p, 1, cfg, seed=7)
+
+    key = crandom.source_init(7)
+    bits, _ = crandom.random_bits_block(key, 512)
+    oracle = tx_oracle(np.asarray(bits).astype(np.float64), qpsk=False)
+    q = tmp_path / "oracle.bin"
+    oracle.astype("<i2").tofile(q)
+
+    rep = snr.compare_iq_files(p, q, max_lag=8)
+    assert rep["snr_db"] > 60
