@@ -27,42 +27,36 @@ def main():
     from comms_tpu.models import fm_receiver
 
     # 25 | block -> polyphase decimating-FIR path (5x less FIR work
-    # than filter-then-discard).  Large blocks amortize dispatch:
-    # measured 9.0 Gsps @ 409600, 43.5 @ 1.6M, 147 @ 6.5M.
+    # than filter-then-discard).  Large blocks amortize dispatch
+    # (measured 9.0 Gsps @ 409600, 43.5 @ 1.6M, 147+ @ 6.5M); the
+    # multi-block lax.scan driver runs many blocks per dispatch with
+    # state carried on device.
     cfg = fm_receiver.FmReceiverConfig(block=6553600)
-    block_fn = fm_receiver.make_block_fn(cfg)
+    scan_fn = fm_receiver.make_scan_fn(cfg)
     state = fm_receiver.init_state(cfg)
 
+    num_blocks = 8
     rng = np.random.default_rng(0)
-    iq = jnp.asarray(
-        rng.integers(0, 256, size=(cfg.block, 2), dtype=np.uint8)
-    )
+    iq = jnp.asarray(rng.integers(
+        0, 256, size=(num_blocks, cfg.block, 2), dtype=np.uint8))
 
     # Warmup / compile.
-    audio, state = block_fn(state, iq)
+    audio, state = scan_fn(state, iq)
     jax.block_until_ready(audio)
 
-    # The axon tunnel's throughput varies widely between runs (fast
-    # ~150 Gsps windows, slow ~0.5 Gsps windows).  Size reps so a slow
-    # window cannot blow the time budget, and report the best rep.
-    t0 = time.perf_counter()
-    audio, state = block_fn(state, iq)
-    jax.block_until_ready(audio)
-    probe = time.perf_counter() - t0
-    iters = max(1, min(20, int(2.0 / max(probe, 1e-4))))
-
+    # The axon tunnel's throughput varies widely between runs; keep a
+    # time budget and report the best rep.
     best = float("inf")
-    deadline = time.perf_counter() + 60.0
+    deadline = time.perf_counter() + 90.0
     reps = 0
-    while reps < 4 and time.perf_counter() < deadline:
+    while reps < 5 and time.perf_counter() < deadline:
         t0 = time.perf_counter()
-        for _ in range(iters):
-            audio, state = block_fn(state, iq)
+        audio, state = scan_fn(state, iq)
         jax.block_until_ready(audio)
         best = min(best, time.perf_counter() - t0)
         reps += 1
 
-    samples = iters * cfg.block
+    samples = num_blocks * cfg.block
     msps = samples / best / 1e6
     baseline_msps = 1.14  # reference real-time bound (BASELINE.md)
     print(json.dumps({

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import demodulation, fir
 
-__all__ = ["FM_LPF_TAPS", "FmReceiverConfig", "make_block_fn", "init_state",
-           "run_file"]
+__all__ = ["FM_LPF_TAPS", "FmReceiverConfig", "make_block_fn",
+           "make_scan_fn", "init_state", "run_file"]
 
 # Low-pass filter coefficients from the reference example
 # (fm_radio.rs:29-55) — data, symmetric 63-tap LPF.
@@ -160,6 +160,25 @@ def make_block_fn(cfg: FmReceiverConfig):
         return audio, new_state
 
     return block
+
+
+def make_scan_fn(cfg: FmReceiverConfig):
+    """Multi-block driver: ``(state, iq_u8[num_blocks, block, 2]) ->
+    (audio[num_blocks, M], state)`` as ONE jitted ``lax.scan`` — a
+    single dispatch processes the whole super-block with state carried
+    on device (the host never touches the stream between blocks)."""
+    block = make_block_fn(cfg)
+
+    @jax.jit
+    def scan(state, blocks):
+        def body(carry, xb):
+            audio, carry = block(carry, xb)
+            return carry, audio
+
+        state2, audio = jax.lax.scan(body, state, blocks)
+        return audio, state2
+
+    return scan
 
 
 def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
