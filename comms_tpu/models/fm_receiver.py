@@ -192,14 +192,27 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
     state = init_state(cfg)
     chunks = []
     nbytes = cfg.block * 2
-    with open(iq_path, "rb") as f:
-        while True:
-            data = f.read(nbytes)
-            if len(data) < nbytes:
-                break
-            iq = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
-            audio, state = block(state, jnp.asarray(iq))
-            chunks.append(np.asarray(audio))
+    try:  # native double-buffered reader: C++ thread prefetches the
+        # next block while the device crunches the current one.
+        from comms_tpu.native import NativeBlockReader
+
+        with NativeBlockReader(iq_path, block_bytes=nbytes,
+                               dtype=np.uint8, shape=(-1, 2)) as rd:
+            while True:
+                iq = rd.next_block()
+                if iq is None or iq.shape[0] < cfg.block:
+                    break
+                audio, state = block(state, jnp.asarray(iq))
+                chunks.append(np.asarray(audio))
+    except RuntimeError:  # no C++ toolchain: plain python IO
+        with open(iq_path, "rb") as f:
+            while True:
+                data = f.read(nbytes)
+                if len(data) < nbytes:
+                    break
+                iq = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
+                audio, state = block(state, jnp.asarray(iq))
+                chunks.append(np.asarray(audio))
     audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
     if out_path is not None:
         audio.astype(np.float32).tofile(out_path)

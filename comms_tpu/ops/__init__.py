@@ -5,6 +5,7 @@ from comms_tpu.ops import (  # noqa: F401
     demodulation,
     fft,
     fir,
+    interp,
     mixer,
     modulation,
     prns,

@@ -114,7 +114,6 @@ class Graph:
         order: List[_NodeSpec] = []
         done = set(self._external)
         pending = [self._nodes[n] for n in self._order]
-        guard = 0
         while pending:
             progressed = False
             rest = []
@@ -130,7 +129,6 @@ class Graph:
                 else:
                     rest.append(spec)
             pending = rest
-            guard += 1
             if not progressed:
                 raise GraphNotConnectedError(
                     f"cycle without feedback edge among "
