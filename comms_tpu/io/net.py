@@ -80,12 +80,19 @@ class BlockSender:
     (binds) or "PUSH" (connects), as the reference constructs
     (zmq_node.rs:41-55).  The TCP fallback always binds and streams
     to the first accepted client.
+
+    ``backend``: "zmq", "tcp", or None (auto: zmq when importable).
+    The two backends are NOT wire-compatible (ZMTP handshake vs raw
+    frames) — both peers must use the same one; pin it explicitly
+    when the endpoints may run in different environments.
     """
 
-    def __init__(self, endpoint: str, sock_type: str = "PUB"):
+    def __init__(self, endpoint: str, sock_type: str = "PUB",
+                 backend: str | None = None):
         self.endpoint = endpoint
+        self.backend = _resolve_backend(backend)
         host, port = _parse_tcp(endpoint)
-        if HAVE_ZMQ:
+        if self.backend == "zmq":
             ctx = _zmq.Context.instance()
             st = getattr(_zmq, sock_type)
             self._sock = ctx.socket(st)
@@ -114,7 +121,7 @@ class BlockSender:
         self._send(_pack(np.asarray(arr)))
 
     def close(self):
-        if HAVE_ZMQ:
+        if self.backend == "zmq":
             self._sock.close(0)
         else:
             if self._conn is not None:
@@ -127,10 +134,12 @@ class BlockReceiver:
     connects-and-subscribes-all, zmq_node.rs:115-118)."""
 
     def __init__(self, endpoint: str, sock_type: str = "SUB",
-                 timeout: Optional[float] = None):
+                 timeout: Optional[float] = None,
+                 backend: str | None = None):
         self.endpoint = endpoint
+        self.backend = _resolve_backend(backend)
         host, port = _parse_tcp(endpoint)
-        if HAVE_ZMQ:
+        if self.backend == "zmq":
             ctx = _zmq.Context.instance()
             st = getattr(_zmq, sock_type)
             self._sock = ctx.socket(st)
@@ -146,7 +155,7 @@ class BlockReceiver:
                                                   timeout=timeout)
 
     def recv(self) -> np.ndarray:
-        if HAVE_ZMQ:
+        if self.backend == "zmq":
             data = self._sock.recv()
             dt, nbytes = _unpack_header(data[: _HEADER.size])
             return np.frombuffer(data[_HEADER.size:], dtype=dt)
@@ -165,10 +174,22 @@ class BlockReceiver:
         return b"".join(chunks)
 
     def close(self):
-        if HAVE_ZMQ:
+        if self.backend == "zmq":
             self._sock.close(0)
         else:
             self._sock.close()
+
+
+def _resolve_backend(backend: str | None) -> str:
+    if backend is None:
+        return "zmq" if HAVE_ZMQ else "tcp"
+    if backend == "zmq" and not HAVE_ZMQ:
+        raise CommError("backend='zmq' requested but pyzmq is not "
+                        "importable")
+    if backend not in ("zmq", "tcp"):
+        raise ValueError(f"backend must be 'zmq', 'tcp', or None, "
+                         f"got {backend!r}")
+    return backend
 
 
 def _parse_tcp(endpoint: str) -> Tuple[str, int]:

@@ -192,19 +192,28 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
     state = init_state(cfg)
     chunks = []
     nbytes = cfg.block * 2
-    try:  # native double-buffered reader: C++ thread prefetches the
-        # next block while the device crunches the current one.
+    # Native double-buffered reader when available: a C++ thread
+    # prefetches the next block while the device crunches the current
+    # one.  Only the reader CONSTRUCTION is allowed to fall back —
+    # once streaming starts, any error must propagate (a mid-stream
+    # retry would duplicate blocks with advanced state).
+    reader = None
+    try:
         from comms_tpu.native import NativeBlockReader
 
-        with NativeBlockReader(iq_path, block_bytes=nbytes,
-                               dtype=np.uint8, shape=(-1, 2)) as rd:
+        reader = NativeBlockReader(iq_path, block_bytes=nbytes,
+                                   dtype=np.uint8, shape=(-1, 2))
+    except (RuntimeError, OSError):
+        reader = None
+    if reader is not None:
+        with reader as rd:
             while True:
                 iq = rd.next_block()
                 if iq is None or iq.shape[0] < cfg.block:
                     break
                 audio, state = block(state, jnp.asarray(iq))
                 chunks.append(np.asarray(audio))
-    except RuntimeError:  # no C++ toolchain: plain python IO
+    else:  # no C++ toolchain: plain python IO
         with open(iq_path, "rb") as f:
             while True:
                 data = f.read(nbytes)

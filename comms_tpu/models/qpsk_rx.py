@@ -87,6 +87,13 @@ def make_rx_fn(cfg: QpskRxConfig):
               + lag[2] * jnp.roll(y, 2)
               + lag[3] * jnp.roll(y, 3))
         yd = jnp.roll(yd, d_int + 1)  # +1: interpolator basepoint
+        # roll is circular: the first |shift|+3 samples came from the
+        # other end of the block — zero them so they cannot masquerade
+        # as valid symbols (callers should skip the first few symbols
+        # either way; see module docstring).
+        wrap = jnp.abs(d_int + 1) + 3
+        idx = jnp.arange(yd.shape[0])
+        yd = jnp.where(idx < wrap, 0.0 + 0.0j, yd)
 
         # --- symbol downsample: pick the max-energy phase (static
         # shape; traced index).

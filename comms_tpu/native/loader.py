@@ -39,7 +39,13 @@ def _get_lib():
             return _lib
         if _build_error is not None:
             raise RuntimeError(f"native IO unavailable: {_build_error}")
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        try:
+            stale = (not _SO.exists()
+                     or _SO.stat().st_mtime < _SRC.stat().st_mtime)
+        except OSError as e:
+            _build_error = str(e)
+            raise RuntimeError(f"native IO unavailable: {e}") from e
+        if stale:
             try:
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-pthread",
@@ -51,7 +57,11 @@ def _get_lib():
                 raise RuntimeError(
                     f"native IO unavailable: {_build_error}"
                 ) from e
-        lib = ctypes.CDLL(str(_SO))
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:  # wrong-arch or corrupt .so
+            _build_error = str(e)
+            raise RuntimeError(f"native IO unavailable: {e}") from e
         lib.reader_open.restype = ctypes.c_void_p
         lib.reader_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                     ctypes.c_uint32, ctypes.c_int]

@@ -102,9 +102,11 @@ def costas_loop_block(symbols, state, alpha: float, beta: float,
     def step(carry, s):
         ph, fr = carry
         c = s * jnp.exp(-1j * ph)
-        # M-th power detector: angle of c^M over M (Mengali 5.7.4
-        # applied per-sample).
-        err = jnp.angle(c ** order) / order
+        # M-th power detector with the -x^M sign (as
+        # qam_phase_estimate): for M-PSK at the +-1+-1j-style
+        # constellation, c^M = -|c|^M at lock, so the error zero sits
+        # at the constellation points, not the decision boundaries.
+        err = jnp.angle(-(c ** order)) / order
         fr = fr + beta * err
         ph = ph + fr + alpha * err
         return (ph, fr), c

@@ -121,7 +121,7 @@ def fir_block(x, taps, ctx, phases: int = _DEFAULT_PHASES,
     else:
         taps = np.asarray(taps)
         T = taps.shape[0]
-        P = min(phases, _DEFAULT_PHASES)
+        P = int(phases)
         B = jnp.asarray(banded_tap_matrix(taps, P))
 
     out_dtype = jnp.result_type(x.dtype, B.dtype)

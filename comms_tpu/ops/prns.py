@@ -73,21 +73,26 @@ class PrnSpec:
     @staticmethod
     def make(poly_mask: int, width: int, block: int) -> "PrnSpec":
         A = _companion_matrix(poly_mask, width)
-        # M[n, :] = e_msb^T A^n  (row-recurrence: r_{n+1} = r_n A mod 2)
-        rows = np.zeros((block, width), dtype=np.uint8)
-        r = np.zeros(width, dtype=np.uint8)
-        r[0] = 1  # MSB row
-        for n in range(block):
-            rows[n] = r
-            r = (r @ A) % 2
+        # M[n, :] = e_msb^T A^n, built by matrix doubling:
+        # rows[:2k] = [rows[:k]; rows[:k] @ A^k] — log2(block) numpy
+        # matmuls instead of a per-bit Python loop.
+        rows = np.zeros((1, width), dtype=np.uint8)
+        rows[0, 0] = 1  # MSB row
+        Ak = A.copy()   # A^(current number of rows)
+        while rows.shape[0] < block:
+            rows = np.concatenate(
+                [rows, (rows.astype(np.int64) @ Ak) % 2]
+            ).astype(np.uint8)
+            Ak = (Ak.astype(np.int64) @ Ak % 2).astype(np.uint8)
+        rows = rows[:block]
         # A^block via square-and-multiply over GF(2).
         An = np.eye(width, dtype=np.uint8)
         P = A.copy()
         e = block
         while e:
             if e & 1:
-                An = (An @ P) % 2
-            P = (P @ P) % 2
+                An = (An.astype(np.int64) @ P % 2).astype(np.uint8)
+            P = (P.astype(np.int64) @ P % 2).astype(np.uint8)
             e >>= 1
         return PrnSpec(rows, An, width, block)
 

@@ -67,6 +67,11 @@ def host_feed(local_block: np.ndarray, mesh: Mesh,
                     *local_block.shape[1:])
     local_devices = [d for d in mesh.devices.flat
                      if d.process_index == jax.process_index()]
+    if local_block.shape[0] % len(local_devices):
+        raise ValueError(
+            f"local block length {local_block.shape[0]} must divide "
+            f"evenly over {len(local_devices)} local devices"
+        )
     per_dev = np.array_split(local_block, len(local_devices), axis=0)
     arrays = [jax.device_put(chunk, d)
               for chunk, d in zip(per_dev, local_devices)]

@@ -78,6 +78,18 @@ class BlockOp:
     def halo(self) -> int:
         return 0
 
+    def out_len(self, n: int) -> int:
+        """Output block length for input length ``n``.  Defaults to
+        the rational rate; ops with non-rational length rules (e.g.
+        per-block-reset decimation's ceil) override."""
+        out = Fraction(n) * self.rate
+        if out.denominator != 1:
+            raise ValueError(
+                f"block size {n} is not integral through {self} "
+                f"(rate {self.rate})"
+            )
+        return int(out)
+
     def init_state(self, dtype=jnp.complex64) -> Any:
         return ()
 
@@ -265,6 +277,19 @@ class Decimate(BlockOp):
     @property
     def rate(self) -> Fraction:
         return Fraction(1, max(self.dec, 1))
+
+    def out_len(self, n: int) -> int:
+        if self.dec in (0, 1):
+            return n
+        if self.streaming:
+            if n % self.dec:
+                raise ValueError(
+                    f"streaming decimation needs n % dec == 0, got "
+                    f"{n} % {self.dec}"
+                )
+            return n // self.dec
+        # per-block reset keeps ceil(n/dec) (resample_node.rs:53-65).
+        return -(-n // self.dec)
 
     def init_state(self, dtype=jnp.complex64):
         return _resample.decimate_stream_init() if self.streaming else ()

@@ -98,17 +98,13 @@ class Pipeline:
 
     # ------------------------------------------------------ introspection
     def check_block_size(self, n: int) -> int:
-        """Validate that block length ``n`` stays integral through the
-        chain; returns the output length."""
-        cur = Fraction(n)
+        """Validate block length ``n`` through the chain (each op's
+        own length rule, including per-block-reset ceil decimation);
+        returns the output length."""
+        cur = int(n)
         for op in self.ops:
-            cur *= op.rate
-            if cur.denominator != 1:
-                raise ValueError(
-                    f"block size {n} is not integral after {op} "
-                    f"(rate {op.rate}): {cur}"
-                )
-        return int(cur)
+            cur = op.out_len(cur)
+        return cur
 
     def __repr__(self):
         inner = ", ".join(type(op).__name__ for op in self.ops)

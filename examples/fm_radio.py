@@ -24,6 +24,11 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "fm_audio.wav"
     # 1.14 Msps capture, /25 -> 45.6 kHz audio (fm_radio.rs:57,148-151).
     audio = fm_receiver.run_file(cap)
+    if len(audio) == 0:
+        print(f"capture shorter than one block "
+              f"({fm_receiver.FmReceiverConfig().block} samples); "
+              f"nothing to demodulate")
+        sys.exit(1)
     with caudio.WavSink(out, channels=1, sample_rate=45600) as sink:
         peak = np.max(np.abs(audio)) or 1.0
         sink.write(audio / peak)

@@ -78,10 +78,14 @@ def test_costas_loop_tracks_phase_step():
         alpha=0.1, beta=0.02)
     # after convergence the loop's frequency register matches the drift
     assert abs(float(fr) - drift) < 5e-4
-    # steady state: the detector drives angle(c^4) to 0 (symbols on
-    # the axes, the loop's stable orientation).
+    # steady state: lock at the +-1+-1j-style constellation, where
+    # c^4 = -|c|^4 (angle pi) — decisions and the loop agree.
     tail = np.asarray(y)[-500:]
-    assert np.max(np.abs(np.angle(tail ** 4))) < 0.25
+    assert np.max(np.abs(np.abs(np.angle(tail ** 4)) - np.pi)) < 0.25
+    # and bit decisions on the locked tail are self-consistent: every
+    # symbol sits in an open quadrant, far from the axes.
+    assert np.min(np.abs(tail.real)) > 0.3
+    assert np.min(np.abs(tail.imag)) > 0.3
 
 
 def test_lagrange_interp_exact_on_polynomials():

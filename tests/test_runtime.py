@@ -18,6 +18,7 @@ from comms_tpu.runtime import (
     Mixer,
     Pipeline,
     PrnSource,
+    QpskMod,
     PulseShape,
     Upsample,
 )
@@ -63,11 +64,26 @@ def test_pipeline_run_scan_matches_python_loop():
     assert np.allclose(np.asarray(ys), np.stack(expected), atol=1e-12)
 
 
-def test_pipeline_rate_check_rejects_fractional():
+def test_pipeline_block_size_rules():
+    # Per-block-reset decimation keeps ceil(n/dec) — any n is valid
+    # (the reference's DecimateNode semantics), and the bookkeeping
+    # matches what apply() actually produces.
     pipe = Pipeline([Decimate(dec=3)])
-    with pytest.raises(ValueError):
-        pipe.check_block_size(64)  # 64/3 not integral
+    assert pipe.check_block_size(64) == 22
+    y, _ = pipe.step(pipe.init_state(), jnp.arange(64.0))
+    assert y.shape == (22,)
     assert pipe.check_block_size(9) == 3
+
+    # Streaming decimation requires divisibility.
+    spipe = Pipeline([Decimate(dec=3, streaming=True)])
+    with pytest.raises(ValueError):
+        spipe.check_block_size(64)
+    assert spipe.check_block_size(9) == 3
+
+    # Fractional-rate ops still reject non-integral blocks.
+    qpipe = Pipeline([QpskMod()])
+    with pytest.raises(ValueError):
+        qpipe.check_block_size(7)
 
 
 def test_pipeline_fed_blocks_with_state():
