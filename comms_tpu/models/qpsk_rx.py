@@ -49,9 +49,10 @@ class QpskRxConfig:
 
 
 def make_rx_fn(cfg: QpskRxConfig):
-    """Returns ``rx(iq_pairs_f32[N, 2]) -> (symbols, diag)``:
-    synchronized complex symbols plus a diagnostics dict of the
-    estimates.  N should be a multiple of sps."""
+    """Returns ``rx(iq_pairs_f32[N, 2]) -> (sym_pairs_f32[M, 2],
+    diag)``: synchronized symbols as re/im pairs (complex cannot cross
+    the axon jit boundary, runtime/boundary.py) plus a diagnostics
+    dict of the estimates.  N should be a multiple of sps."""
 
     def rx(iq_pairs):
         x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
@@ -118,15 +119,19 @@ def make_rx_fn(cfg: QpskRxConfig):
 
         diag = {"freq": f_est, "timing": t_est, "freq_fine": w_fine,
                 "phase": p_est, "sym_phase": p_star}
-        return sym, diag
+        sym_pairs = jnp.stack([jnp.real(sym), jnp.imag(sym)], axis=-1)
+        return sym_pairs, diag
 
     return jax.jit(rx)
 
 
 def decide_bits(symbols) -> np.ndarray:
     """Hard decisions back to the tx bit convention
-    (single_thread_qpsk.rs:29-36: re = 2*b0 - 1, im = 2*b1 - 1)."""
+    (single_thread_qpsk.rs:29-36: re = 2*b0 - 1, im = 2*b1 - 1).
+    Accepts complex [M] or re/im pairs [M, 2]."""
     s = np.asarray(symbols)
+    if s.ndim == 2 and s.shape[-1] == 2:
+        s = s[:, 0] + 1j * s[:, 1]
     b0 = (s.real > 0).astype(np.uint8)
     b1 = (s.imag > 0).astype(np.uint8)
     out = np.empty(2 * len(s), dtype=np.uint8)
@@ -145,6 +150,8 @@ def resolve_ambiguity(symbols, reference_bits, search: int = 1024,
     loopback tests use the transmitted bits."""
     best = None
     s = np.asarray(symbols)
+    if s.ndim == 2 and s.shape[-1] == 2:
+        s = s[:, 0] + 1j * s[:, 1]
     for rot in range(4):
         cand = decide_bits(s * np.exp(1j * np.pi / 2 * rot))
         for lag in range(0, max_lag + 1):
