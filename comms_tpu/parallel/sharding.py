@@ -68,11 +68,22 @@ def halo_exchange(x_local, ctx, halo: int, axis: str = "time"):
     idx = lax.axis_index(axis)
     tail = x_local[-halo:]
     if n == 1:
-        return jnp.asarray(ctx, dtype=x_local.dtype)
+        return _cast_like(ctx, x_local)
     recv = lax.ppermute(tail, axis,
                         perm=[(i, i + 1) for i in range(n - 1)])
     # Shard 0 received nothing (zeros); substitute the stream context.
-    return jnp.where(idx == 0, jnp.asarray(ctx, dtype=x_local.dtype), recv)
+    return jnp.where(idx == 0, _cast_like(ctx, x_local), recv)
+
+
+def _cast_like(ctx, x):
+    """Cast a carried context to the stream dtype.  Complex -> real
+    takes the real part explicitly (a context stored complex by a
+    uniform state-dtype init feeding a real stage)."""
+    ctx = jnp.asarray(ctx)
+    if (jnp.issubdtype(ctx.dtype, jnp.complexfloating)
+            and not jnp.issubdtype(x.dtype, jnp.complexfloating)):
+        ctx = jnp.real(ctx)
+    return ctx.astype(x.dtype)
 
 
 def collect_ctx(x_local, halo: int, axis: str = "time"):

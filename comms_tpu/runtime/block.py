@@ -96,6 +96,41 @@ class BlockOp:
     def apply(self, state, x):
         return x, state
 
+    # --------- sharding hooks (Pipeline.make_sharded_step) ---------
+    # Ops with halo > 0 follow the overlap-save protocol: their state
+    # IS the carried input tail, so under time-sharding each shard
+    # receives its left neighbor's tail via ppermute and calls apply()
+    # unchanged; the stream context is the global input tail.
+
+    def state_to_halo(self, state):
+        """Carried state -> [halo] input-tail array (identity for
+        tail-state ops; override when state is not literally the
+        tail)."""
+        return state
+
+    def halo_to_state(self, halo_arr):
+        """[halo] tail array -> the state apply() expects."""
+        return halo_arr
+
+    def shard_apply(self, state, x_local, axis: str):
+        """Per-shard apply inside shard_map.  Default handles the two
+        common cases: stateless (halo 0, empty state) and
+        tail-state/overlap-save ops.  Returns (y_local, new_state)
+        with new_state replicated (the global stream state).
+        Ops needing shard-dependent parameters (e.g. Mixer's phase
+        ramp offset) override."""
+        from comms_tpu.parallel import sharding as _sh
+
+        h = self.halo
+        if h == 0:
+            y, new_state = self.apply(state, x_local)
+            return y, new_state
+        halo_in = _sh.halo_exchange(
+            x_local, self.state_to_halo(state), h, axis)
+        y, _ = self.apply(self.halo_to_state(halo_in), x_local)
+        new_tail = _sh.collect_ctx(x_local, h, axis)
+        return y, self.halo_to_state(new_tail)
+
 
 @dataclasses.dataclass(frozen=True)
 class Lambda(BlockOp):
@@ -221,6 +256,25 @@ class Mixer(BlockOp):
                                 else np.dtype(np.complex128))
         return _mixer.mixer_block(x, state, ramp, adv)
 
+    def shard_apply(self, state, x_local, axis: str):
+        # Shard s starts s * local_n samples into the block: offset
+        # its phase by s * (local_n * dphase mod 2pi); the new global
+        # phase advances by n_shards * that (all host-f64-exact).
+        from jax import lax as _lax
+
+        ramp, adv = _ramp_cache(self.dphase, int(x_local.shape[0]),
+                                np.dtype(np.complex64)
+                                if x_local.dtype == jnp.complex64
+                                else np.dtype(np.complex128))
+        idx = _lax.axis_index(axis).astype(jnp.float32)
+        n = _lax.axis_size(axis)
+        two_pi = jnp.float32(2.0 * np.pi)
+        local_phase = jnp.mod(state + idx * jnp.float32(adv), two_pi)
+        y, _ = _mixer.mixer_block(x_local, local_phase, ramp, adv)
+        new_phase = jnp.mod(state + jnp.float32(n) * jnp.float32(adv),
+                            two_pi)
+        return y, new_phase
+
 
 _RAMPS: dict = {}
 
@@ -263,6 +317,12 @@ class FmDemod(BlockOp):
 
     def apply(self, state, x):
         return _demod.fm_demod_block(x, state)
+
+    def state_to_halo(self, state):
+        return state[None]
+
+    def halo_to_state(self, halo_arr):
+        return halo_arr[0]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -339,6 +399,11 @@ class PulseShape(BlockOp):
     def rate(self) -> Fraction:
         return Fraction(self.sps, 1)
 
+    @property
+    def halo(self) -> int:
+        # carried input-SYMBOL tail (overlap-save in the symbol domain)
+        return max(-(-len(self.taps) // self.sps) - 1, 0)
+
     def init_state(self, dtype=jnp.complex64):
         return _pulse.pulse_init_ctx(len(self.taps), self.sps, dtype=dtype)
 
@@ -405,7 +470,20 @@ class QpskMod(BlockOp):
 # ----------------------------------------------------------------- sources
 
 @dataclasses.dataclass(frozen=True)
-class PrnSource(BlockOp):
+class _SourceOp(BlockOp):
+    """Base for free-running sources: no time-sharded form (a sharded
+    source needs per-shard sequence partitioning; generate on one
+    shard or feed the pipeline instead)."""
+
+    def shard_apply(self, state, x_local, axis: str):
+        raise NotImplementedError(
+            f"{type(self).__name__} cannot run time-sharded; feed the "
+            "pipeline with pre-generated blocks"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PrnSource(_SourceOp):
     """LFSR bit source (reference PrnsNode, prns.rs:93-134)."""
 
     spec: Any = dataclasses.field(compare=False)
@@ -423,7 +501,7 @@ class PrnSource(BlockOp):
 
 
 @dataclasses.dataclass(frozen=True)
-class UniformSource(BlockOp):
+class UniformSource(_SourceOp):
     """Uniform random source (reference UniformNode, rand_node.rs:25-75)."""
 
     block: int
@@ -442,7 +520,7 @@ class UniformSource(BlockOp):
 
 
 @dataclasses.dataclass(frozen=True)
-class NormalSource(BlockOp):
+class NormalSource(_SourceOp):
     """Normal random source (reference NormalNode, rand_node.rs:97-139)."""
 
     block: int
@@ -461,7 +539,7 @@ class NormalSource(BlockOp):
 
 
 @dataclasses.dataclass(frozen=True)
-class RandomBitSource(BlockOp):
+class RandomBitSource(_SourceOp):
     """random_bit() source (rand_node.rs:150-152)."""
 
     block: int

@@ -96,6 +96,55 @@ class Pipeline:
         final, ys = lax.scan(body, state, blocks)
         return ys, final
 
+    # --------------------------------------------------------- sharding
+    def make_sharded_step(self, mesh, axis: str = "time",
+                          block: Optional[int] = None):
+        """Compile this pipeline for time-block sharding over ``mesh``.
+
+        Every op runs per-shard through its ``shard_apply`` hook:
+        overlap-save ops get their left neighbor's tail via one ring
+        ``ppermute``, estimator-style reductions psum, Mixer offsets
+        its phase ramp per shard, and the carried stream state stays
+        replicated — so the sharded step is numerically identical to
+        the single-device step on the concatenated block.
+
+        Returns jitted ``(state, x[N, ...]) -> (y, state)`` with the
+        leading axis of ``x``/``y`` sharded over ``axis``.  If
+        ``block`` is given, per-shard sizes are validated up front.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[axis]
+        if block is not None:
+            if block % n_dev:
+                raise ValueError(
+                    f"block {block} must divide over {n_dev} shards")
+            local = block // n_dev
+            self.check_block_size(local)
+            for op in self.ops:
+                if 0 < local <= op.halo:
+                    raise ValueError(
+                        f"per-shard length {local} must exceed the "
+                        f"halo {op.halo} of {op}")
+                local = op.out_len(local)
+
+        def local_chain(state, x_local):
+            y = x_local
+            new_state = []
+            for i, op in enumerate(self.ops):
+                y, s = op.shard_apply(state[i], y, axis)
+                new_state.append(s)
+            return y, tuple(new_state)
+
+        fn = shard_map(
+            local_chain, mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
     # ------------------------------------------------------ introspection
     def check_block_size(self, n: int) -> int:
         """Validate block length ``n`` through the chain (each op's
