@@ -42,6 +42,7 @@ class QpskTxConfig:
         self.phase_taps = pulse.polyphase_taps(t, sps)
         n_out = (bits_per_block // 2) * sps
         self.ramp, self.advance = mixer.mixer_ramp(n_out, dphase)
+        self.advance_fix = mixer.advance_fix(n_out, dphase)
 
     @property
     def samples_per_block(self) -> int:
@@ -52,7 +53,7 @@ def init_state(cfg: QpskTxConfig, seed: int = 0):
     key = crandom.source_init(seed)
     ctx_len = max(-(-cfg.num_taps // cfg.sps) - 1, 0)
     ctx_pairs = jnp.zeros((ctx_len, 2), dtype=jnp.float32)
-    phase = jnp.asarray(cfg.phase0, dtype=jnp.float32)
+    phase = mixer.phase_fix_init(cfg.phase0)
     return key, ctx_pairs, phase
 
 
@@ -70,7 +71,7 @@ def make_block_fn(cfg: QpskTxConfig):
         sym = modulation.qpsk_bits_mod_example(bits)
         ctx = jax.lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
         y, ctx = pulse.pulse_shape_block(sym, H, ctx)
-        y, phase = mixer.mixer_block(y, phase, ramp, cfg.advance)
+        y, phase = mixer.mixer_block_fix(y, phase, ramp, cfg.advance_fix)
         new_ctx_pairs = jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1)
         re = jnp.clip(jnp.trunc(jnp.real(y) * cfg.scale),
                       -32768.0, 32767.0).astype(jnp.int16)

@@ -33,6 +33,11 @@ __all__ = [
     "mixer_ramp",
     "mixer_block",
     "nco_block",
+    "phase_fix_init",
+    "advance_fix",
+    "add_fix",
+    "phase_fix_to_angle",
+    "mixer_block_fix",
 ]
 
 _TWO_PI = 2.0 * np.pi
@@ -74,6 +79,67 @@ def mixer_block(x, phase, ramp, advance):
     y = x * (phasor * jnp.asarray(ramp))
     new_phase = jnp.mod(phase + jnp.float32(advance), jnp.float32(_TWO_PI))
     return y, new_phase
+
+
+# ------------------------- fixed-point carried phase -------------------
+# The f32 carried phase above accrues ~1e-7 rad of rounding per BLOCK
+# (not per sample) — bounded for hours, not for unbounded serving.
+# For production streams the phase is carried as a 64-bit fixed-point
+# fraction of 2*pi in two uint32 lanes: per-block accumulation is
+# EXACT (wrap-free modular addition), and the only error is the
+# non-accumulating f32 rounding when converting to an angle.
+
+_C_16 = np.float32(2.0 * np.pi / 2.0 ** 16)
+_C_32 = np.float32(2.0 * np.pi / 2.0 ** 32)
+_C_LO = np.float32(2.0 * np.pi / 2.0 ** 64)
+
+
+def phase_fix_init(phase0: float = 0.0):
+    """Initial (hi, lo) uint32 fixed-point phase state."""
+    frac = float(np.mod(np.float64(phase0), _TWO_PI)) / _TWO_PI
+    q = int(round(frac * 2.0 ** 64)) % (1 << 64)
+    return (jnp.uint32(q >> 32), jnp.uint32(q & 0xFFFFFFFF))
+
+
+def advance_fix(n: int, dphase: float):
+    """Host-exact per-block phase advance ``n*dphase mod 2*pi`` as a
+    (hi, lo) uint32 pair (numpy scalars, safe to close over)."""
+    dphase = np.float64(normalize_dphase(dphase))
+    # high-precision mod via Python ints of scaled f64 pieces
+    frac = (float(np.mod(np.float64(n) * dphase, _TWO_PI)) / _TWO_PI)
+    q = int(round(frac * 2.0 ** 64)) % (1 << 64)
+    return (np.uint32(q >> 32), np.uint32(q & 0xFFFFFFFF))
+
+
+def add_fix(p, a):
+    """(hi, lo) + (hi, lo) with exact 64-bit wraparound (uint32 ops)."""
+    lo = p[1] + jnp.uint32(a[1])
+    carry = (lo < p[1]).astype(jnp.uint32)
+    hi = p[0] + jnp.uint32(a[0]) + carry
+    return (hi, lo)
+
+
+def phase_fix_to_angle(p):
+    """Fixed-point phase -> f32 radians in [0, 2*pi).
+
+    The hi word is split into 16-bit halves so every integer is exact
+    in f32; total conversion error ~1e-7 rad, non-accumulating."""
+    hi_t = (p[0] >> jnp.uint32(16)).astype(jnp.float32)
+    hi_b = (p[0] & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    return (hi_t * _C_16 + hi_b * _C_32
+            + p[1].astype(jnp.float32) * _C_LO)
+
+
+def mixer_block_fix(x, pfix, ramp, adv_fix):
+    """Drift-free mixer block: like :func:`mixer_block` but the
+    carried phase is the fixed-point pair from
+    :func:`phase_fix_init` / advanced by ``adv_fix`` from
+    :func:`advance_fix`.  Returns ``(y, new_pfix)``."""
+    x = jnp.asarray(x)
+    phi0 = phase_fix_to_angle(pfix)
+    phasor = jnp.exp(1j * phi0).astype(x.dtype)
+    y = x * (phasor * jnp.asarray(ramp))
+    return y, add_fix(pfix, adv_fix)
 
 
 def nco_block(perr, phase, dphase: float):

@@ -246,34 +246,38 @@ class Mixer(BlockOp):
 
     def init_state(self, dtype=jnp.complex64):
         # Only dphase is normalized at construction (mixer.rs:43-51);
-        # the initial phase is taken as given.
-        return jnp.asarray(self.phase0, dtype=jnp.float32)
+        # the initial phase is taken as given.  Carried as 64-bit
+        # fixed-point (drift-free for unbounded streams).
+        return _mixer.phase_fix_init(self.phase0)
 
     def apply(self, state, x):
-        ramp, adv = _ramp_cache(self.dphase, int(x.shape[0]),
-                                np.dtype(np.complex64)
-                                if x.dtype == jnp.complex64
-                                else np.dtype(np.complex128))
-        return _mixer.mixer_block(x, state, ramp, adv)
+        ramp, _ = _ramp_cache(self.dphase, int(x.shape[0]),
+                              np.dtype(np.complex64)
+                              if x.dtype == jnp.complex64
+                              else np.dtype(np.complex128))
+        adv_fix = _mixer.advance_fix(int(x.shape[0]), self.dphase)
+        return _mixer.mixer_block_fix(x, state, ramp, adv_fix)
 
     def shard_apply(self, state, x_local, axis: str):
         # Shard s starts s * local_n samples into the block: offset
-        # its phase by s * (local_n * dphase mod 2pi); the new global
-        # phase advances by n_shards * that (all host-f64-exact).
+        # its fixed-point phase by s * advance (exact uint32 adds in
+        # a tiny fori_loop over the shard index); the global phase
+        # advances by n_shards * advance.
         from jax import lax as _lax
 
-        ramp, adv = _ramp_cache(self.dphase, int(x_local.shape[0]),
-                                np.dtype(np.complex64)
-                                if x_local.dtype == jnp.complex64
-                                else np.dtype(np.complex128))
-        idx = _lax.axis_index(axis).astype(jnp.float32)
+        ramp, _ = _ramp_cache(self.dphase, int(x_local.shape[0]),
+                              np.dtype(np.complex64)
+                              if x_local.dtype == jnp.complex64
+                              else np.dtype(np.complex128))
+        adv_fix = _mixer.advance_fix(int(x_local.shape[0]), self.dphase)
+        idx = _lax.axis_index(axis)
         n = _lax.axis_size(axis)
-        two_pi = jnp.float32(2.0 * np.pi)
-        local_phase = jnp.mod(state + idx * jnp.float32(adv), two_pi)
-        y, _ = _mixer.mixer_block(x_local, local_phase, ramp, adv)
-        new_phase = jnp.mod(state + jnp.float32(n) * jnp.float32(adv),
-                            two_pi)
-        return y, new_phase
+        local_p = _lax.fori_loop(
+            0, idx, lambda _, s: _mixer.add_fix(s, adv_fix), state)
+        y, _ = _mixer.mixer_block_fix(x_local, local_p, ramp, adv_fix)
+        new_p = _lax.fori_loop(
+            0, n, lambda _, s: _mixer.add_fix(s, adv_fix), state)
+        return y, new_p
 
 
 _RAMPS: dict = {}

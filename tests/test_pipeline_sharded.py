@@ -71,8 +71,9 @@ def test_sharded_mixer_phase_offsets():
     x = (rng.normal(size=(3, 4096)) + 1j * rng.normal(size=(3, 4096))
          ).astype(np.complex64)
     s_ref, s_sh = _run_both(pipe, x, blocks=3)
-    # carried phase stays identical too
-    assert np.allclose(float(s_ref[0]), float(s_sh[0]), atol=1e-5)
+    # carried fixed-point phase stays bit-identical
+    assert int(s_ref[0][0]) == int(s_sh[0][0])
+    assert int(s_ref[0][1]) == int(s_sh[0][1])
 
 
 def test_sharded_pulse_shaping_symbol_domain():
