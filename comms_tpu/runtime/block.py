@@ -306,6 +306,16 @@ class Nco(BlockOp):
     def apply(self, state, perr):
         return _mixer.nco_block(perr, state, self.dphase)
 
+    def shard_apply(self, state, x_local, axis: str):
+        # The NCO phase depends on the cumulative sum of ALL previous
+        # phase errors — a cross-shard prefix sum.  Not implemented;
+        # the default hook would silently start every shard from the
+        # same phase.
+        raise NotImplementedError(
+            "Nco cannot run time-sharded (cross-shard prefix sum); "
+            "keep carrier loops at symbol rate on one shard"
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class FmDemod(BlockOp):

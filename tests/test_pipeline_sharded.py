@@ -101,3 +101,11 @@ def test_sharded_validates_halo_vs_shard():
     mesh = sh.time_mesh(8)
     with pytest.raises(ValueError):
         pipe.make_sharded_step(mesh, block=8 * 64)  # 64 <= halo 128
+
+def test_sharded_rejects_nco():
+    from comms_tpu.runtime import Nco
+    pipe = Pipeline([Nco(dphase=0.1)])
+    mesh = sh.time_mesh(8)
+    step = pipe.make_sharded_step(mesh)
+    with pytest.raises(NotImplementedError):
+        step(pipe.init_state(), jnp.zeros(64, jnp.float32))
