@@ -93,6 +93,11 @@ class BlockOp:
     def init_state(self, dtype=jnp.complex64) -> Any:
         return ()
 
+    def out_dtype(self, in_dtype):
+        """Stream dtype after this op (drives per-op state dtypes in
+        Pipeline.init_state).  Default: unchanged."""
+        return in_dtype
+
     def apply(self, state, x):
         return x, state
 
@@ -250,6 +255,9 @@ class Mixer(BlockOp):
         # fixed-point (drift-free for unbounded streams).
         return _mixer.phase_fix_init(self.phase0)
 
+    def out_dtype(self, in_dtype):
+        return jnp.result_type(in_dtype, jnp.complex64)
+
     def apply(self, state, x):
         ramp, _ = _ramp_cache(self.dphase, int(x.shape[0]),
                               np.dtype(np.complex64)
@@ -337,6 +345,9 @@ class FmDemod(BlockOp):
 
     def halo_to_state(self, halo_arr):
         return halo_arr[0]
+
+    def out_dtype(self, in_dtype):
+        return jnp.zeros((), in_dtype).real.dtype
 
 
 @dataclasses.dataclass(frozen=True)
@@ -431,6 +442,9 @@ class Fft(BlockOp):
 
     fft_size: int
 
+    def out_dtype(self, in_dtype):
+        return jnp.result_type(in_dtype, jnp.complex64)
+
     def apply(self, state, x):
         return _fft.fft_block(x, self.fft_size), state
 
@@ -454,6 +468,9 @@ class BpskMod(BlockOp):
     example_convention: bool = False
     dtype: Any = jnp.complex64
 
+    def out_dtype(self, in_dtype):
+        return self.dtype
+
     def apply(self, state, bits):
         from comms_tpu.ops import modulation as _m
         fn = (_m.bpsk_bit_mod_example if self.example_convention
@@ -471,6 +488,9 @@ class QpskMod(BlockOp):
     @property
     def rate(self) -> Fraction:
         return Fraction(1, 2)
+
+    def out_dtype(self, in_dtype):
+        return self.dtype
 
     def apply(self, state, bits):
         from comms_tpu.ops import modulation as _m

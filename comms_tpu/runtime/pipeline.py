@@ -46,8 +46,15 @@ class Pipeline:
 
     # ------------------------------------------------------------ state
     def init_state(self):
-        return tuple(op.init_state(dtype=self.state_dtype)
-                     for op in self.ops)
+        """Per-op states with dtypes propagated through the chain
+        (``state_dtype`` is the pipeline INPUT stream dtype; each op's
+        ``out_dtype`` determines its successor's)."""
+        cur = self.state_dtype
+        states = []
+        for op in self.ops:
+            states.append(op.init_state(dtype=cur))
+            cur = op.out_dtype(cur)
+        return tuple(states)
 
     @property
     def rate(self) -> Fraction:
