@@ -164,12 +164,14 @@ class Graph:
             new_ops = dict(state["ops"])
             for spec in order:
                 ins = tuple(values[p] for p in spec.inputs)
-                if isinstance(spec.op, BlockOp):
-                    x = ins[0] if len(ins) == 1 else (ins if ins else None)
-                    y, s = spec.op.apply(state["ops"][spec.name], x)
-                    new_ops[spec.name] = s
-                else:  # raw callable: fn(*ins)
-                    y = spec.op(*ins)
+                with jax.named_scope(spec.name):
+                    if isinstance(spec.op, BlockOp):
+                        x = (ins[0] if len(ins) == 1
+                             else (ins if ins else None))
+                        y, s = spec.op.apply(state["ops"][spec.name], x)
+                        new_ops[spec.name] = s
+                    else:  # raw callable: fn(*ins)
+                        y = spec.op(*ins)
                 values[spec.name] = y
             new_fb = {
                 name: values[self._nodes[name].inputs[0]]

@@ -68,7 +68,8 @@ class Pipeline:
         new_state = []
         y = x
         for i, op in enumerate(self.ops):
-            y, s = op.apply(state[i], y)
+            with jax.named_scope(f"{i}_{type(op).__name__}"):
+                y, s = op.apply(state[i], y)
             new_state.append(s)
         return y, tuple(new_state)
 
@@ -140,7 +141,8 @@ class Pipeline:
             y = x_local
             new_state = []
             for i, op in enumerate(self.ops):
-                y, s = op.shard_apply(state[i], y, axis)
+                with jax.named_scope(f"{i}_{type(op).__name__}"):
+                    y, s = op.shard_apply(state[i], y, axis)
                 new_state.append(s)
             return y, tuple(new_state)
 

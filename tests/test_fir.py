@@ -149,3 +149,35 @@ def test_fir_decimate_poly_streaming():
         y, ctx = fir.fir_decimate_poly(jnp.asarray(x[i*160:(i+1)*160]), Hb, ctx)
         parts.append(np.asarray(y))
     assert np.allclose(np.concatenate(parts), np.asarray(y_once), atol=1e-12)
+
+
+def test_fir_edge_tap_counts():
+    # T=1 (pure gain), T=2, and blocks shorter than the tap count.
+    for T in (1, 2, 5):
+        rng = np.random.default_rng(T)
+        t = (rng.normal(size=T) + 1j * rng.normal(size=T)).astype(
+            np.complex128)
+        x = (rng.normal(size=3) + 1j * rng.normal(size=3)).astype(
+            np.complex128)
+        expected, _ = oracle_batch_fir(x, t, [0j] * T)
+        y, ctx = fir.fir_block(jnp.asarray(x), t,
+                               fir.init_ctx(T, jnp.complex128))
+        assert np.allclose(np.asarray(y), expected, atol=1e-12), T
+        if T > 1:
+            assert ctx.shape == (T - 1,)
+
+
+def test_fir_block_shorter_than_taps_streams():
+    rng = np.random.default_rng(9)
+    T = 17
+    t = rng.normal(size=T).astype(np.complex128)
+    x = (rng.normal(size=40)).astype(np.complex128)
+    y_once, _ = fir.fir_block(jnp.asarray(x), t,
+                              fir.init_ctx(T, jnp.complex128))
+    ctx = fir.init_ctx(T, jnp.complex128)
+    parts = []
+    for a in range(0, 40, 5):  # 5-sample blocks << 17 taps
+        y, ctx = fir.fir_block(jnp.asarray(x[a:a+5]), t, ctx)
+        parts.append(np.asarray(y))
+    assert np.allclose(np.concatenate(parts), np.asarray(y_once),
+                       atol=1e-12)

@@ -109,3 +109,61 @@ def test_sharded_rejects_nco():
     step = pipe.make_sharded_step(mesh)
     with pytest.raises(NotImplementedError):
         step(pipe.init_state(), jnp.zeros(64, jnp.float32))
+
+
+def test_sharded_random_pipelines_fuzz():
+    # Random valid op chains: sharded step == single-device step.
+    rng = np.random.default_rng(42)
+    from comms_tpu.runtime import Upsample
+
+    def random_pipe(r):
+        ops = []
+        # start complex stream; random chain of rate-safe ops
+        n_ops = int(r.integers(2, 5))
+        for _ in range(n_ops):
+            kind = r.choice(["fir", "firdec", "mixer", "lam", "ups"])
+            if kind == "fir":
+                T = int(r.integers(2, 40))
+                t = (r.normal(size=T) + 1j * r.normal(size=T)).astype(
+                    np.complex64)
+                ops.append(Fir.make(t))
+            elif kind == "firdec":
+                T = int(r.integers(4, 40))
+                t = r.normal(size=T).astype(np.complex64)
+                ops.append(FirDecimate.make(t, int(r.choice([2, 4]))))
+            elif kind == "mixer":
+                ops.append(Mixer(dphase=float(r.uniform(0, 3)),
+                                 phase0=float(r.uniform(0, 6))))
+            elif kind == "lam":
+                ops.append(Lambda(lambda v: v * (0.5 + 0.25j)))
+            else:
+                ops.append(Upsample(int(r.choice([2, 4]))))
+        return Pipeline(ops)
+
+    mesh = sh.time_mesh(8)
+    for trial in range(4):
+        r = np.random.default_rng(1000 + trial)
+        pipe = random_pipe(r)
+        block = 8 * 1024  # divisible by any product of 2s/4s used
+        try:
+            pipe.check_block_size(block // 8)
+        except ValueError:
+            continue
+        # per-shard length must exceed every halo
+        local = block // 8
+        ok = True
+        for op in pipe.ops:
+            if 0 < local <= op.halo:
+                ok = False
+                break
+            local = op.out_len(local)
+        if not ok:
+            continue
+        step = pipe.make_sharded_step(mesh, block=block)
+        x = (r.normal(size=(block,)) + 1j * r.normal(size=(block,))
+             ).astype(np.complex64)
+        y_ref, _ = pipe.step(pipe.init_state(), jnp.asarray(x))
+        y_sh, _ = step(pipe.init_state(), jnp.asarray(x))
+        scale = max(float(np.abs(np.asarray(y_ref)).max()), 1e-9)
+        assert np.allclose(np.asarray(y_sh), np.asarray(y_ref),
+                           atol=2e-5 * scale), f"trial {trial}: {pipe}"
