@@ -188,3 +188,54 @@ class Graph:
         if self._compiled is None:
             self._compiled = jax.jit(self._make_step())
         return self._compiled
+
+    # ---------------------------------------------------------- sharding
+    def make_sharded_step(self, mesh, axis: str = "time"):
+        """Compile the DAG for time-block sharding (the counterpart of
+        ``Pipeline.make_sharded_step``): every node runs per-shard via
+        its ``shard_apply`` hook, external inputs and outputs are
+        sharded over ``axis``, op states stay replicated.
+
+        Feedback edges carry the previous block SHARD-LOCALLY (shard i
+        reads its own slice of the producer's previous output) — equal
+        to single-device semantics for elementwise consumers; nodes
+        that reduce over a feedback value need a custom psum op.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        self.validate()
+        order = self._topo()
+
+        def local_step(state, inputs):
+            values: Dict[str, Any] = dict(inputs)
+            for name, v in state["fb"].items():
+                values[name] = v
+            new_ops = dict(state["ops"])
+            for spec in order:
+                ins = tuple(values[p] for p in spec.inputs)
+                with jax.named_scope(spec.name):
+                    if isinstance(spec.op, BlockOp):
+                        x = (ins[0] if len(ins) == 1
+                             else (ins if ins else None))
+                        y, s = spec.op.shard_apply(
+                            state["ops"][spec.name], x, axis)
+                        new_ops[spec.name] = s
+                    else:
+                        y = spec.op(*ins)
+                values[spec.name] = y
+            new_fb = {
+                name: values[self._nodes[name].inputs[0]]
+                for name in state["fb"]
+            }
+            outs = tuple(values[o] for o in self._outputs)
+            return outs, {"ops": new_ops, "fb": new_fb}
+
+        state_specs = {"ops": P(), "fb": P(axis)}
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, P(axis)),
+            out_specs=(P(axis), state_specs),
+            check_vma=False,
+        )
+        return jax.jit(fn)

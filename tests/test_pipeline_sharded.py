@@ -167,3 +167,35 @@ def test_sharded_random_pipelines_fuzz():
         scale = max(float(np.abs(np.asarray(y_ref)).max()), 1e-9)
         assert np.allclose(np.asarray(y_sh), np.asarray(y_ref),
                            atol=2e-5 * scale), f"trial {trial}: {pipe}"
+
+
+def test_sharded_graph_dag():
+    # Graph DAG sharding: fan-out into a filter branch and a
+    # filter+decimate branch; both must equal the single-device graph.
+    from comms_tpu.runtime import FirDecimate, Graph
+    rng = np.random.default_rng(13)
+    t = rng.normal(size=17).astype(np.complex64)
+
+    def build():
+        g = Graph()
+        g.add_input("iq")
+        g.add_node("lpf", Fir.make(t), ["iq"])
+        g.add_node("gain", Lambda(lambda v: v * 2.0), ["lpf"])
+        g.add_node("dec", FirDecimate.make(t, 2), ["iq"])
+        g.set_outputs(["gain", "dec"])
+        return g
+
+    g = build()
+    step_ref = g.compile()
+    mesh = sh.time_mesh(8)
+    step_sh = g.make_sharded_step(mesh)
+
+    s_ref = g.init_state()
+    s_sh = g.init_state()
+    x = (rng.normal(size=(2, 2048)) + 1j * rng.normal(size=(2, 2048))
+         ).astype(np.complex64)
+    for b in range(2):
+        (g1, d1), s_ref = step_ref(s_ref, {"iq": jnp.asarray(x[b])})
+        (g2, d2), s_sh = step_sh(s_sh, {"iq": jnp.asarray(x[b])})
+        assert np.allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+        assert np.allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)

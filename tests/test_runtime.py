@@ -186,3 +186,30 @@ def test_fir_decimate_blockop_matches_dense():
     yref, _ = dense.step(dense.init_state(), jnp.asarray(x))
     got = np.concatenate([np.asarray(y), np.asarray(y2)])
     assert np.allclose(got, np.asarray(yref), atol=1e-12)
+
+
+def test_graph_multirate_dag_with_blockops():
+    # Fan-out into two different-rate branches using real DSP ops:
+    # one branch filters, the other filter+decimates; both read the
+    # same source value (SSA reuse).
+    rng = np.random.default_rng(11)
+    t = rng.normal(size=9).astype(np.complex128)
+    from comms_tpu.runtime import FirDecimate
+    g = Graph()
+    g.add_input("iq")
+    g.add_node("lpf", Fir.make(t), ["iq"])
+    g.add_node("dec", FirDecimate.make(t, 3), ["iq"])
+    g.set_outputs(["lpf", "dec"])
+    step = g.compile()
+    state = g.init_state(dtype=jnp.complex128)
+
+    x = (rng.normal(size=300) + 1j * rng.normal(size=300)).astype(
+        np.complex128)
+    (lpf, dec), state = step(state, {"iq": jnp.asarray(x)})
+    assert lpf.shape == (300,)
+    assert dec.shape == (100,)
+    # branch parity vs standalone ops
+    from comms_tpu.ops import fir as fir_ops
+    y_ref, _ = fir_ops.fir_block(jnp.asarray(x), fir_ops.banded_tap_matrix(t),
+                                 fir_ops.init_ctx(9, jnp.complex128))
+    assert np.allclose(np.asarray(lpf), np.asarray(y_ref), atol=1e-12)
