@@ -41,7 +41,7 @@ class QpskTxConfig:
         t = taps.rrc_taps(num_taps, float(sps), beta).astype(np.complex64)
         self.phase_taps = pulse.polyphase_taps(t, sps)
         n_out = (bits_per_block // 2) * sps
-        self.ramp, self.advance = mixer.mixer_ramp(n_out, dphase)
+        self.ramp, _ = mixer.mixer_ramp(n_out, dphase)
         self.advance_fix = mixer.advance_fix(n_out, dphase)
 
     @property

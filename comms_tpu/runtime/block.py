@@ -145,10 +145,15 @@ class Lambda(BlockOp):
 
     fn: Callable
     out_per_in: Fraction = Fraction(1, 1)
+    result_dtype: Any = None  # set when fn changes the stream dtype
 
     @property
     def rate(self) -> Fraction:
         return Fraction(self.out_per_in)
+
+    def out_dtype(self, in_dtype):
+        return self.result_dtype if self.result_dtype is not None \
+            else in_dtype
 
     def apply(self, state, x):
         return self.fn(x), state
@@ -260,9 +265,7 @@ class Mixer(BlockOp):
 
     def apply(self, state, x):
         ramp, _ = _ramp_cache(self.dphase, int(x.shape[0]),
-                              np.dtype(np.complex64)
-                              if x.dtype == jnp.complex64
-                              else np.dtype(np.complex128))
+                              _mix_cdtype(x.dtype))
         adv_fix = _mixer.advance_fix(int(x.shape[0]), self.dphase)
         return _mixer.mixer_block_fix(x, state, ramp, adv_fix)
 
@@ -274,9 +277,7 @@ class Mixer(BlockOp):
         from jax import lax as _lax
 
         ramp, _ = _ramp_cache(self.dphase, int(x_local.shape[0]),
-                              np.dtype(np.complex64)
-                              if x_local.dtype == jnp.complex64
-                              else np.dtype(np.complex128))
+                              _mix_cdtype(x_local.dtype))
         adv_fix = _mixer.advance_fix(int(x_local.shape[0]), self.dphase)
         idx = _lax.axis_index(axis)
         n = _lax.axis_size(axis)
@@ -286,6 +287,11 @@ class Mixer(BlockOp):
         new_p = _lax.fori_loop(
             0, n, lambda _, s: _mixer.add_fix(s, adv_fix), state)
         return y, new_p
+
+
+def _mix_cdtype(in_dtype):
+    """Ramp dtype matching the mixer's output promotion rule."""
+    return np.dtype(jnp.result_type(in_dtype, jnp.complex64))
 
 
 _RAMPS: dict = {}
@@ -383,6 +389,16 @@ class Decimate(BlockOp):
         if self.streaming:
             return _resample.decimate_stream(x, state, self.dec)
         return _resample.decimate_block(x, self.dec), state
+
+    def shard_apply(self, state, x_local, axis: str):
+        # Per-shard stride reset only equals the single-device
+        # per-BLOCK reset when each shard's length divides by dec.
+        if self.dec > 1 and x_local.shape[0] % self.dec:
+            raise ValueError(
+                f"Decimate(dec={self.dec}) under time-sharding needs "
+                f"per-shard length % dec == 0, got {x_local.shape[0]}"
+            )
+        return self.apply(state, x_local)
 
 
 @dataclasses.dataclass(frozen=True)

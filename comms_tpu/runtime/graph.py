@@ -138,23 +138,40 @@ class Graph:
 
     def init_state(self, dtype=None):
         """State pytree: per-node op state + feedback slots (primed
-        with their defaults, the connect_nodes_feedback! semantics)."""
+        with their defaults, the connect_nodes_feedback! semantics).
+
+        Stream dtypes are propagated through the DAG (each node's
+        state dtype is the result_type of its producers' output
+        dtypes; ``dtype`` seeds the external inputs) so e.g. a real
+        stage after FmDemod gets real carried state.
+        """
         import jax.numpy as jnp
         dtype = dtype or jnp.complex64
+        stream: Dict[str, Any] = {name: dtype for name in self._external}
         op_state = {}
         fb_state = {}
+        for spec in self._topo():
+            ins = [stream.get(pr, dtype) for pr in spec.inputs]
+            in_dt = jnp.result_type(*ins) if ins else dtype
+            if isinstance(spec.op, BlockOp):
+                op_state[spec.name] = spec.op.init_state(dtype=in_dt)
+                stream[spec.name] = spec.op.out_dtype(in_dt)
+            else:
+                op_state[spec.name] = ()
+                stream[spec.name] = in_dt  # raw callable: assume same
         for spec in self._nodes.values():
             if spec.feedback:
                 fb_state[spec.name] = spec.default
-            elif isinstance(spec.op, BlockOp):
-                op_state[spec.name] = spec.op.init_state(dtype=dtype)
-            else:
-                op_state[spec.name] = ()
         return {"ops": op_state, "fb": fb_state}
 
-    def _make_step(self):
+    def _make_step(self, op_apply=None):
+        """Build the step body; ``op_apply(op, state, x)`` defaults to
+        plain ``op.apply`` (the sharded variant passes shard_apply)."""
         self.validate()
         order = self._topo()
+        if op_apply is None:
+            def op_apply(op, st, x):
+                return op.apply(st, x)
 
         def step(state, inputs):
             values: Dict[str, Any] = dict(inputs)
@@ -168,7 +185,8 @@ class Graph:
                     if isinstance(spec.op, BlockOp):
                         x = (ins[0] if len(ins) == 1
                              else (ins if ins else None))
-                        y, s = spec.op.apply(state["ops"][spec.name], x)
+                        y, s = op_apply(spec.op,
+                                        state["ops"][spec.name], x)
                         new_ops[spec.name] = s
                     else:  # raw callable: fn(*ins)
                         y = spec.op(*ins)
@@ -204,32 +222,8 @@ class Graph:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        self.validate()
-        order = self._topo()
-
-        def local_step(state, inputs):
-            values: Dict[str, Any] = dict(inputs)
-            for name, v in state["fb"].items():
-                values[name] = v
-            new_ops = dict(state["ops"])
-            for spec in order:
-                ins = tuple(values[p] for p in spec.inputs)
-                with jax.named_scope(spec.name):
-                    if isinstance(spec.op, BlockOp):
-                        x = (ins[0] if len(ins) == 1
-                             else (ins if ins else None))
-                        y, s = spec.op.shard_apply(
-                            state["ops"][spec.name], x, axis)
-                        new_ops[spec.name] = s
-                    else:
-                        y = spec.op(*ins)
-                values[spec.name] = y
-            new_fb = {
-                name: values[self._nodes[name].inputs[0]]
-                for name in state["fb"]
-            }
-            outs = tuple(values[o] for o in self._outputs)
-            return outs, {"ops": new_ops, "fb": new_fb}
+        local_step = self._make_step(
+            op_apply=lambda op, st, x: op.shard_apply(st, x, axis))
 
         state_specs = {"ops": P(), "fb": P(axis)}
         fn = shard_map(

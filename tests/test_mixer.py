@@ -128,10 +128,8 @@ def test_fixed_point_phase_drift_free():
     blk = 8192
     big = 10_000_000
     dn = mixer.normalize_dphase(dphase)
-    # state after `big` blocks, computed exactly on host
-    start_phase = float(np.mod(np.float64(big) * np.float64(blk % (1<<62)) * dn, TWO_PI))
-    # use the library's own pieces instead: advance big blocks by
-    # composing the exact per-block advance in python ints
+    # state after `big` blocks: compose the exact per-block advance
+    # in python ints
     frac_blk = int(round((np.mod(np.float64(blk) * np.float64(dn), TWO_PI)
                           / TWO_PI) * 2.0**64)) % (1 << 64)
     q = (frac_blk * big) % (1 << 64)

@@ -199,3 +199,20 @@ def test_sharded_graph_dag():
         (g2, d2), s_sh = step_sh(s_sh, {"iq": jnp.asarray(x[b])})
         assert np.allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
         assert np.allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+
+
+def test_sharded_decimate_guard():
+    # Non-streaming Decimate under sharding: divisible per-shard
+    # lengths work (and equal single-device); indivisible raise
+    # instead of silently diverging.
+    pipe = Pipeline([Decimate(dec=3)])
+    mesh = sh.time_mesh(8)
+    step = pipe.make_sharded_step(mesh)
+    x = jnp.arange(8 * 9, dtype=jnp.float32)
+    y, _ = step(pipe.init_state(), x)
+    y_ref, _ = pipe.step(pipe.init_state(), x)
+    assert np.array_equal(np.asarray(y), np.asarray(y_ref))
+
+    with pytest.raises(ValueError):
+        step2 = pipe.make_sharded_step(mesh)
+        step2(pipe.init_state(), jnp.arange(80.0))  # 10/shard, % 3 != 0

@@ -213,3 +213,40 @@ def test_graph_multirate_dag_with_blockops():
     y_ref, _ = fir_ops.fir_block(jnp.asarray(x), fir_ops.banded_tap_matrix(t),
                                  fir_ops.init_ctx(9, jnp.complex128))
     assert np.allclose(np.asarray(lpf), np.asarray(y_ref), atol=1e-12)
+
+
+def test_lambda_result_dtype_propagation():
+    # A dtype-changing Lambda at the pipeline head (the pairs->complex
+    # boundary pattern) must propagate its declared result dtype into
+    # downstream states so lax.scan carries type-check.
+    import jax
+    pipe = Pipeline([
+        Lambda(lambda v: jax.lax.complex(v[:, 0], v[:, 1]),
+               result_dtype=jnp.complex64),
+        FmDemod(),
+    ], state_dtype=jnp.float32)
+    state = pipe.init_state()
+    # FmDemod's prev must be complex (its input stream dtype)
+    assert jnp.issubdtype(state[1].dtype, jnp.complexfloating)
+    x = np.random.default_rng(0).normal(size=(3, 64, 2)).astype(np.float32)
+    ys, _ = pipe.run(state, jnp.asarray(x))  # scan carry types match
+    assert ys.shape == (3, 64)
+
+
+def test_graph_dtype_propagation_after_demod():
+    # Graph path: real stage after FmDemod gets real carried state and
+    # the state structure is stable across steps (no retrace-by-dtype).
+    rng = np.random.default_rng(5)
+    t = rng.normal(size=9).astype(np.float32)
+    g = Graph()
+    g.add_input("iq")
+    g.add_node("demod", FmDemod(), ["iq"])
+    g.add_node("audio", Fir.make(t), ["demod"])
+    g.set_outputs(["audio"])
+    step = g.compile()
+    state = g.init_state(dtype=jnp.complex64)
+    assert not jnp.issubdtype(state["ops"]["audio"].dtype,
+                              jnp.complexfloating)
+    x = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+    (out,), state2 = step(state, {"iq": jnp.asarray(x)})
+    assert state2["ops"]["audio"].dtype == state["ops"]["audio"].dtype
