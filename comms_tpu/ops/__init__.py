@@ -1,6 +1,7 @@
 """Pure DSP math ops (jax.numpy on device, numpy for host-side params)."""
 
 from comms_tpu.ops import (  # noqa: F401
+    agc,
     channelizer,
     demodulation,
     fft,
@@ -12,5 +13,6 @@ from comms_tpu.ops import (  # noqa: F401
     pulse,
     random,
     resample,
+    spectrum,
     taps,
 )
