@@ -18,6 +18,9 @@ must be static).
 
 from __future__ import annotations
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -25,6 +28,9 @@ __all__ = [
     "decimate_stream",
     "decimate_stream_init",
     "upsample_block",
+    "rational_taps",
+    "rational_resample_init",
+    "rational_resample_block",
 ]
 
 
@@ -74,3 +80,82 @@ def upsample_block(x, rate: int):
     out = jnp.zeros((x.shape[0], rate), dtype=x.dtype)
     out = out.at[:, 0].set(x)
     return out.reshape(-1)
+
+
+# ----------------------- rational P/Q resampling -----------------------
+# Beyond the reference (it has only integer zero-stuff/decimate): the
+# standard polyphase rational resampler, y running at rate P/Q of x,
+# equal to zero-stuff-by-P -> FIR(h) -> keep-every-Q.  Output class
+# r = m mod P (gcd normalization applied) is a decimate-by-Q FIR on a
+# shifted input with sub-filter phase r*Q mod P — P reuses of the same
+# poly-MAC machinery as the decimating FIR / channelizer.
+
+
+def rational_taps(h, up: int, down: int):
+    """Prototype lowpass h -> per-class coefficient matrices.
+
+    Returns ``(C[P][M, Q], offsets[P], L)`` host-side, where class r
+    of the output (m = r + k*P) is computed from input samples at
+    stride Q starting at class offset, with coefficient matrix C[r].
+    The zero-stuffed identity: y[m] = sum_t h[t] u[m*Q - t] with
+    u = zero-stuff-by-P of x, i.e. y[m] = sum_j h[m*Q mod P + j*P] *
+    x[floor(m*Q/P) - j].
+    """
+    import math as _math
+
+    from comms_tpu.ops import fir as _fir
+
+    h = np.asarray(h)
+    g = _math.gcd(int(up), int(down))
+    P, Q = int(up) // g, int(down) // g
+    # per-class sub-filter: h_r[j] = h[(r*Q) % P + j*P]
+    mats = []
+    offsets = []
+    for r in range(P):
+        phase = (r * Q) % P
+        sub = h[phase::P]
+        # class-r output k uses x[floor((r + kP) Q / P) - j]
+        #   = x[ (rQ - phase)/P + kQ - j ]
+        offsets.append((r * Q - phase) // P)
+        mats.append(_fir.decimating_branch_taps(sub, Q))
+    return mats, offsets, P
+
+
+def rational_resample_init(mats, dtype=jnp.complex64):
+    """Carried input tail long enough for every class (max halo)."""
+    halo = max(m.size - 1 for m in mats)
+    return jnp.zeros((halo,), dtype=dtype)
+
+
+def rational_resample_block(x, mats, offsets, P: int, ctx):
+    """Resample one block by P/Q (from :func:`rational_taps`).
+
+    ``len(x) % Q == 0``; output length = len(x) * P / Q.  Returns
+    ``(y, new_ctx)``; streaming-correct for any block chopping.
+    """
+    from comms_tpu.ops import fir as _fir
+
+    x = jnp.asarray(x)
+    Q = mats[0].shape[1]
+    N = x.shape[0]
+    if N % Q:
+        raise ValueError(f"block {N} not a multiple of down-rate {Q}")
+    halo = ctx.shape[0]
+    xe = jnp.concatenate([ctx.astype(x.dtype), x])
+    new_ctx = xe[-halo:]
+    # classes with positive start offsets slice up to Q-1 past the
+    # block end; pad (values never reach a valid output).
+    xe = jnp.concatenate([xe, jnp.zeros((Q,), x.dtype)])
+    K = N // Q  # outputs per class
+    outs = []
+    for r in range(P):
+        Mr = mats[r].shape[0]
+        hr = mats[r].size - 1  # this class's own halo
+        # class-r inputs start at offsets[r] within the block; the
+        # class's poly MAC wants its ctx immediately before that.
+        start = halo + offsets[r]
+        seg = jax.lax.dynamic_slice_in_dim(xe, start - hr, hr + N)
+        yr, _ = _fir.fir_decimate_poly(seg[hr:], mats[r], seg[:hr])
+        outs.append(yr)
+    y = jnp.stack(outs, axis=1).reshape(K * P)
+    return y, new_ctx

@@ -17,6 +17,7 @@ from comms_tpu.runtime.block import (  # noqa: F401
     PrnSource,
     PulseShape,
     QpskMod,
+    RationalResample,
     RandomBitSource,
     UniformSource,
     Upsample,

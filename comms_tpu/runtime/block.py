@@ -49,6 +49,7 @@ __all__ = [
     "FmDemod",
     "Decimate",
     "Upsample",
+    "RationalResample",
     "PulseShape",
     "Fft",
     "Ifft",
@@ -413,6 +414,49 @@ class Upsample(BlockOp):
 
     def apply(self, state, x):
         return _resample.upsample_block(x, self.ups), state
+
+
+@dataclasses.dataclass(frozen=True)
+class RationalResample(BlockOp):
+    """Polyphase P/Q rational resampler (beyond the reference's
+    integer up/down; ops/resample.rational_*).  State is the carried
+    input tail, so the overlap-save sharding protocol applies."""
+
+    taps: tuple
+    up: int
+    down: int
+    _mats: Any = dataclasses.field(default=None, repr=False, compare=False)
+    _offsets: Any = dataclasses.field(default=None, repr=False,
+                                      compare=False)
+    _P: int = dataclasses.field(default=0, repr=False, compare=False)
+
+    @staticmethod
+    def make(taps, up: int, down: int) -> "RationalResample":
+        return RationalResample(tuple(np.asarray(taps).tolist()),
+                                int(up), int(down))
+
+    def __post_init__(self):
+        if self._mats is None:
+            mats, offs, P = _resample.rational_taps(
+                np.asarray(self.taps), self.up, self.down)
+            object.__setattr__(self, "_mats", mats)
+            object.__setattr__(self, "_offsets", offs)
+            object.__setattr__(self, "_P", P)
+
+    @property
+    def rate(self) -> Fraction:
+        return Fraction(self.up, self.down)
+
+    @property
+    def halo(self) -> int:
+        return max(m.size - 1 for m in self._mats)
+
+    def init_state(self, dtype=jnp.complex64):
+        return _resample.rational_resample_init(self._mats, dtype=dtype)
+
+    def apply(self, state, x):
+        return _resample.rational_resample_block(
+            x, self._mats, self._offsets, self._P, state)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -216,3 +216,15 @@ def test_sharded_decimate_guard():
     with pytest.raises(ValueError):
         step2 = pipe.make_sharded_step(mesh)
         step2(pipe.init_state(), jnp.arange(80.0))  # 10/shard, % 3 != 0
+
+
+def test_sharded_rational_resample():
+    from comms_tpu.ops import taps as taps_mod
+    from comms_tpu.runtime import RationalResample
+    rng = np.random.default_rng(21)
+    h = np.asarray(taps_mod.rrc_taps(24, 3.0, 0.3)).real
+    pipe = Pipeline([RationalResample.make(h, 3, 2)])
+    assert pipe.check_block_size(256) == 384
+    x = (rng.normal(size=(2, 8 * 256)) + 1j * rng.normal(size=(2, 8 * 256))
+         ).astype(np.complex64)
+    _run_both(pipe, x)
