@@ -78,3 +78,11 @@ def test_graft_entry_boundary():
     spec.loader.exec_module(ge)
     fn, args = ge.entry()
     _check(fn, args, "__graft_entry__.entry")
+
+
+def test_fm_band_monitor_boundary():
+    from comms_tpu.models import fm_band_monitor as fbm
+    cfg = fbm.BandMonitorConfig(num_channels=8, block=8 * 512)
+    pairs = jnp.zeros((cfg.block, 2), jnp.float32)
+    _check(fbm.make_block_fn(cfg), (fbm.init_state(cfg), pairs),
+           "fm_band_monitor")
