@@ -27,7 +27,8 @@ __all__ = ["stream_blocks", "receive_blocks"]
 
 def stream_blocks(endpoint: str, num_blocks: int,
                   cfg: Optional[qpsk_tx.QpskTxConfig] = None,
-                  seed: int = 0, sock_type: str = "PUSH") -> int:
+                  seed: int = 0, sock_type: str = "PUSH",
+                  backend: str | None = None) -> int:
     """Generate QPSK sample blocks and send them over ``endpoint``.
     Blocks are sent as float32 [n, 2] re/im pairs (device i16 output
     rescaled by 1/scale, matching the reference's pre-quantization
@@ -35,7 +36,8 @@ def stream_blocks(endpoint: str, num_blocks: int,
     cfg = cfg or qpsk_tx.QpskTxConfig()
     block = qpsk_tx.make_block_fn(cfg)
     state = qpsk_tx.init_state(cfg, seed)
-    sender = net.BlockSender(endpoint, sock_type=sock_type)
+    sender = net.BlockSender(endpoint, sock_type=sock_type,
+                             backend=backend)
     sent = 0
     try:
         for _ in range(num_blocks):
@@ -49,9 +51,11 @@ def stream_blocks(endpoint: str, num_blocks: int,
 
 
 def receive_blocks(endpoint: str, num_blocks: int,
-                   sock_type: str = "PULL", timeout: float = 30.0):
+                   sock_type: str = "PULL", timeout: float = 30.0,
+                   backend: str | None = None):
     """Receive QPSK blocks; returns a list of complex64 arrays."""
-    rx = net.BlockReceiver(endpoint, sock_type=sock_type, timeout=timeout)
+    rx = net.BlockReceiver(endpoint, sock_type=sock_type,
+                           timeout=timeout, backend=backend)
     out = []
     try:
         for _ in range(num_blocks):
