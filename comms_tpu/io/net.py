@@ -158,6 +158,11 @@ class BlockReceiver:
         if self.backend == "zmq":
             data = self._sock.recv()
             dt, nbytes = _unpack_header(data[: _HEADER.size])
+            if len(data) - _HEADER.size != nbytes:
+                raise CommError(
+                    f"frame payload {len(data) - _HEADER.size} bytes "
+                    f"!= header nbytes {nbytes}"
+                )
             return np.frombuffer(data[_HEADER.size:], dtype=dt)
         hdr = self._recv_exact(_HEADER.size)
         dt, nbytes = _unpack_header(hdr)

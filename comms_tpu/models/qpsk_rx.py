@@ -87,14 +87,18 @@ def make_rx_fn(cfg: QpskRxConfig):
               + lag[1] * jnp.roll(y, 1)
               + lag[2] * jnp.roll(y, 2)
               + lag[3] * jnp.roll(y, 3))
-        yd = jnp.roll(yd, d_int + 1)  # +1: interpolator basepoint
-        # roll is circular: the first |shift|+3 samples came from the
-        # other end of the block — zero them so they cannot masquerade
+        shift = d_int + 1  # +1: interpolator basepoint
+        yd = jnp.roll(yd, shift)
+        # roll is circular: a positive shift wraps tail samples to the
+        # block head, a negative one wraps head samples (already
+        # Lagrange-contaminated by the roll(y, 1..3) above) to the
+        # tail — zero BOTH contaminated ends so they cannot masquerade
         # as valid symbols (callers should skip the first few symbols
         # either way; see module docstring).
-        wrap = jnp.abs(d_int + 1) + 3
+        lo = 3 + jnp.maximum(shift, 0)
+        hi = yd.shape[0] + jnp.minimum(shift, 0)
         idx = jnp.arange(yd.shape[0])
-        yd = jnp.where(idx < wrap, 0.0 + 0.0j, yd)
+        yd = jnp.where((idx < lo) | (idx >= hi), 0.0 + 0.0j, yd)
 
         # --- symbol downsample: pick the max-energy phase (static
         # shape; traced index).

@@ -14,6 +14,7 @@ beside the sources; if no toolchain is available the pure-Python IO in
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -26,10 +27,22 @@ __all__ = ["NativeBlockReader", "NativeBlockWriter", "native_available"]
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libcomms_io.so"
+_HASH = _DIR / "libcomms_io.so.srchash"
 _SRC = _DIR / "loader.cpp"
 _lib = None
 _lib_lock = threading.Lock()
 _build_error: Optional[str] = None
+
+
+def _build(src_hash: str) -> None:
+    """Compile loader.cpp -> libcomms_io.so and record the source hash
+    it was built from (freshness is content-addressed, never mtime)."""
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+         str(_SRC), "-o", str(_SO)],
+        check=True, capture_output=True, text=True,
+    )
+    _HASH.write_text(src_hash)
 
 
 def _get_lib():
@@ -40,28 +53,32 @@ def _get_lib():
         if _build_error is not None:
             raise RuntimeError(f"native IO unavailable: {_build_error}")
         try:
-            stale = (not _SO.exists()
-                     or _SO.stat().st_mtime < _SRC.stat().st_mtime)
+            src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
+            stale = (not _SO.exists() or not _HASH.exists()
+                     or _HASH.read_text().strip() != src_hash)
         except OSError as e:
             _build_error = str(e)
             raise RuntimeError(f"native IO unavailable: {e}") from e
-        if stale:
+        try:
+            if stale:
+                _build(src_hash)
+        except (OSError, subprocess.CalledProcessError) as e:
+            _build_error = getattr(e, "stderr", str(e)) or str(e)
+            raise RuntimeError(
+                f"native IO unavailable: {_build_error}"
+            ) from e
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as first:  # wrong-arch or corrupt .so: rebuild once
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                     str(_SRC), "-o", str(_SO)],
-                    check=True, capture_output=True, text=True,
-                )
+                _build(src_hash)
+                lib = ctypes.CDLL(str(_SO))
             except (OSError, subprocess.CalledProcessError) as e:
-                _build_error = getattr(e, "stderr", str(e)) or str(e)
+                _build_error = (getattr(e, "stderr", None)
+                                or f"{first}; rebuild failed: {e}")
                 raise RuntimeError(
                     f"native IO unavailable: {_build_error}"
                 ) from e
-        try:
-            lib = ctypes.CDLL(str(_SO))
-        except OSError as e:  # wrong-arch or corrupt .so
-            _build_error = str(e)
-            raise RuntimeError(f"native IO unavailable: {e}") from e
         lib.reader_open.restype = ctypes.c_void_p
         lib.reader_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                     ctypes.c_uint32, ctypes.c_int]

@@ -22,18 +22,39 @@ def hann(n: int) -> np.ndarray:
 
 
 def _segments(x, nperseg: int, noverlap: int):
+    x = jnp.asarray(x)
     step = nperseg - noverlap
+    if step <= 0:
+        raise ValueError(f"noverlap {noverlap} must be < nperseg {nperseg}")
     nseg = (x.shape[0] - noverlap) // step
     if nseg < 1:
         raise ValueError(
             f"signal length {x.shape[0]} shorter than one segment "
             f"({nperseg})"
         )
-    # gather-free overlapped view: for 50% overlap (the default), two
-    # shifted reshapes; general case uses stride slicing per offset.
-    idx0 = jnp.arange(nseg) * step
-    segs = [jnp.asarray(x)[i * step: i * step + nperseg] for i in range(nseg)]
-    return jnp.stack(segs)
+    if nperseg % step == 0:
+        # Gather-free overlapped view: when step divides nperseg the
+        # segments split into k = nperseg/step interleaved groups, one
+        # contiguous shifted reshape each (k=2 at the default 50%
+        # overlap) — O(k) HLO ops total, not O(nseg).
+        k = nperseg // step
+        parts = []
+        for o in range(k):
+            m = -(-(nseg - o) // k) if nseg > o else 0
+            part = x[o * step: o * step + m * nperseg].reshape(m, nperseg)
+            parts.append(part)
+        mmax = parts[0].shape[0]
+        padded = [
+            jnp.concatenate(
+                [p, jnp.zeros((mmax - p.shape[0], nperseg), p.dtype)])
+            if p.shape[0] < mmax else p
+            for p in parts
+        ]
+        inter = jnp.stack(padded, axis=1).reshape(mmax * k, nperseg)
+        return inter[:nseg]
+    # Non-dividing overlaps: one gather op.
+    idx = jnp.arange(nseg)[:, None] * step + jnp.arange(nperseg)[None, :]
+    return x[idx]
 
 
 def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,

@@ -30,8 +30,16 @@ __all__ = ["save_state", "load_state"]
 _COMPLEX_TAG = "__complex_pairs__"
 
 
+def _norm_path(path) -> str:
+    """np.savez appends .npz when missing; normalize up front so the
+    array file and the json sidecar always share one basename."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
+
+
 def save_state(path, state: Any, meta: dict | None = None) -> None:
     """Snapshot a state pytree to an .npz (+ json metadata)."""
+    path = _norm_path(path)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {}
     tags = []
@@ -60,14 +68,20 @@ def load_state(path, like: Any):
     ``like``: a template pytree with the target structure and dtypes
     (e.g. ``pipeline.init_state()``).
     """
+    path = _norm_path(path)
     data = np.load(path)
-    with open(str(path) + ".json") as f:
+    with open(path + ".json") as f:
         sidecar = json.load(f)
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
     if len(like_leaves) != sidecar["num_leaves"]:
         raise ValueError(
             f"checkpoint has {sidecar['num_leaves']} leaves, template "
             f"has {len(like_leaves)}"
+        )
+    if sidecar.get("treedef", str(treedef)) != str(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch: saved treedef "
+            f"{sidecar['treedef']!r} != template {str(treedef)!r}"
         )
     out = []
     for i, (tag, tmpl) in enumerate(zip(sidecar["tags"], like_leaves)):

@@ -252,3 +252,24 @@ def test_stream_runner_max_blocks():
     r.run(max_blocks=3)
     assert r.blocks_done == 3 and len(outs) == 3
     assert int(r.state) == 3
+
+
+def test_checkpoint_path_without_extension(tmp_path):
+    state = (jnp.arange(4, dtype=jnp.float32),)
+    checkpoint.save_state(tmp_path / "noext", state)
+    # loadable under either spelling
+    a = checkpoint.load_state(tmp_path / "noext", state)
+    b = checkpoint.load_state(tmp_path / "noext.npz", state)
+    assert np.array_equal(np.asarray(a[0]), np.arange(4, dtype=np.float32))
+    assert np.array_equal(np.asarray(b[0]), np.arange(4, dtype=np.float32))
+
+
+def test_checkpoint_treedef_mismatch_raises(tmp_path):
+    import pytest
+
+    state = (jnp.zeros(3), jnp.ones(3))
+    checkpoint.save_state(tmp_path / "s.npz", state)
+    # same leaf count, different structure
+    template = {"a": jnp.zeros(3), "b": jnp.ones(3)}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        checkpoint.load_state(tmp_path / "s.npz", template)

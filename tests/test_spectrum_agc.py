@@ -63,3 +63,17 @@ def test_agc_scan_tracks_step():
     y, g = agc.agc_scan(jnp.asarray(x), agc.agc_init(), rate=5e-2)
     tail = np.abs(np.asarray(y)[-200:])
     assert abs(float(tail.mean()) - 1.0) < 0.1
+
+
+def test_segments_matches_naive_slicing():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=4097).astype(np.float32)
+    for nperseg, noverlap in [(256, 128), (256, 192), (100, 37), (64, 0)]:
+        step = nperseg - noverlap
+        nseg = (len(x) - noverlap) // step
+        want = np.stack([x[i * step: i * step + nperseg]
+                         for i in range(nseg)])
+        got = np.asarray(spectrum._segments(jnp.asarray(x), nperseg,
+                                            noverlap))
+        assert got.shape == want.shape, (nperseg, noverlap)
+        assert np.array_equal(got, want), (nperseg, noverlap)
