@@ -27,7 +27,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["PrnSpec", "prn_block", "prn_bits_host", "PRBS7_POLY"]
+__all__ = ["PrnSpec", "prn_block", "prn_bits_host", "PRBS7_POLY",
+           "shard_shift_matrices"]
 
 # x^7 + x^6 + 1 (PRBS7) expressed as the reference's poly bitmask for
 # an 8-bit register: taps on state bits 7 and 6 -> 0xC0 (prns.rs doc).
@@ -54,6 +55,18 @@ def _companion_matrix(poly_mask: int, width: int) -> np.ndarray:
     return A
 
 
+def _gf2_matpow(A: np.ndarray, e: int) -> np.ndarray:
+    """A^e over GF(2) via square-and-multiply (host numpy)."""
+    An = np.eye(A.shape[0], dtype=np.uint8)
+    P = A.copy()
+    while e:
+        if e & 1:
+            An = (An.astype(np.int64) @ P % 2).astype(np.uint8)
+        P = (P.astype(np.int64) @ P % 2).astype(np.uint8)
+        e >>= 1
+    return An
+
+
 @dataclass(frozen=True)
 class PrnSpec:
     """Precomputed block-generation matrices for one LFSR config.
@@ -63,12 +76,15 @@ class PrnSpec:
       adv_matrix: [W, W] uint8 — ``s' = (adv_matrix @ s) % 2``.
       width: register width in bits.
       block: bits produced per step.
+      companion: [W, W] uint8 — the single-step matrix A (for derived
+        advance matrices, e.g. per-shard offsets under time-sharding).
     """
 
     out_matrix: np.ndarray = field(repr=False)
     adv_matrix: np.ndarray = field(repr=False)
     width: int
     block: int
+    companion: np.ndarray = field(repr=False, default=None)
 
     @staticmethod
     def make(poly_mask: int, width: int, block: int) -> "PrnSpec":
@@ -85,16 +101,8 @@ class PrnSpec:
             ).astype(np.uint8)
             Ak = (Ak.astype(np.int64) @ Ak % 2).astype(np.uint8)
         rows = rows[:block]
-        # A^block via square-and-multiply over GF(2).
-        An = np.eye(width, dtype=np.uint8)
-        P = A.copy()
-        e = block
-        while e:
-            if e & 1:
-                An = (An.astype(np.int64) @ P % 2).astype(np.uint8)
-            P = (P.astype(np.int64) @ P % 2).astype(np.uint8)
-            e >>= 1
-        return PrnSpec(rows, An, width, block)
+        An = _gf2_matpow(A, block)
+        return PrnSpec(rows, An, width, block, A)
 
     def init_state(self, seed: int):
         """Register seed (the reference's ``state`` integer) -> device
@@ -114,6 +122,30 @@ def prn_block(spec: PrnSpec, state):
     bits = jnp.mod(M.astype(jnp.int32) @ s32, 2).astype(jnp.int8)
     new_state = jnp.mod(A.astype(jnp.int32) @ s32, 2).astype(jnp.int8)
     return bits, new_state
+
+
+def shard_shift_matrices(spec: PrnSpec, n_shards: int) -> np.ndarray:
+    """[n_shards, W, W] uint8 stack: entry s = A^(s * block/n_shards).
+
+    Shard s of a time-sharded block owns global bits
+    [s*local, (s+1)*local); its effective register is
+    ``A^(s*local) @ s0``, so its bits are
+    ``out_matrix[:local] @ (stack[s] @ s0)`` — exact parity with the
+    single-device sequence, with per-shard work 1/n of the block
+    (reference LFSR: prns.rs:64-72)."""
+    if spec.companion is None:
+        raise ValueError("PrnSpec built without companion matrix")
+    if spec.block % n_shards:
+        raise ValueError(
+            f"block {spec.block} not divisible by {n_shards} shards")
+    local = spec.block // n_shards
+    step = _gf2_matpow(spec.companion, local)
+    out = np.empty((n_shards, spec.width, spec.width), np.uint8)
+    cur = np.eye(spec.width, dtype=np.uint8)
+    for s in range(n_shards):
+        out[s] = cur
+        cur = (cur.astype(np.int64) @ step % 2).astype(np.uint8)
+    return out
 
 
 def prn_bits_host(poly_mask: int, seed: int, width: int, n: int) -> np.ndarray:

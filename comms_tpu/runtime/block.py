@@ -318,18 +318,44 @@ class Nco(BlockOp):
     def init_state(self, dtype=jnp.complex64):
         return jnp.asarray(self.phase0, dtype=jnp.float32)
 
+    def out_dtype(self, in_dtype):
+        return jnp.result_type(in_dtype, jnp.complex64)
+
     def apply(self, state, perr):
         return _mixer.nco_block(perr, state, self.dphase)
 
-    def shard_apply(self, state, x_local, axis: str):
-        # The NCO phase depends on the cumulative sum of ALL previous
-        # phase errors — a cross-shard prefix sum.  Not implemented;
-        # the default hook would silently start every shard from the
-        # same phase.
-        raise NotImplementedError(
-            "Nco cannot run time-sharded (cross-shard prefix sum); "
-            "keep carrier loops at symbol rate on one shard"
-        )
+    def shard_apply(self, state, perr_local, axis: str):
+        # The NCO phase is the cumulative sum of dphase steps plus ALL
+        # previous phase errors (nco.rs:71-78) — a cross-shard prefix
+        # sum.  Each shard's starting phase = carried phase
+        # + s * (local_n * dphase mod 2pi)            [host-exact f64]
+        # + sum of every earlier shard's perr total   [one all_gather
+        #   of n scalars; the masked sum is the prefix].
+        from jax import lax as _lax
+
+        local_n = int(perr_local.shape[0])
+        adv = float(np.mod(
+            np.float64(local_n)
+            * np.float64(_mixer.normalize_dphase(self.dphase)),
+            2.0 * np.pi))
+        n = _lax.axis_size(axis)
+        idx = _lax.axis_index(axis)
+        t = jnp.sum(perr_local)
+        all_t = _lax.all_gather(t, axis)                    # [n]
+        prefix = jnp.sum(
+            jnp.where(jnp.arange(n) < idx, all_t, 0.0).astype(t.dtype))
+        phase_s = jnp.mod(
+            state
+            + jnp.mod(idx.astype(jnp.float32) * jnp.float32(adv),
+                      jnp.float32(2.0 * np.pi))
+            + prefix,
+            jnp.float32(2.0 * np.pi))
+        y, _ = _mixer.nco_block(perr_local, phase_s, self.dphase)
+        new_phase = jnp.mod(
+            state + jnp.float32(np.mod(n * np.float64(adv), 2.0 * np.pi))
+            + jnp.sum(all_t),
+            jnp.float32(2.0 * np.pi)).astype(state.dtype)
+        return y, new_phase
 
 
 @dataclasses.dataclass(frozen=True)
@@ -565,15 +591,32 @@ class QpskMod(BlockOp):
 
 @dataclasses.dataclass(frozen=True)
 class _SourceOp(BlockOp):
-    """Base for free-running sources: no time-sharded form (a sharded
-    source needs per-shard sequence partitioning; generate on one
-    shard or feed the pipeline instead)."""
+    """Base for free-running sources.
+
+    Under time-sharding every shard regenerates the full block (the
+    threefry draw is a pure function of the carried key) and slices
+    its own chunk — bit-exact parity with the single-device sequence.
+    Generation is replicated, not distributed, but sources are VPU
+    noise-making, never the bottleneck; the downstream pipeline still
+    scales.  ``PrnSource`` overrides with a truly distributed form
+    (per-shard GF(2) advance matrices)."""
 
     def shard_apply(self, state, x_local, axis: str):
-        raise NotImplementedError(
-            f"{type(self).__name__} cannot run time-sharded; feed the "
-            "pipeline with pre-generated blocks"
-        )
+        from jax import lax as _lax
+
+        y_full, new_state = self.apply(state, None)
+        n = _lax.axis_size(axis)
+        if n == 1:
+            return y_full, new_state
+        B = int(y_full.shape[0])
+        if B % n:
+            raise ValueError(
+                f"{type(self).__name__} block {B} not divisible "
+                f"across {n} shards")
+        local = B // n
+        idx = _lax.axis_index(axis)
+        y = _lax.dynamic_slice_in_dim(y_full, idx * local, local, axis=0)
+        return y, new_state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -592,6 +635,29 @@ class PrnSource(_SourceOp):
 
     def apply(self, state, _x=None):
         return _prns.prn_block(self.spec, state)
+
+    def shard_apply(self, state, x_local, axis: str):
+        # Distributed exact form: shard s generates bits
+        # [s*local, (s+1)*local) from register A^(s*local) @ s0 —
+        # per-shard work is 1/n of the block and the concatenated
+        # output is bit-identical to the single-device sequence.
+        from jax import lax as _lax
+
+        n = _lax.axis_size(axis)
+        if n == 1:
+            return self.apply(state)
+        spec = self.spec
+        local = spec.block // n
+        shift = _prns.shard_shift_matrices(spec, n)       # [n, W, W]
+        idx = _lax.axis_index(axis)
+        A_s = jnp.take(jnp.asarray(shift, jnp.int32), idx, axis=0)
+        s32 = state.astype(jnp.int32)
+        s_shard = jnp.mod(A_s @ s32, 2)
+        M_local = jnp.asarray(spec.out_matrix[:local], jnp.int32)
+        bits = jnp.mod(M_local @ s_shard, 2).astype(jnp.int8)
+        A_blk = jnp.asarray(spec.adv_matrix, jnp.int32)
+        new_state = jnp.mod(A_blk @ s32, 2).astype(jnp.int8)
+        return bits, new_state
 
 
 @dataclasses.dataclass(frozen=True)

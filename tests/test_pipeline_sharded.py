@@ -87,12 +87,53 @@ def test_sharded_pulse_shaping_symbol_domain():
     _run_both(pipe, bits)
 
 
-def test_sharded_rejects_sources():
+def test_sharded_prn_source_bit_exact():
+    # Distributed LFSR: per-shard advance matrices make the sharded
+    # source bit-identical to the single-device sequence, blocks deep.
     pipe = Pipeline([PrnSource.make(0xC0, 1, 8, 64)])
     mesh = sh.time_mesh(8)
     step = pipe.make_sharded_step(mesh)
-    with pytest.raises(NotImplementedError):
-        step(pipe.init_state(), jnp.zeros((64,), jnp.int8))
+    s_ref, s_sh = pipe.init_state(), pipe.init_state()
+    for b in range(3):
+        y_ref, s_ref = pipe.step(s_ref, None)
+        y_sh, s_sh = step(s_sh, None)
+        assert np.array_equal(np.asarray(y_sh), np.asarray(y_ref)), b
+        assert np.array_equal(np.asarray(s_sh[0]), np.asarray(s_ref[0])), b
+
+
+def test_sharded_random_sources_bit_exact():
+    from comms_tpu.runtime import (NormalSource, RandomBitSource,
+                                   UniformSource)
+    mesh = sh.time_mesh(8)
+    for src in (UniformSource(block=256, start=-1.0, end=1.0, seed=7),
+                NormalSource(block=256, mu=0.5, std_dev=2.0, seed=9),
+                RandomBitSource(block=256, seed=11)):
+        pipe = Pipeline([src])
+        step = pipe.make_sharded_step(mesh)
+        s_ref, s_sh = pipe.init_state(), pipe.init_state()
+        for b in range(2):
+            y_ref, s_ref = pipe.step(s_ref, None)
+            y_sh, s_sh = step(s_sh, None)
+            assert np.array_equal(np.asarray(y_sh), np.asarray(y_ref)), (
+                type(src).__name__, b)
+
+
+def test_sharded_source_headed_tx_chain():
+    # Full source-headed tx pipeline sharded end to end.
+    t = taps.rrc_taps(32, 4.0, 0.25).astype(np.complex64)
+    pipe = Pipeline([
+        PrnSource.make(0xC0, 0x5A, 8, 512),
+        BpskMod(),
+        PulseShape.make(t, 4),
+    ])
+    mesh = sh.time_mesh(8)
+    step = pipe.make_sharded_step(mesh)
+    s_ref, s_sh = pipe.init_state(), pipe.init_state()
+    for b in range(3):
+        y_ref, s_ref = pipe.step(s_ref, None)
+        y_sh, s_sh = step(s_sh, None)
+        assert np.allclose(np.asarray(y_sh), np.asarray(y_ref),
+                           atol=1e-6), b
 
 
 def test_sharded_validates_halo_vs_shard():
@@ -102,13 +143,24 @@ def test_sharded_validates_halo_vs_shard():
     with pytest.raises(ValueError):
         pipe.make_sharded_step(mesh, block=8 * 64)  # 64 <= halo 128
 
-def test_sharded_rejects_nco():
+def test_sharded_nco_prefix_sum():
+    # NCO under time-sharding: cross-shard prefix sum of phase errors
+    # must reproduce the single-device cumulative phase exactly.
     from comms_tpu.runtime import Nco
-    pipe = Pipeline([Nco(dphase=0.1)])
+    rng = np.random.default_rng(5)
+    pipe = Pipeline([Nco(dphase=0.37, phase0=1.1)])
     mesh = sh.time_mesh(8)
     step = pipe.make_sharded_step(mesh)
-    with pytest.raises(NotImplementedError):
-        step(pipe.init_state(), jnp.zeros(64, jnp.float32))
+    s_ref, s_sh = pipe.init_state(), pipe.init_state()
+    for b in range(3):
+        perr = (0.01 * rng.normal(size=4096)).astype(np.float32)
+        y_ref, s_ref = pipe.step(s_ref, jnp.asarray(perr))
+        y_sh, s_sh = step(s_sh, jnp.asarray(perr))
+        assert np.allclose(np.asarray(y_sh), np.asarray(y_ref),
+                           atol=2e-5), b
+        # carried phase stays in lockstep (mod 2pi)
+        d = abs(float(s_sh[0]) - float(s_ref[0]))
+        assert min(d, abs(d - 2 * np.pi)) < 2e-4, b
 
 
 def test_sharded_random_pipelines_fuzz():
