@@ -47,6 +47,7 @@ class _NodeSpec:
     inputs: Tuple[str, ...]
     feedback: bool = False       # inputs are read from previous block
     default: Any = None          # priming value for feedback edges
+    elementwise: Optional[bool] = None  # raw callables: shard-safety
 
 
 class Graph:
@@ -68,10 +69,19 @@ class Graph:
         return name
 
     def add_node(self, name: str, op, inputs: Sequence[str] = (),
-                 feedback_from: Optional[Dict[str, Any]] = None) -> str:
+                 feedback_from: Optional[Dict[str, Any]] = None,
+                 elementwise: Optional[bool] = None) -> str:
         """Add a named op.  ``inputs`` are producer names (external or
         node).  ``feedback_from`` maps producer name -> priming default
-        for cycle edges (read the producer's previous-block output)."""
+        for cycle edges (read the producer's previous-block output).
+
+        ``elementwise`` declares a RAW CALLABLE's shard-safety: True
+        means output sample i depends only on input sample(s) i, so
+        running it per-shard equals the single-device result.
+        ``make_sharded_step`` refuses undeclared raw callables (a
+        reduction run per-shard would silently compute per-shard
+        values).  Ignored for :class:`BlockOp` nodes — those carry
+        their own ``shard_apply`` contract."""
         if name in self._nodes or name in self._external:
             raise ValueError(f"duplicate node name {name!r}")
         fb = feedback_from or {}
@@ -82,6 +92,7 @@ class Graph:
         self._nodes[name] = _NodeSpec(
             name, op,
             tuple(f"{name}@fb:{p}" if p in fb else p for p in inputs),
+            elementwise=elementwise,
         )
         self._order.append(name)
         self._compiled = None
@@ -214,13 +225,33 @@ class Graph:
         its ``shard_apply`` hook, external inputs and outputs are
         sharded over ``axis``, op states stay replicated.
 
-        Feedback edges carry the previous block SHARD-LOCALLY (shard i
-        reads its own slice of the producer's previous output) — equal
-        to single-device semantics for elementwise consumers; nodes
-        that reduce over a feedback value need a custom psum op.
+        Feedback edges carry the previous block sharded over ``axis``
+        — the identical layout to a live sharded stream input, so any
+        BlockOp consumer handles it correctly through its own
+        ``shard_apply`` (halo exchange, psum, shard offsets).  Raw
+        callables run per-shard with no collectives, so they must be
+        declared ``elementwise=True`` at ``add_node`` time; undeclared
+        (or declared non-elementwise) raw callables raise here rather
+        than silently computing per-shard values — e.g. a reducing
+        feedback consumer.
         """
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+
+        for spec in self._nodes.values():
+            if spec.feedback or isinstance(spec.op, BlockOp):
+                continue
+            if spec.op is not None and spec.elementwise is not True:
+                raise ValueError(
+                    f"node {spec.name!r} is a raw callable not declared "
+                    "elementwise=True; per-shard execution of a "
+                    "non-elementwise function (e.g. a reduction over a "
+                    "feedback edge) would silently diverge from the "
+                    "single-device graph.  Declare "
+                    "add_node(..., elementwise=True) if it is "
+                    "sample-wise, or wrap it in a BlockOp with a "
+                    "collective-aware shard_apply."
+                )
 
         local_step = self._make_step(
             op_apply=lambda op, st, x: op.shard_apply(st, x, axis))

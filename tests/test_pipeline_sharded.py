@@ -280,3 +280,47 @@ def test_sharded_rational_resample():
     x = (rng.normal(size=(2, 8 * 256)) + 1j * rng.normal(size=(2, 8 * 256))
          ).astype(np.complex64)
     _run_both(pipe, x)
+
+
+def test_sharded_graph_feedback_doubling():
+    # Feedback under sharding: an elementwise consumer of a feedback
+    # edge must track the single-device graph exactly (the reference's
+    # doubling loop, src/node/mod.rs:945-1009, at block granularity).
+    from comms_tpu.runtime import Graph
+
+    def build():
+        g = Graph()
+        g.add_input("x")
+        g.add_node("sum", lambda a, b: a + b, ["x", "acc"],
+                   feedback_from={"acc": jnp.zeros(64, jnp.float32)},
+                   elementwise=True)
+        g.add_node("acc", Lambda(lambda v: v), ["sum"])
+        g.set_outputs(["acc"])
+        return g
+
+    g_ref, g_sh = build(), build()
+    step_ref = g_ref.compile()
+    mesh = sh.time_mesh(8)
+    step_sh = g_sh.make_sharded_step(mesh)
+    s_ref, s_sh = g_ref.init_state(), g_sh.init_state()
+    x = jnp.ones(64, jnp.float32)
+    for b in range(5):
+        (y_ref,), s_ref = step_ref(s_ref, {"x": x})
+        (y_sh,), s_sh = step_sh(s_sh, {"x": x})
+        assert np.array_equal(np.asarray(y_sh), np.asarray(y_ref)), b
+    assert float(np.asarray(y_ref)[0]) == 5.0  # 1+1+1+1+1 accumulated
+
+
+def test_sharded_graph_rejects_undeclared_raw_callable():
+    # A reducing feedback consumer must raise at compile time, not
+    # silently compute per-shard sums.
+    from comms_tpu.runtime import Graph
+
+    g = Graph()
+    g.add_input("x")
+    g.add_node("power", lambda v: jnp.sum(jnp.abs(v) ** 2) * jnp.ones_like(v),
+               ["x"])
+    g.set_outputs(["power"])
+    mesh = sh.time_mesh(8)
+    with pytest.raises(ValueError, match="elementwise"):
+        g.make_sharded_step(mesh)
