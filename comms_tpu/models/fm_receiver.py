@@ -181,12 +181,36 @@ def make_scan_fn(cfg: FmReceiverConfig):
     return scan
 
 
+def _tail_valid_out(cfg: FmReceiverConfig, v: int) -> int:
+    """Audio samples of a length-``v`` ragged tail that are exact
+    samples of the infinite stream.  The whole chain is causal —
+    audio[j] depends only on inputs <= j*dec1*dec2 — so zero-padding
+    the tail to a full block and truncating to this count reproduces
+    the unchopped stream exactly (SURVEY.md section 7, ragged tails)."""
+    mid = -(-v // cfg.dec1)
+    return -(-mid // cfg.dec2)
+
+
+def _append_tail(block_fn, state, tail_iq: np.ndarray,
+                 cfg: FmReceiverConfig, chunks: list) -> None:
+    """Process a final ragged block: pad to the full static block
+    shape (reusing the already-compiled step — no retrace) and keep
+    only the causally-valid prefix of the audio."""
+    v = int(tail_iq.shape[0])
+    if v == 0:
+        return
+    pad = np.zeros((cfg.block - v, 2), np.uint8)
+    audio, _ = block_fn(state, jnp.asarray(np.concatenate([tail_iq, pad])))
+    chunks.append(np.asarray(audio)[: _tail_valid_out(cfg, v)])
+
+
 def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
              out_path=None) -> np.ndarray:
     """Demodulate a recorded u8-IQ file; returns (and optionally
-    writes, as f32 PCM) the audio stream.  The final partial block
-    (less than cfg.block samples) is dropped — static shapes under
-    jit; pad the capture or shrink cfg.block for exact tails."""
+    writes, as f32 PCM) the audio stream.  A final partial block is
+    zero-padded to the static block shape and masked to its
+    causally-valid length, so a capture of ANY length demodulates to
+    the exact sample (no dropped tail)."""
     cfg = cfg or FmReceiverConfig()
     block = make_block_fn(cfg)
     state = init_state(cfg)
@@ -209,7 +233,11 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
         with reader as rd:
             while True:
                 iq = rd.next_block()
-                if iq is None or iq.shape[0] < cfg.block:
+                if iq is None:
+                    break
+                if iq.shape[0] < cfg.block:
+                    # borrowed buffer: copy before the ring reclaims it
+                    _append_tail(block, state, np.array(iq), cfg, chunks)
                     break
                 audio, state = block(state, jnp.asarray(iq))
                 chunks.append(np.asarray(audio))
@@ -218,6 +246,10 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
             while True:
                 data = f.read(nbytes)
                 if len(data) < nbytes:
+                    iq = np.frombuffer(
+                        data[: 2 * (len(data) // 2)], dtype=np.uint8
+                    ).reshape(-1, 2)
+                    _append_tail(block, state, iq, cfg, chunks)
                     break
                 iq = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
                 audio, state = block(state, jnp.asarray(iq))

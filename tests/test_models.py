@@ -280,3 +280,36 @@ def test_fm_band_monitor_streaming():
     a2, st = block(st, jnp.asarray(pairs[cfg.block:]))
     got = np.concatenate([np.asarray(a1), np.asarray(a2)], axis=1)
     assert np.allclose(got, np.asarray(a_once), atol=1e-4)
+
+
+def test_run_file_ragged_tail_exact(tmp_path):
+    # A capture of ANY length demodulates to the exact sample: the
+    # final partial block is zero-padded and masked to its causally-
+    # valid audio length (SURVEY section 7 hard part).
+    from comms_tpu.models import fm_receiver as fm
+
+    rng = np.random.default_rng(7)
+    B = 25 * 400            # polyphase streaming path
+    L = 2 * B + 4321        # ragged tail
+    ph = np.cumsum(0.3 + 0.02 * rng.normal(size=L))
+    iq_f = np.exp(1j * ph)
+    iq = np.stack([
+        np.clip(np.round(iq_f.real * 100 + 127.5), 0, 255),
+        np.clip(np.round(iq_f.imag * 100 + 127.5), 0, 255),
+    ], axis=-1).astype(np.uint8)
+    p = tmp_path / "capture.iq"
+    iq.tofile(p)
+
+    audio = fm.run_file(p, fm.FmReceiverConfig(block=B))
+
+    # oracle: identical chain, unchopped (one big polyphase block)
+    Lp = -(-L // 25) * 25
+    cfg_big = fm.FmReceiverConfig(block=Lp)
+    blk = fm.make_block_fn(cfg_big)
+    full = np.concatenate([iq, np.zeros((Lp - L, 2), np.uint8)])
+    a_ref, _ = blk(fm.init_state(cfg_big), jnp.asarray(full))
+    a_ref = np.asarray(a_ref)[: fm._tail_valid_out(cfg_big, L)]
+
+    ceil_mid = -(-L // 5)
+    assert audio.shape == a_ref.shape == (-(-ceil_mid // 5),)
+    assert np.allclose(audio, a_ref, atol=1e-5)
