@@ -150,30 +150,46 @@ def test_sharded_channelizer_time_sharded():
 
 
 def test_distributed_fft_matches_numpy():
+    # Natural-order output directly from the second all_to_all.
     from comms_tpu.parallel import dfft as dfft_mod
     rng = np.random.default_rng(4)
     N = 1024
     x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
     mesh = sh.time_mesh(8)
     dfft = dfft_mod.make_dfft(N, mesh)
-    xs = dfft(jnp.asarray(x))
-    got = np.asarray(dfft.unshuffle(xs))
+    got = np.asarray(dfft(jnp.asarray(x)))
     expected = np.fft.fft(x)
     scale = np.max(np.abs(expected))
     assert np.max(np.abs(got - expected)) / scale < 1e-5
 
 
-def test_distributed_fft_large():
+def test_distributed_fft_large_2pow20():
+    # Integer-mod twiddles: precision must NOT degrade with N
+    # (round-1 version needed 2e-4 already at 2^16).
     from comms_tpu.parallel import dfft as dfft_mod
     rng = np.random.default_rng(5)
-    N = 1 << 16
+    N = 1 << 20
     x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
     mesh = sh.time_mesh(8)
     dfft = dfft_mod.make_dfft(N, mesh)
-    got = np.asarray(dfft.unshuffle(dfft(jnp.asarray(x))))
+    got = np.asarray(dfft(jnp.asarray(x)))
     expected = np.fft.fft(x)
     scale = np.max(np.abs(expected))
-    assert np.max(np.abs(got - expected)) / scale < 2e-4
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
+
+
+def test_distributed_fft_batched():
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(6)
+    N = 1 << 12
+    x = (rng.normal(size=(4, N)) + 1j * rng.normal(size=(4, N))
+         ).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh)
+    got = np.asarray(dfft(jnp.asarray(x)))
+    expected = np.fft.fft(x, axis=-1)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
 
 
 def test_host_feed_single_process():
