@@ -1,17 +1,24 @@
-"""Benchmark: end-to-end FM-receiver chain throughput on one chip.
+"""Benchmark suite: every flagship model plus kernel rooflines.
 
-Prints ONE JSON line:
+Prints one JSON line per row; the FINAL line is the flagship
+FM-receiver chain (same metric name as round 1, so driver history
+stays comparable):
+
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+
+Kernel rows additionally report ``pct_of_sol`` against the measured
+~2.7 TB/s copy roofline of this chip (docs/PERF.md) and whether the
+kernel is memory- or compute-bound.
 
 Baseline: the reference's implied real-time bound — its threaded FM
 pipeline keeps up with an RTL-SDR at 1.14 Msps complex input
 (examples/fm_radio.rs:57,144; BASELINE.md).  vs_baseline is the
-speedup over that 1.14 Msamples/s sustained rate.
+speedup over that 1.14 Msamples/s rate.
 
-The chain is the full fm_receiver block (u8 convert -> 63-tap FIR ->
-/5 -> FM demod -> 63-tap FIR -> /5) on 2^18-sample blocks, steady
-state, input pre-staged on device, output fetched (audio is 1/25 of
-input so the d2h cost is real but small, as in production streaming).
+Methodology: inputs pre-staged on device (the axon tunnel moves
+host<->device payloads at ~1 MB/s — a file-driven run would measure
+the tunnel, not the framework); best-of-reps inside a per-row time
+budget (tunnel throughput varies up to ~50x between windows).
 """
 
 import json
@@ -19,52 +26,207 @@ import time
 
 import numpy as np
 
+BASELINE_MSPS = 1.14          # reference real-time bound (BASELINE.md)
+MEASURED_HBM_GBPS = 2700.0    # this chip's copy roofline (docs/PERF.md)
 
-def main():
+
+def _bench_best(fn, args, budget_s=25.0, max_reps=4):
+    """Best-of-reps wall seconds for ``fn(*args)`` (sync'd)."""
+    import jax
+
+    out = fn(*args)                      # compile + warm
+    jax.block_until_ready(out)
+    best = float("inf")
+    deadline = time.perf_counter() + budget_s
+    reps = 0
+    while reps < max_reps and time.perf_counter() < deadline:
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+        reps += 1
+    return best
+
+
+def _row(metric, msps, extra=None):
+    r = {"metric": metric, "value": round(msps, 2), "unit": "Msamples/s",
+         "vs_baseline": round(msps / BASELINE_MSPS, 1)}
+    if extra:
+        r.update(extra)
+    print(json.dumps(r), flush=True)
+    return r
+
+
+def _scan_wrap(block_fn, n):
+    """Source-headed block fn -> one dispatch running n blocks."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def scan(state):
+        def body(carry, _):
+            y, carry = block_fn(carry)
+            return carry, y
+
+        final, ys = lax.scan(body, state, None, length=n)
+        return ys, final
+
+    return scan
+
+
+def bench_bpsk_tx():
+    from comms_tpu.models import bpsk_tx
+
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=1 << 20)
+    scan = _scan_wrap(bpsk_tx.make_block_fn(cfg), 4)
+    best = _bench_best(scan, (bpsk_tx.init_state(cfg),))
+    _row("bpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
+
+
+def bench_qpsk_tx():
+    from comms_tpu.models import qpsk_tx
+
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=1 << 21)
+    scan = _scan_wrap(qpsk_tx.make_block_fn(cfg), 4)
+    best = _bench_best(scan, (qpsk_tx.init_state(cfg),))
+    _row("qpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
+
+
+def bench_qpsk_rx():
+    import jax.numpy as jnp
+
+    from comms_tpu.models import qpsk_rx
+
+    cfg = qpsk_rx.QpskRxConfig()
+    rx = qpsk_rx.make_rx_fn(cfg)
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    pairs = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+    best = _bench_best(rx, (pairs,))
+    _row("qpsk_rx_throughput", n / best / 1e6)
+
+
+def bench_channelizer():
+    import jax.numpy as jnp
+
+    from comms_tpu.models import channelizer
+
+    cfg = channelizer.ChannelizerConfig(block=1 << 22)
+    blk = channelizer.make_block_fn(cfg)
+    rng = np.random.default_rng(1)
+    pairs = jnp.asarray(rng.normal(size=(cfg.block, 2)).astype(np.float32))
+    best = _bench_best(blk, (channelizer.init_state(cfg), pairs))
+    _row("channelizer64_throughput", cfg.block / best / 1e6)
+
+
+def bench_band_monitor():
+    import jax.numpy as jnp
+
+    from comms_tpu.models import fm_band_monitor
+
+    cfg = fm_band_monitor.BandMonitorConfig(block=1 << 22)
+    blk = fm_band_monitor.make_block_fn(cfg)
+    rng = np.random.default_rng(2)
+    pairs = jnp.asarray(rng.normal(size=(cfg.block, 2)).astype(np.float32))
+    best = _bench_best(blk, (fm_band_monitor.init_state(cfg), pairs))
+    _row("fm_band_monitor_throughput", cfg.block / best / 1e6)
+
+
+def bench_kernels():
+    import jax.numpy as jnp
+
+    from comms_tpu.ops import fir
+    from comms_tpu.runtime import metrics
+
+    rng = np.random.default_rng(3)
+    n = 1 << 22
+    taps63 = rng.normal(size=63).astype(np.complex64)
+    xp = rng.normal(size=(n, 2)).astype(np.float32)
+    x_pairs = jnp.asarray(xp)
+
+    import jax
+
+    # streaming FIR, 63 complex taps (pairs at the boundary)
+    B = fir.banded_tap_matrix(taps63)
+
+    @jax.jit
+    def fir_k(pairs):
+        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+        y, _ = fir.fir_block(x, B, fir.init_ctx(63))
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+
+    best = _bench_best(fir_k, (x_pairs,))
+    rl = metrics.roofline(bytes_moved=16 * n, flops=8 * 63 * n,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("kernel_fir63_throughput", n / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
+    # polyphase decimating FIR /5 (the FM chain's hot pair)
+    C = fir.decimating_branch_taps(taps63, 5)
+
+    @jax.jit
+    def poly_k(pairs):
+        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+        y, _ = fir.fir_decimate_poly(
+            x, C, jnp.zeros(C.size - 1, jnp.complex64))
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+
+    n5 = (n // 5) * 5
+    best = _bench_best(poly_k, (x_pairs[:n5],))
+    rl = metrics.roofline(bytes_moved=8 * n5 + 8 * n5 // 5,
+                          flops=8 * 63 * n5 // 5,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("kernel_polyphase_fir63_dec5_throughput", n5 / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
+    # batched FFT-1024
+    @jax.jit
+    def fft_k(pairs):
+        x = jax.lax.complex(pairs[:, 0], pairs[:, 1]).reshape(-1, 1024)
+        y = jnp.fft.fft(x)
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+
+    best = _bench_best(fft_k, (x_pairs,))
+    rl = metrics.roofline(bytes_moved=16 * n, flops=5 * n * 10,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("kernel_fft1024_throughput", n / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
+
+def bench_fm_receiver():
     import jax
     import jax.numpy as jnp
 
     from comms_tpu.models import fm_receiver
+    from comms_tpu.runtime import metrics
 
-    # 25 | block -> polyphase decimating-FIR path (5x less FIR work
-    # than filter-then-discard).  Large blocks amortize dispatch
-    # (measured 9.0 Gsps @ 409600, 43.5 @ 1.6M, 147+ @ 6.5M); the
-    # multi-block lax.scan driver runs many blocks per dispatch with
-    # state carried on device.
     cfg = fm_receiver.FmReceiverConfig(block=6553600)
     scan_fn = fm_receiver.make_scan_fn(cfg)
     state = fm_receiver.init_state(cfg)
-
     num_blocks = 8
     rng = np.random.default_rng(0)
     iq = jnp.asarray(rng.integers(
         0, 256, size=(num_blocks, cfg.block, 2), dtype=np.uint8))
-
-    # Warmup / compile.
-    audio, state = scan_fn(state, iq)
-    jax.block_until_ready(audio)
-
-    # The axon tunnel's throughput varies widely between runs; keep a
-    # time budget and report the best rep.
-    best = float("inf")
-    deadline = time.perf_counter() + 90.0
-    reps = 0
-    while reps < 5 and time.perf_counter() < deadline:
-        t0 = time.perf_counter()
-        audio, state = scan_fn(state, iq)
-        jax.block_until_ready(audio)
-        best = min(best, time.perf_counter() - t0)
-        reps += 1
-
+    best = _bench_best(scan_fn, (state, iq), budget_s=90.0, max_reps=5)
     samples = num_blocks * cfg.block
-    msps = samples / best / 1e6
-    baseline_msps = 1.14  # reference real-time bound (BASELINE.md)
-    print(json.dumps({
-        "metric": "fm_receiver_chain_throughput",
-        "value": round(msps, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / baseline_msps, 1),
-    }))
+    # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
+    # (4/25 B/sample); intermediates assumed fused.
+    rl = metrics.roofline(bytes_moved=int(samples * (2 + 4 / 25)),
+                          flops=int(samples * 2 * 26),
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("fm_receiver_chain_throughput", samples / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
+
+def main():
+    for bench in (bench_bpsk_tx, bench_qpsk_tx, bench_qpsk_rx,
+                  bench_channelizer, bench_band_monitor, bench_kernels,
+                  bench_fm_receiver):
+        try:
+            bench()
+        except Exception as e:  # a broken row must not hide the rest
+            print(json.dumps({"metric": bench.__name__, "error": str(e)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ from comms_tpu.models import (  # noqa: F401
     fm_band_monitor,
     fm_receiver,
     play_audio,
+    qpsk_rx_stream,
     qpsk_stream,
     qpsk_tx,
 )

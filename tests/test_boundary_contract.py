@@ -86,3 +86,11 @@ def test_fm_band_monitor_boundary():
     pairs = jnp.zeros((cfg.block, 2), jnp.float32)
     _check(fbm.make_block_fn(cfg), (fbm.init_state(cfg), pairs),
            "fm_band_monitor")
+
+
+def test_qpsk_rx_stream_boundary():
+    from comms_tpu.models import qpsk_rx_stream
+    cfg = qpsk_rx_stream.QpskRxStreamConfig(block=256)
+    step = qpsk_rx_stream.make_stream_fn(cfg)
+    pairs = jnp.zeros((cfg.block, 2), jnp.float32)
+    _check(step, (qpsk_rx_stream.init_state(cfg), pairs), "qpsk_rx_stream")

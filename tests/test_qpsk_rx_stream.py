@@ -1,0 +1,128 @@
+"""Streaming QPSK receiver: zero BER over a long continuous stream
+with a mid-stream carrier-frequency step, driven through StreamRunner.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from comms_tpu.models import qpsk_rx_stream
+from comms_tpu.models.qpsk_rx import decide_bits
+from comms_tpu.ops import taps
+from comms_tpu.runtime.stream import StreamRunner
+
+SPS, T, BETA = 4, 32, 0.25
+
+
+def _tx(bits: np.ndarray) -> np.ndarray:
+    """qpsk_tx waveform: consecutive bit pairs -> RRC-shaped samples."""
+    rrc = np.asarray(taps.rrc_taps(T, float(SPS), BETA))
+    rrc = rrc / np.sqrt(np.sum(np.abs(rrc) ** 2))
+    pairs = bits.reshape(-1, 2)
+    sym = ((2.0 * pairs[:, 0] - 1) + 1j * (2.0 * pairs[:, 1] - 1)
+           ).astype(np.complex64)
+    up = np.zeros(len(sym) * SPS, np.complex64)
+    up[::SPS] = sym
+    return np.convolve(up, rrc.astype(np.complex64))[: len(up)]
+
+
+def _frac_delay(x: np.ndarray, d: float) -> np.ndarray:
+    n = len(x)
+    X = np.fft.fft(np.concatenate([x, np.zeros(256, x.dtype)]))
+    k = np.fft.fftfreq(len(X))
+    return np.fft.ifft(X * np.exp(-2j * np.pi * k * d))[:n].astype(
+        np.complex64)
+
+
+def _best_align(sym: np.ndarray, bits: np.ndarray, start_sym: int,
+                max_lag: int = 24):
+    """Best (errors, compared, rot, lag) over rotations x symbol lags,
+    compared over the FULL overlap (not a prefix)."""
+    best = None
+    for rot in range(4):
+        cand = decide_bits(sym * np.exp(1j * np.pi / 2 * rot))
+        for lag in range(-max_lag, max_lag + 1):
+            ref_start = 2 * (start_sym + lag)
+            if ref_start < 0:
+                continue
+            ref = bits[ref_start:]
+            m = min(len(cand), len(ref))
+            errs = int(np.sum(cand[:m] != ref[:m]))
+            if best is None or errs < best[0]:
+                best = (errs, m, rot, lag)
+    return best
+
+
+def test_streaming_rx_zero_ber_with_freq_step():
+    cfg = qpsk_rx_stream.QpskRxStreamConfig(block=8192)
+    n_blocks = 34
+    M = cfg.syms_per_block
+    n_sym = n_blocks * M + 64
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, size=2 * n_sym).astype(np.uint8)
+    s = _tx(bits)
+
+    # channel: fractional delay + carrier with a frequency STEP at the
+    # stream midpoint + phase offset
+    w1, w2, dstep = 0.01, 0.012, 17 * cfg.block
+    n = np.arange(len(s))
+    dph = np.where(n < dstep, w1, w2)
+    phase = 0.9 + np.cumsum(dph)
+    r = _frac_delay(s, 1.7) * np.exp(1j * phase).astype(np.complex64)
+
+    blocks = [
+        np.stack([r[b * cfg.block:(b + 1) * cfg.block].real,
+                  r[b * cfg.block:(b + 1) * cfg.block].imag],
+                 axis=-1).astype(np.float32)
+        for b in range(n_blocks)
+    ]
+
+    step = qpsk_rx_stream.make_stream_fn(cfg)
+    out = []
+    runner = StreamRunner(step, qpsk_rx_stream.init_state(cfg),
+                          iter(blocks), sink=out.append)
+    runner.run()
+    assert len(out) == n_blocks
+
+    # discard 3 acquisition blocks; everything after must be perfect,
+    # INCLUDING the frequency step at block 17.
+    skip = 3
+    sym = np.concatenate(out[skip:])
+    sym = sym[:, 0] + 1j * sym[:, 1]
+    start_sym = skip * M  # plus pipeline lag, absorbed by the search
+    errs, compared, rot, lag = _best_align(sym, bits, start_sym)
+    assert compared > 60000, compared
+    assert errs == 0, (errs, compared, rot, lag)
+
+
+def test_streaming_rx_block_size_invariance():
+    # The same stream chopped into different block sizes must produce
+    # the same symbol decisions (streaming state is seamless).
+    rng = np.random.default_rng(5)
+    n_sym = 16 * 1024 + 64
+    bits = rng.integers(0, 2, size=2 * n_sym).astype(np.uint8)
+    r = _frac_delay(_tx(bits), 0.6) * np.exp(
+        1j * (0.4 + 0.005 * np.arange(n_sym * SPS))).astype(np.complex64)
+
+    def run(block):
+        cfg = qpsk_rx_stream.QpskRxStreamConfig(block=block)
+        step = qpsk_rx_stream.make_stream_fn(cfg)
+        st = qpsk_rx_stream.init_state(cfg)
+        outs = []
+        usable = (len(r) // block) * block
+        for b in range(usable // block):
+            x = r[b * block:(b + 1) * block]
+            y, st = step(st, jnp.asarray(
+                np.stack([x.real, x.imag], axis=-1).astype(np.float32)))
+            outs.append(np.asarray(y))
+        sym = np.concatenate(outs)
+        return sym[:, 0] + 1j * sym[:, 1]
+
+    a = run(4096)
+    b = run(8192)
+    m = min(len(a), len(b))
+    # skip acquisition (estimator EMA warm-up sequences differ slightly
+    # between choppings); decisions must agree exactly after warm-up
+    skip = 4096
+    da = decide_bits(a[skip:m])
+    db = decide_bits(b[skip:m])
+    assert np.mean(da != db) < 1e-3
