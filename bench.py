@@ -201,18 +201,48 @@ def bench_fm_receiver():
     from comms_tpu.runtime import metrics
 
     cfg = fm_receiver.FmReceiverConfig(block=6553600)
+    num_blocks = 8
+    samples = num_blocks * cfg.block
+    rng = np.random.default_rng(0)
+    # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
+    # (4/25 B/sample); intermediates fused/in-VMEM.
+    floor_bytes = int(samples * (2 + 4 / 25))
+    flops = int(samples * 2 * 26)
+
+    # secondary row: the XLA-fused chain (round-1 path).
     scan_fn = fm_receiver.make_scan_fn(cfg)
     state = fm_receiver.init_state(cfg)
-    num_blocks = 8
-    rng = np.random.default_rng(0)
     iq = jnp.asarray(rng.integers(
         0, 256, size=(num_blocks, cfg.block, 2), dtype=np.uint8))
-    best = _bench_best(scan_fn, (state, iq), budget_s=90.0, max_reps=5)
-    samples = num_blocks * cfg.block
-    # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
-    # (4/25 B/sample); intermediates assumed fused.
-    rl = metrics.roofline(bytes_moved=int(samples * (2 + 4 / 25)),
-                          flops=int(samples * 2 * 26),
+    best = _bench_best(scan_fn, (state, iq), budget_s=60.0, max_reps=4)
+    rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("fm_receiver_xla_throughput", samples / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
+    # FLAGSHIP (final line): the fused Pallas chain — single kernel,
+    # planar u8 planes in, audio out, all intermediates in VMEM
+    # (kernels/fm_chain_pallas.py; parity ~2e-4 vs the XLA chain).
+    from comms_tpu.kernels import fm_chain_pallas as K
+
+    re8 = jnp.asarray(rng.integers(
+        0, 256, size=(num_blocks, cfg.block), dtype=np.uint8))
+    im8 = jnp.asarray(rng.integers(
+        0, 256, size=(num_blocks, cfg.block), dtype=np.uint8))
+
+    @jax.jit
+    def fused_scan(re8, im8):
+        def body(c, x):
+            r, i = x
+            a = K.fm_chain_fused(r, i, K.zero_ctx(),
+                                 fm_receiver.FM_LPF_TAPS,
+                                 fm_receiver.FM_LPF_TAPS)
+            return c, a
+        _, auds = jax.lax.scan(body, 0, (re8, im8))
+        return auds
+
+    best = _bench_best(fused_scan, (re8, im8), budget_s=90.0, max_reps=6)
+    rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
                           seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
     _row("fm_receiver_chain_throughput", samples / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from comms_tpu.ops import demodulation, fir
 
 __all__ = ["FM_LPF_TAPS", "FmReceiverConfig", "make_block_fn",
-           "make_scan_fn", "init_state", "run_file"]
+           "make_scan_fn", "init_state", "run_file",
+           "make_fused_block_fn", "fused_init_state", "FUSED_BLOCK_QUANTUM"]
 
 # Low-pass filter coefficients from the reference example
 # (fm_radio.rs:29-55) — data, symmetric 63-tap LPF.
@@ -202,6 +203,70 @@ def _append_tail(block_fn, state, tail_iq: np.ndarray,
     pad = np.zeros((cfg.block - v, 2), np.uint8)
     audio, _ = block_fn(state, jnp.asarray(np.concatenate([tail_iq, pad])))
     chunks.append(np.asarray(audio)[: _tail_valid_out(cfg, v)])
+
+
+# --------------------------------------------------------------- fused path
+# The single-kernel Pallas chain (kernels/fm_chain_pallas.py): planar u8
+# planes in, audio out, all intermediates in VMEM.  Requires the block
+# length to be a multiple of the kernel's step quantum; streaming state
+# is recomputed per block from the raw input tail with the XLA ops
+# (~26k samples, 0.4% of a 6.5M block).
+
+FUSED_BLOCK_QUANTUM = 102400  # kernels.fm_chain_pallas.IN_PER_STEP
+
+
+def fused_init_state():
+    """Stream-start context for :func:`make_fused_block_fn`."""
+    from comms_tpu.kernels import fm_chain_pallas as _K
+
+    z = _K.zero_ctx()
+    return {k: jnp.asarray(v) for k, v in z.items()}
+
+
+def make_fused_block_fn(cfg: Optional[FmReceiverConfig] = None,
+                        interpret: bool = False):
+    """jitted ``(state, re_u8[N], im_u8[N]) -> (audio[N/25], state)``
+    running the fused Pallas chain.  N = cfg.block must be a multiple
+    of FUSED_BLOCK_QUANTUM.  Output matches :func:`make_block_fn`'s
+    polyphase path to ~1e-4 (split-tap bf16 stage 1, full-precision
+    stage 2, 8.8e-8-accurate polynomial atan2)."""
+    from comms_tpu.kernels import fm_chain_pallas as _K
+
+    cfg = cfg or FmReceiverConfig(block=64 * FUSED_BLOCK_QUANTUM)
+    if cfg.block % FUSED_BLOCK_QUANTUM:
+        raise ValueError(
+            f"fused chain needs block % {FUSED_BLOCK_QUANTUM} == 0, "
+            f"got {cfg.block}")
+    if cfg.dec1 != 5 or cfg.dec2 != 5:
+        raise ValueError("fused chain is specialized to dec1 = dec2 = 5")
+    Hb = cfg.Hb_iq
+    M_T = 5121                     # d tail (5120) + 1 lag sample
+    L_X = M_T * 5                  # inputs for the mid tail
+    CTX = Hb.size - 1              # 64: stage-1 input context
+
+    @jax.jit
+    def block(state, re_u8, im_u8):
+        audio = _K.fm_chain_fused(re_u8, im_u8, state,
+                                  FM_LPF_TAPS, FM_LPF_TAPS,
+                                  interpret=interpret)
+        # --- recompute the carried context from the raw tail.
+        xre_t = re_u8[-_K._XHALO * _K._ROWW:].astype(jnp.float32)
+        xim_t = im_u8[-_K._XHALO * _K._ROWW:].astype(jnp.float32)
+        fre = (re_u8[-(L_X + CTX):].astype(jnp.float32) - 127.5) / 127.5
+        fim = (im_u8[-(L_X + CTX):].astype(jnp.float32) - 127.5) / 127.5
+        x_t = jax.lax.complex(fre, fim)
+        mid_t, _ = fir.fir_decimate_poly(x_t[CTX:], Hb, x_t[:CTX])
+        d_t = jnp.angle(mid_t[1:] * jnp.conj(mid_t[:-1]))
+        new_state = {
+            "xre": xre_t,
+            "xim": xim_t,
+            "d": d_t.astype(jnp.float32),
+            "prev": jnp.stack([jnp.real(mid_t[-1]),
+                               jnp.imag(mid_t[-1])]).astype(jnp.float32),
+        }
+        return audio, new_state
+
+    return block
 
 
 def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,

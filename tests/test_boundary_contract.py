@@ -94,3 +94,12 @@ def test_qpsk_rx_stream_boundary():
     step = qpsk_rx_stream.make_stream_fn(cfg)
     pairs = jnp.zeros((cfg.block, 2), jnp.float32)
     _check(step, (qpsk_rx_stream.init_state(cfg), pairs), "qpsk_rx_stream")
+
+
+def test_fused_fm_boundary():
+    from comms_tpu.models import fm_receiver
+    cfg = fm_receiver.FmReceiverConfig(
+        block=fm_receiver.FUSED_BLOCK_QUANTUM)
+    blk = fm_receiver.make_fused_block_fn(cfg, interpret=True)
+    re = jnp.zeros(cfg.block, jnp.uint8)
+    _check(blk, (fm_receiver.fused_init_state(), re, re), "fused_fm")

@@ -1,0 +1,60 @@
+"""Fused Pallas FM chain: parity with the XLA polyphase chain and
+streaming-state correctness (interpret mode on the CPU mesh; the
+compiled path is exercised by bench.py / the verify recipe on real
+TPU hardware)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comms_tpu.kernels import fm_chain_pallas as K
+from comms_tpu.models import fm_receiver
+
+
+def _oracle(iq, block):
+    cfg = fm_receiver.FmReceiverConfig(block=block)
+    assert cfg.polyphase
+    blk = fm_receiver.make_block_fn(cfg)
+    audio, _ = blk(fm_receiver.init_state(cfg), jnp.asarray(iq))
+    return np.asarray(audio)
+
+
+def test_fused_chain_parity_interpret():
+    N = K.IN_PER_STEP * 2
+    rng = np.random.default_rng(0)
+    iq = rng.integers(0, 256, size=(N, 2), dtype=np.uint8)
+    audio = K.fm_chain_fused(
+        jnp.asarray(iq[:, 0].copy()), jnp.asarray(iq[:, 1].copy()),
+        K.zero_ctx(), fm_receiver.FM_LPF_TAPS, fm_receiver.FM_LPF_TAPS,
+        interpret=True)
+    ref = _oracle(iq, N)
+    assert np.max(np.abs(np.asarray(audio) - ref)) < 1e-3
+
+
+def test_fused_chain_streaming_blocks():
+    # Two fused blocks with wrapper-recomputed context must equal the
+    # one-shot run over the concatenated stream.
+    N = K.IN_PER_STEP
+    rng = np.random.default_rng(1)
+    iq = rng.integers(0, 256, size=(2 * N, 2), dtype=np.uint8)
+    cfg = fm_receiver.FmReceiverConfig(block=N)
+    blk = fm_receiver.make_fused_block_fn(cfg, interpret=True)
+    st = fm_receiver.fused_init_state()
+    outs = []
+    for b in range(2):
+        re = jnp.asarray(iq[b * N:(b + 1) * N, 0].copy())
+        im = jnp.asarray(iq[b * N:(b + 1) * N, 1].copy())
+        a, st = blk(st, re, im)
+        outs.append(np.asarray(a))
+    audio = np.concatenate(outs)
+    ref = _oracle(iq, 2 * N)
+    assert audio.shape == ref.shape
+    assert np.max(np.abs(audio - ref)) < 1e-3
+
+
+def test_fused_chain_rejects_bad_block():
+    import pytest
+
+    cfg = fm_receiver.FmReceiverConfig(block=262144)  # not % 102400
+    with pytest.raises(ValueError, match="102400"):
+        fm_receiver.make_fused_block_fn(cfg)
