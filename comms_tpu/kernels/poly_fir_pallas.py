@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: general polyphase decimating FIR (overlap-save).
+
+Drop-in accelerator for :func:`comms_tpu.ops.fir.fir_decimate_poly`
+(the FM chain's hot pair and the channelizer's core pattern; reference
+``fir_node.rs`` + ``resample_node.rs`` fused): computes only the kept
+outputs ``y[m] = sum_t taps[t] * x[m*D - t]`` with the input read from
+HBM exactly once.
+
+Same Mosaic-proven layout as ``fm_chain_pallas`` stage 1: the planar
+f32 input is viewed ``[rows, D*128]``, so each banded-GEMM row of 128
+decimated outputs advances exactly ONE sublane — the two window pieces
+are stride-1 row slices (the only slicing Mosaic supports), and the
+halo zone (8 rows, f32 DMA alignment) carries across sequential grid
+steps in VMEM.  Data is arbitrary f32, so the matmuls run at HIGHEST
+precision (3-pass f32) for parity with ``ops.fir``'s default.
+
+Supports real or complex taps over complex input (2 or 4 real GEMMs).
+Constraints: ``2 <= dec <= 8``, ``taps <= 129``, block multiple of
+``step_samples(dec)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["poly_fir_pallas", "step_samples", "CTX_ROWS"]
+
+_LANES = 128
+_HALO = 8          # f32 DMA row-alignment quantum
+_ROWS = 64         # input rows per grid step
+CTX_ROWS = _HALO
+
+
+def step_samples(dec: int) -> int:
+    """Input samples consumed per grid step."""
+    return _ROWS * dec * _LANES
+
+
+def _band(taps: np.ndarray, dec: int) -> np.ndarray:
+    """B[w, j] = taps[128 + dec*j - w], w in [0, 128 + dec*128)."""
+    T = taps.shape[0]
+    W = _LANES + dec * _LANES
+    w = np.arange(W)[:, None]
+    j = np.arange(_LANES)[None, :]
+    t = _LANES + dec * j - w
+    valid = (t >= 0) & (t < T)
+    return np.where(valid, taps[np.clip(t, 0, T - 1)], 0.0).astype(
+        np.float32)
+
+
+def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, brr, bri,
+            yr_out, yi_out, slab_r, slab_i, sem, *,
+            dec: int, complex_taps: bool):
+    g = pl.program_id(0)
+    roww = dec * _LANES
+    hp = jax.lax.Precision.HIGHEST
+
+    @pl.when(g > 0)
+    def _():
+        slab_r[0:_HALO, :] = slab_r[_ROWS:_ROWS + _HALO, :]
+        slab_i[0:_HALO, :] = slab_i[_ROWS:_ROWS + _HALO, :]
+
+    cp_r = pltpu.make_async_copy(
+        xr_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
+        slab_r.at[pl.ds(_HALO, _ROWS), :], sem.at[0])
+    cp_i = pltpu.make_async_copy(
+        xi_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
+        slab_i.at[pl.ds(_HALO, _ROWS), :], sem.at[1])
+    cp_r.start()
+    cp_i.start()
+
+    @pl.when(g == 0)
+    def _():
+        c0 = pltpu.make_async_copy(cr_hbm.at[pl.ds(0, _HALO), :],
+                                   slab_r.at[pl.ds(0, _HALO), :], sem.at[2])
+        c1 = pltpu.make_async_copy(ci_hbm.at[pl.ds(0, _HALO), :],
+                                   slab_i.at[pl.ds(0, _HALO), :], sem.at[3])
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+    cp_r.wait()
+    cp_i.wait()
+
+    def gemm(slab, band):
+        w0 = slab[_HALO - 1:_HALO - 1 + _ROWS, roww - _LANES:roww]
+        w1 = slab[_HALO:_HALO + _ROWS, :]
+        return (jnp.dot(w0, band[:_LANES],
+                        preferred_element_type=jnp.float32, precision=hp)
+                + jnp.dot(w1, band[_LANES:],
+                          preferred_element_type=jnp.float32, precision=hp))
+
+    if complex_taps:
+        yr_out[:] = gemm(slab_r[:], brr) - gemm(slab_i[:], bri)
+        yi_out[:] = gemm(slab_r[:], bri) + gemm(slab_i[:], brr)
+    else:
+        yr_out[:] = gemm(slab_r[:], brr)
+        yi_out[:] = gemm(slab_i[:], brr)
+
+
+def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
+    """Polyphase decimating FIR on complex input.
+
+    Args:
+      x: [N] complex64 (device), N % step_samples(dec) == 0.
+      taps: 1-D taps (real or complex, T <= 129), host numpy.
+      ctx: [dec*128*CTX_ROWS] complex64 carried input tail (the
+        samples immediately before this block; zeros at stream start).
+        Only the trailing 128 samples influence the output for
+        T <= 129 — the full quantum keeps DMAs tile-aligned.
+      dec: decimation factor in [2, 8].
+
+    Returns ``(y[N//dec] complex64, new_ctx)``.
+    """
+    x = jnp.asarray(x)
+    taps = np.asarray(taps)
+    T = taps.shape[0]
+    D = int(dec)
+    if not 2 <= D <= 8:
+        raise ValueError(f"dec must be in [2, 8], got {D}")
+    if T > _LANES + 1:
+        raise ValueError(f"taps {T} > {_LANES + 1} unsupported")
+    N = x.shape[0]
+    step = step_samples(D)
+    if N % step:
+        raise ValueError(f"N {N} must be a multiple of {step}")
+    steps = N // step
+    roww = D * _LANES
+
+    complex_taps = np.iscomplexobj(taps)
+    brr = _band(taps.real.astype(np.float64), D)
+    bri = (_band(taps.imag.astype(np.float64), D) if complex_taps
+           else np.zeros_like(brr))
+
+    ctx = jnp.asarray(ctx)
+    if ctx.shape[0] != CTX_ROWS * roww:
+        raise ValueError(
+            f"ctx must be {CTX_ROWS * roww} samples, got {ctx.shape[0]}")
+    new_ctx = jnp.concatenate([ctx, x])[-CTX_ROWS * roww:]
+
+    out_rows = steps * _ROWS
+    kernel = functools.partial(_kernel, dec=D, complex_taps=complex_taps)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_LANES + roww, _LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES + roww, _LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROWS, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS + _HALO, roww), jnp.float32),
+            pltpu.VMEM((_ROWS + _HALO, roww), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(4 if complex_taps else 2) * 2 * out_rows * _LANES
+            * (_LANES + roww) * 3,
+            bytes_accessed=8 * N + 8 * N // D,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.real(x).reshape(-1, roww), jnp.imag(x).reshape(-1, roww),
+        jnp.real(ctx).reshape(CTX_ROWS, roww),
+        jnp.imag(ctx).reshape(CTX_ROWS, roww),
+        jnp.asarray(brr), jnp.asarray(bri),
+    )
+    y = jax.lax.complex(yr.reshape(-1), yi.reshape(-1))
+    return y, new_ctx
