@@ -191,6 +191,26 @@ def bench_kernels():
     _row("kernel_polyphase_fir63_dec5_throughput", n5 / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
+    # the same decimating FIR as the general Pallas kernel
+    from comms_tpu.kernels import poly_fir_pallas as PP
+
+    npal = PP.step_samples(5) * 12   # ~4.9M, close to n5
+
+    @jax.jit
+    def poly_pallas_k(pairs):
+        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+        ctx = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.complex64)
+        y, _ = PP.poly_fir_pallas(x, taps63.real.astype(np.float64),
+                                  ctx, 5)
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+
+    best = _bench_best(poly_pallas_k, (x_pairs[:npal],))
+    rl = metrics.roofline(bytes_moved=8 * npal + 8 * npal // 5,
+                          flops=8 * 63 * npal // 5,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("kernel_polyphase_pallas_throughput", npal / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
     # batched FFT-1024
     @jax.jit
     def fft_k(pairs):

@@ -269,16 +269,62 @@ def make_fused_block_fn(cfg: Optional[FmReceiverConfig] = None,
     return block
 
 
+def _fused_to_xla_state(cfg: FmReceiverConfig, fstate):
+    """Map the fused kernel's context onto make_block_fn's state (for
+    the ragged-tail fallback block)."""
+    xre = fstate["xre"][-cfg.ctx1_len:]
+    xim = fstate["xim"][-cfg.ctx1_len:]
+    ctx_pairs = (jnp.stack([xre, xim], axis=-1) - 127.5) / 127.5
+    return (
+        ctx_pairs.astype(jnp.float32),
+        jnp.asarray(fstate["prev"], jnp.float32),
+        jnp.asarray(fstate["d"][-cfg.ctx2_len:], jnp.float32),
+    )
+
+
 def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
-             out_path=None) -> np.ndarray:
+             out_path=None, fused: Optional[bool] = None) -> np.ndarray:
     """Demodulate a recorded u8-IQ file; returns (and optionally
     writes, as f32 PCM) the audio stream.  A final partial block is
     zero-padded to the static block shape and masked to its
     causally-valid length, so a capture of ANY length demodulates to
-    the exact sample (no dropped tail)."""
+    the exact sample (no dropped tail).
+
+    ``fused``: run full blocks through the single-kernel Pallas chain
+    (requires cfg.block % FUSED_BLOCK_QUANTUM == 0; the interleaved
+    file bytes are deinterleaved to planes on the host during read).
+    Default: auto — fused when the block size allows it.  The ragged
+    tail always runs through the XLA block (its state is derived from
+    the fused context), so the output is identical either way to the
+    kernel's ~1e-4 parity."""
     cfg = cfg or FmReceiverConfig()
-    block = make_block_fn(cfg)
-    state = init_state(cfg)
+    if fused is None:
+        fused = (cfg.polyphase and cfg.block % FUSED_BLOCK_QUANTUM == 0
+                 and cfg.dec1 == 5 and cfg.dec2 == 5
+                 and jax.devices()[0].platform != "cpu")
+    if fused:
+        fblock = make_fused_block_fn(cfg)
+        fstate = fused_init_state()
+
+        def process(state, iq):
+            re = np.ascontiguousarray(iq[:, 0])
+            im = np.ascontiguousarray(iq[:, 1])
+            return fblock(state, jnp.asarray(re), jnp.asarray(im))
+
+        def tail_state(state):
+            return _fused_to_xla_state(cfg, state)
+        block = make_block_fn(cfg)   # ragged-tail path
+    else:
+        block = make_block_fn(cfg)
+        fstate = init_state(cfg)
+
+        def process(state, iq):
+            return block(state, jnp.asarray(iq))
+
+        def tail_state(state):
+            return state
+
+    state = fstate
     chunks = []
     nbytes = cfg.block * 2
     # Native double-buffered reader when available: a C++ thread
@@ -302,9 +348,10 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
                     break
                 if iq.shape[0] < cfg.block:
                     # borrowed buffer: copy before the ring reclaims it
-                    _append_tail(block, state, np.array(iq), cfg, chunks)
+                    _append_tail(block, tail_state(state), np.array(iq),
+                                 cfg, chunks)
                     break
-                audio, state = block(state, jnp.asarray(iq))
+                audio, state = process(state, iq)
                 chunks.append(np.asarray(audio))
     else:  # no C++ toolchain: plain python IO
         with open(iq_path, "rb") as f:
@@ -314,10 +361,10 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
                     iq = np.frombuffer(
                         data[: 2 * (len(data) // 2)], dtype=np.uint8
                     ).reshape(-1, 2)
-                    _append_tail(block, state, iq, cfg, chunks)
+                    _append_tail(block, tail_state(state), iq, cfg, chunks)
                     break
                 iq = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
-                audio, state = block(state, jnp.asarray(iq))
+                audio, state = process(state, iq)
                 chunks.append(np.asarray(audio))
     audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
     if out_path is not None:

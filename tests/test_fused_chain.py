@@ -58,3 +58,31 @@ def test_fused_chain_rejects_bad_block():
     cfg = fm_receiver.FmReceiverConfig(block=262144)  # not % 102400
     with pytest.raises(ValueError, match="102400"):
         fm_receiver.make_fused_block_fn(cfg)
+
+
+def test_run_file_fused_matches_xla(tmp_path, monkeypatch):
+    # run_file's fused path (host deinterleave + Pallas chain + XLA
+    # ragged tail from converted context) must match the XLA path.
+    B = fm_receiver.FUSED_BLOCK_QUANTUM
+    L = 2 * B + 3777
+    rng = np.random.default_rng(4)
+    ph = np.cumsum(0.3 + 0.02 * rng.normal(size=L))
+    iqf = np.exp(1j * ph)
+    iq = np.stack([
+        np.clip(np.round(iqf.real * 100 + 127.5), 0, 255),
+        np.clip(np.round(iqf.imag * 100 + 127.5), 0, 255),
+    ], axis=-1).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    iq.tofile(p)
+
+    cfg = fm_receiver.FmReceiverConfig(block=B)
+    ref = fm_receiver.run_file(p, cfg, fused=False)
+
+    real_make = fm_receiver.make_fused_block_fn
+    monkeypatch.setattr(
+        fm_receiver, "make_fused_block_fn",
+        lambda c, interpret=False: real_make(c, interpret=True))
+    got = fm_receiver.run_file(p, fm_receiver.FmReceiverConfig(block=B),
+                               fused=True)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-3
