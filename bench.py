@@ -194,17 +194,22 @@ def bench_kernels():
     # the same decimating FIR as the general Pallas kernel
     from comms_tpu.kernels import poly_fir_pallas as PP
 
-    npal = PP.step_samples(5) * 12   # ~4.9M, close to n5
+    npal = PP.step_samples(5) * 12   # ~4.9M per scan element
+    xb = jnp.asarray(rng.normal(size=(4, npal, 2)).astype(np.float32))
 
     @jax.jit
-    def poly_pallas_k(pairs):
-        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
-        ctx = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.complex64)
-        y, _ = PP.poly_fir_pallas(x, taps63.real.astype(np.float64),
-                                  ctx, 5)
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+    def poly_pallas_k(blocks):
+        def body(c, pairs):
+            x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+            y, c = PP.poly_fir_pallas(x, taps63.real.astype(np.float64),
+                                      c, 5)
+            return c, jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+        c0 = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.complex64)
+        _, ys = jax.lax.scan(body, c0, blocks)
+        return ys
 
-    best = _bench_best(poly_pallas_k, (x_pairs[:npal],))
+    best = _bench_best(poly_pallas_k, (xb,))
+    npal *= 4
     rl = metrics.roofline(bytes_moved=8 * npal + 8 * npal // 5,
                           flops=8 * 63 * npal // 5,
                           seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
