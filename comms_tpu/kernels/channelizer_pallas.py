@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: fused 64-channel polyphase DFT channelizer.
+
+One pass over the input computes :func:`comms_tpu.ops.channelizer.
+channelize_block` — branch MACs AND the channel DFT — with the only
+HBM traffic being the input read and the spectrum write (16 B per
+complex input sample, the channelizer's memory floor; the XLA path
+additionally materializes the branch matrix between the MAC stage and
+the batched FFT).
+
+Layout: complex input as planar f32 planes viewed ``[rows, 128]``
+with TWO 64-sample frames packed per row, so
+
+* the branch MACs ``V[m, c] = sum_k C[k-1, c] * xe[(m+M-k)*64 + c]``
+  are M full-width VPU multiply-adds against frame-shifted views of
+  the slab — shifts by odd frame counts use the lane-roll + row-roll
+  + lane-select trick (Mosaic cannot re-slice sublanes);
+* the per-frame 64-point DFT (with the branch-reversal phase fix
+  folded in, see ops/channelizer.py) becomes ONE matmul per
+  real-component pair against a block-diagonal [128, 128] matrix
+  holding two copies of the 64x64 DFT — the packed layout feeds the
+  MXU directly, no unpacking.
+
+The carried context (T-1 = 511 input samples) rides in the 8-row
+f32-aligned halo zone across sequential grid steps, exactly like
+``poly_fir_pallas``.  Fixed to K = 64 channels (the BASELINE config);
+``taps_per_branch`` M <= 16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from comms_tpu.ops import fir as _fir
+
+__all__ = ["channelize_pallas", "step_samples", "CTX_SAMPLES", "K"]
+
+K = 64
+_LANES = 128
+_HALO = 8                      # f32 row-alignment quantum
+_ROWS = 128                    # input rows per grid step
+CTX_SAMPLES = _HALO * _LANES   # 1024 (>= T-1 = 511 for M <= 16)
+
+
+def step_samples() -> int:
+    return _ROWS * _LANES      # 16384 complex samples per step
+
+
+def _dft_mats():
+    """Block-diagonal [128, 128] re/im parts of the fixed-up 64-point
+    DFT: F'[c, ch] = exp(-2j*pi*(c*ch + ch)/64) (the e^{-2i pi ch/K}
+    branch-reversal fix folded in)."""
+    c = np.arange(K)[:, None]
+    ch = np.arange(K)[None, :]
+    F = np.exp(-2j * np.pi * ((c * ch + ch) % K) / K)
+    blk = np.zeros((_LANES, _LANES), np.complex128)
+    blk[:K, :K] = F
+    blk[K:, K:] = F
+    return blk.real.astype(np.float32), blk.imag.astype(np.float32)
+
+
+def _advance(slab, delta: int, rows: int):
+    """[rows, 128] view advanced ``delta`` flat lanes into the slab:
+    result[r, l] = slab-flat[r*128 + l + delta].  Lane remainders use
+    the roll + row-roll + lane-select trick (no sublane re-slicing)."""
+    q, rem = divmod(int(delta), _LANES)
+    if rem == 0:
+        return slab[q:q + rows, :]
+    w = slab[q:q + rows + 1, :]
+    a = pltpu.roll(w, _LANES - rem, 1)   # a[r, l] = w[r, (l+rem)%128]
+    b = pltpu.roll(a, w.shape[0] - 1, 0)  # b[r, l] = w[r+1, ...]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    out = jnp.where(lanes < _LANES - rem, a, b)
+    return out[:rows, :]
+
+
+def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
+            yr_out, yi_out, slab_r, slab_i, sem, *, M: int):
+    g = pl.program_id(0)
+    hp = jax.lax.Precision.HIGHEST
+
+    @pl.when(g > 0)
+    def _():
+        slab_r[0:_HALO, :] = slab_r[_ROWS:_ROWS + _HALO, :]
+        slab_i[0:_HALO, :] = slab_i[_ROWS:_ROWS + _HALO, :]
+
+    cp_r = pltpu.make_async_copy(
+        xr_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
+        slab_r.at[pl.ds(_HALO, _ROWS), :], sem.at[0])
+    cp_i = pltpu.make_async_copy(
+        xi_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
+        slab_i.at[pl.ds(_HALO, _ROWS), :], sem.at[1])
+    cp_r.start()
+    cp_i.start()
+
+    @pl.when(g == 0)
+    def _():
+        c0 = pltpu.make_async_copy(cr_hbm.at[pl.ds(0, _HALO), :],
+                                   slab_r.at[pl.ds(0, _HALO), :], sem.at[2])
+        c1 = pltpu.make_async_copy(ci_hbm.at[pl.ds(0, _HALO), :],
+                                   slab_i.at[pl.ds(0, _HALO), :], sem.at[3])
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+    cp_r.wait()
+    cp_i.wait()
+
+    # ---- branch MACs.  For packed output row r (frames 2r, 2r+1),
+    # lane l = c + 64j, term k reads global sample
+    #   x_first + 64*(2r + j) - 64k + c + 1
+    # (the +1 is decimating_branch_taps' C[k-1,c] = h[64k-1-c]
+    # convention).  With the 1024-sample halo zone, that is slab-flat
+    #   r*128 + l + (1024 + 1 - 64k) — a pure lane advance.
+    rows = _ROWS
+    vr = None
+    vi = None
+    for k in range(1, M + 1):
+        delta = _HALO * _LANES + 1 - K * k
+        xs_r = _advance(slab_r, delta, rows)
+        xs_i = _advance(slab_i, delta, rows)
+        ck = c2[k - 1:k, :]
+        t_r = ck * xs_r
+        t_i = ck * xs_i
+        vr = t_r if vr is None else vr + t_r
+        vi = t_i if vi is None else vi + t_i
+
+    # ---- per-frame 64-point DFT via the block-diagonal matmul.
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=hp)
+
+    fr_v = fr[:]
+    fi_v = fi[:]
+    yr_out[:] = dot(vr, fr_v) - dot(vi, fi_v)
+    yi_out[:] = dot(vr, fi_v) + dot(vi, fr_v)
+
+
+def channelize_pallas(x, prototype, ctx, interpret: bool = False):
+    """Fused 64-channel channelizer.
+
+    Args:
+      x: [N] complex64, N % step_samples() == 0.
+      prototype: length 64*M real lowpass (M <= 16), host numpy.
+      ctx: [CTX_SAMPLES] complex64 carried input tail (zeros at
+        stream start; only the trailing T-1 samples matter).
+
+    Returns ``(y[N//64, 64] complex64, new_ctx)`` matching
+    ``ops.channelizer.channelize_block``.
+    """
+    x = jnp.asarray(x)
+    h = np.asarray(prototype, np.float64)
+    if h.shape[0] % K:
+        raise ValueError("prototype length must be a multiple of 64")
+    M = h.shape[0] // K
+    if M > 16:
+        raise ValueError(f"taps_per_branch {M} > 16 unsupported")
+    N = x.shape[0]
+    if N % step_samples():
+        raise ValueError(f"N {N} must be a multiple of {step_samples()}")
+    steps = N // step_samples()
+
+    C = _fir.decimating_branch_taps(h, K).astype(np.float32)  # [M, 64]
+    c2 = np.concatenate([C, C], axis=1)                       # [M, 128]
+    fr, fi = _dft_mats()
+
+    ctx = jnp.asarray(ctx)
+    if ctx.shape[0] != CTX_SAMPLES:
+        raise ValueError(f"ctx must be {CTX_SAMPLES} samples")
+    new_ctx = jnp.concatenate([ctx, x])[-CTX_SAMPLES:]
+
+    out_rows = steps * _ROWS
+    kernel = functools.partial(_kernel, M=M)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((16, _LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROWS, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS + _HALO + 1, _LANES), jnp.float32),
+            pltpu.VMEM((_ROWS + _HALO + 1, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=out_rows * _LANES * (4 * M + 4 * _LANES * 3),
+            bytes_accessed=16 * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.real(x).reshape(-1, _LANES), jnp.imag(x).reshape(-1, _LANES),
+        jnp.real(ctx).reshape(_HALO, _LANES),
+        jnp.imag(ctx).reshape(_HALO, _LANES),
+        jnp.asarray(np.pad(c2, ((0, 16 - M), (0, 0)))),
+        jnp.asarray(fr), jnp.asarray(fi),
+    )
+    # packed [rows, 128] -> [frames, 64] (contiguous reshape)
+    y = jax.lax.complex(yr.reshape(-1, K), yi.reshape(-1, K))
+    return y, new_ctx
