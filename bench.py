@@ -216,6 +216,26 @@ def bench_kernels():
     _row("kernel_polyphase_pallas_throughput", npal / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
+    # fused Pallas channelizer (branch MACs + DFT in one kernel)
+    from comms_tpu.kernels import channelizer_pallas as CP
+    from comms_tpu.ops import channelizer as chan_ops
+
+    h64 = chan_ops.design_prototype(64, 8)
+    nch = CP.step_samples() * 128
+
+    @jax.jit
+    def chan_pallas_k(pairs):
+        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+        y, _ = CP.channelize_pallas(
+            x, h64, jnp.zeros(CP.CTX_SAMPLES, jnp.complex64))
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+
+    best = _bench_best(chan_pallas_k, (x_pairs[:nch],))
+    rl = metrics.roofline(bytes_moved=16 * nch, flops=8 * 8 * nch,
+                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+    _row("kernel_channelizer_pallas_throughput", nch / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+
     # batched FFT-1024
     @jax.jit
     def fft_k(pairs):

@@ -1,0 +1,82 @@
+"""Compiled-path kernel tests — run only on a real TPU backend.
+
+The CI suite runs on the virtual CPU mesh where Pallas kernels execute
+in interpret mode (covered by test_fused_chain / test_poly_fir_pallas /
+test_channelizer_pallas); these tests exercise the ACTUAL Mosaic
+compilation and execution when a TPU is attached (the verify recipe's
+drive step).  They are skipped on CPU.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+tpu = jax.devices()[0].platform not in ("cpu",)
+pytestmark = pytest.mark.skipif(
+    not tpu, reason="requires a real TPU backend (CI runs interpret mode)")
+
+
+def test_fused_fm_chain_compiled():
+    from comms_tpu.kernels import fm_chain_pallas as K
+    from comms_tpu.models import fm_receiver
+
+    N = K.IN_PER_STEP * 2
+    rng = np.random.default_rng(0)
+    iq = rng.integers(0, 256, size=(N, 2), dtype=np.uint8)
+    audio = K.fm_chain_fused(
+        jnp.asarray(iq[:, 0].copy()), jnp.asarray(iq[:, 1].copy()),
+        K.zero_ctx(), fm_receiver.FM_LPF_TAPS, fm_receiver.FM_LPF_TAPS)
+    cfg = fm_receiver.FmReceiverConfig(block=N)
+    ref, _ = fm_receiver.make_block_fn(cfg)(
+        fm_receiver.init_state(cfg), jnp.asarray(iq))
+    assert float(jnp.max(jnp.abs(audio - ref))) < 1e-3
+
+
+def test_poly_fir_compiled():
+    from comms_tpu.kernels import poly_fir_pallas as P
+    from comms_tpu.ops import fir
+
+    D = 5
+    N = P.step_samples(D)
+    rng = np.random.default_rng(1)
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+    taps = rng.normal(size=63).astype(np.float64)
+    Hb = fir.decimating_branch_taps(taps, D)
+
+    @jax.jit
+    def both(xr, xi):
+        x = jax.lax.complex(xr, xi)
+        y, _ = P.poly_fir_pallas(
+            x, taps, jnp.zeros(P.CTX_ROWS * D * 128, jnp.complex64), D)
+        ref, _ = fir.fir_decimate_poly(
+            x, Hb, jnp.zeros(Hb.size - 1, jnp.complex64))
+        return jnp.max(jnp.abs(y - ref)), jnp.max(jnp.abs(ref))
+
+    err, scale = both(jnp.asarray(xr), jnp.asarray(xi))
+    assert float(err) < 1e-4 * float(scale)
+
+
+def test_channelizer_compiled():
+    from comms_tpu.kernels import channelizer_pallas as CP
+    from comms_tpu.ops import channelizer as chan
+
+    N = CP.step_samples()
+    rng = np.random.default_rng(2)
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+    h = chan.design_prototype(64, 8)
+    Hb = chan.branch_taps(h.astype(np.float32), 64)
+
+    @jax.jit
+    def both(xr, xi):
+        x = jax.lax.complex(xr, xi)
+        y, _ = CP.channelize_pallas(
+            x, h, jnp.zeros(CP.CTX_SAMPLES, jnp.complex64))
+        ref, _ = chan.channelize_block(
+            x, Hb, chan.channelizer_init_ctx(len(h)))
+        return jnp.max(jnp.abs(y - ref)), jnp.max(jnp.abs(ref))
+
+    err, scale = both(jnp.asarray(xr), jnp.asarray(xi))
+    assert float(err) < 1e-4 * float(scale)
