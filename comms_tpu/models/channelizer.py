@@ -42,9 +42,47 @@ def init_state(cfg: ChannelizerConfig):
     return jnp.zeros((T - 1, 2), dtype=jnp.float32)
 
 
-def make_block_fn(cfg: ChannelizerConfig):
-    """jitted ``(state, iq_pairs[N, 2]) -> (y_pairs[frames, K, 2], state)``."""
+def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
+                  interpret: bool = False):
+    """jitted ``(state, iq_pairs[N, 2]) -> (y_pairs[frames, K, 2], state)``.
+
+    ``use_pallas`` routes through the fused Pallas kernel
+    (``kernels/channelizer_pallas.py``, 1.3-1.4x the XLA path on
+    hardware) — requires K = 64, taps_per_branch <= 16, and
+    block % 16384 == 0.  The carried state stays the same (T-1 input
+    tail as pairs), so the two paths are interchangeable mid-stream.
+    """
     Hb = cfg.Hb  # numpy closure (real f32; kept host-side for symmetry)
+
+    if use_pallas:
+        from comms_tpu.kernels import channelizer_pallas as _CP
+
+        if cfg.num_channels != _CP.K:
+            raise ValueError(f"pallas channelizer is K={_CP.K} only")
+        if cfg.block % _CP.step_samples():
+            raise ValueError(
+                f"pallas channelizer needs block % {_CP.step_samples()}"
+                f" == 0, got {cfg.block}")
+        proto = cfg.prototype
+        T = cfg.num_channels * cfg.taps_per_branch
+
+        @jax.jit
+        def block_p(state, iq_pairs):
+            x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
+            ctx = jax.lax.complex(state[:, 0], state[:, 1])
+            # kernel ctx quantum is CTX_SAMPLES; left-pad the T-1 tail
+            pad = _CP.CTX_SAMPLES - (T - 1)
+            kctx = jnp.concatenate(
+                [jnp.zeros((pad,), x.dtype), ctx])
+            y, _ = _CP.channelize_pallas(x, proto, kctx,
+                                         interpret=interpret)
+            new_ctx = jnp.concatenate([ctx, x])[-(T - 1):]
+            new_state = jnp.stack(
+                [jnp.real(new_ctx), jnp.imag(new_ctx)], axis=-1)
+            yp = jnp.stack([jnp.real(y), jnp.imag(y)], axis=-1)
+            return yp, new_state
+
+        return block_p
 
     @jax.jit
     def block(state, iq_pairs):

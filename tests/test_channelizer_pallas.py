@@ -46,3 +46,24 @@ def test_channelizer_pallas_streaming():
     ref = np.asarray(y_ref)
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) < 1e-5 * scale
+
+
+def test_channelizer_model_pallas_path():
+    # The model's use_pallas path must match the XLA path exactly,
+    # including mid-stream state interchangeability.
+    from comms_tpu.models import channelizer as model
+
+    rng = np.random.default_rng(3)
+    cfg = model.ChannelizerConfig(block=CP.step_samples())
+    blk_x = model.make_block_fn(cfg)
+    blk_p = model.make_block_fn(cfg, use_pallas=True, interpret=True)
+
+    s_x, s_p = model.init_state(cfg), model.init_state(cfg)
+    for b in range(2):
+        pairs = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+        y_x, s_x = blk_x(s_x, jnp.asarray(pairs))
+        y_p, s_p = blk_p(s_p, jnp.asarray(pairs))
+        scale = float(np.abs(np.asarray(y_x)).max())
+        assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_x))) \
+            < 1e-5 * scale, b
+        assert np.allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-6)
