@@ -22,8 +22,8 @@ with TWO 64-sample frames packed per row, so
 
 The carried context (T-1 = 511 input samples) rides in the 8-row
 f32-aligned halo zone across sequential grid steps, exactly like
-``poly_fir_pallas``.  Fixed to K = 64 channels (the BASELINE config);
-``taps_per_branch`` M <= 16.
+``poly_fir_pallas``.  Supports any K dividing 128 (16/32/64/128 —
+the BASELINE config is 64); ``taps_per_branch`` M <= 16.
 """
 
 from __future__ import annotations
@@ -41,27 +41,27 @@ from comms_tpu.ops import fir as _fir
 
 __all__ = ["channelize_pallas", "step_samples", "CTX_SAMPLES", "K"]
 
-K = 64
+K = 64                         # default (BASELINE config)
 _LANES = 128
 _HALO = 8                      # f32 row-alignment quantum
 _ROWS = 128                    # input rows per grid step
-CTX_SAMPLES = _HALO * _LANES   # 1024 (>= T-1 = 511 for M <= 16)
+CTX_SAMPLES = _HALO * _LANES   # 1024 (>= T-1 for M <= 16, K <= 128)
 
 
 def step_samples() -> int:
     return _ROWS * _LANES      # 16384 complex samples per step
 
 
-def _dft_mats():
-    """Block-diagonal [128, 128] re/im parts of the fixed-up 64-point
-    DFT: F'[c, ch] = exp(-2j*pi*(c*ch + ch)/64) (the e^{-2i pi ch/K}
-    branch-reversal fix folded in)."""
-    c = np.arange(K)[:, None]
-    ch = np.arange(K)[None, :]
-    F = np.exp(-2j * np.pi * ((c * ch + ch) % K) / K)
+def _dft_mats(k: int):
+    """Block-diagonal [128, 128] re/im parts of the fixed-up K-point
+    DFT (128/K blocks): F'[c, ch] = exp(-2j*pi*(c*ch + ch)/K) — the
+    e^{-2i pi ch/K} branch-reversal fix folded in."""
+    c = np.arange(k)[:, None]
+    ch = np.arange(k)[None, :]
+    F = np.exp(-2j * np.pi * ((c * ch + ch) % k) / k)
     blk = np.zeros((_LANES, _LANES), np.complex128)
-    blk[:K, :K] = F
-    blk[K:, K:] = F
+    for b in range(_LANES // k):
+        blk[b * k:(b + 1) * k, b * k:(b + 1) * k] = F
     return blk.real.astype(np.float32), blk.imag.astype(np.float32)
 
 
@@ -81,7 +81,7 @@ def _advance(slab, delta: int, rows: int):
 
 
 def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
-            yr_out, yi_out, slab_r, slab_i, sem, *, M: int):
+            yr_out, yi_out, slab_r, slab_i, sem, *, M: int, k: int):
     g = pl.program_id(0)
     hp = jax.lax.Precision.HIGHEST
 
@@ -122,11 +122,11 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
     rows = _ROWS
     vr = None
     vi = None
-    for k in range(1, M + 1):
-        delta = _HALO * _LANES + 1 - K * k
+    for kk in range(1, M + 1):
+        delta = _HALO * _LANES + 1 - k * kk
         xs_r = _advance(slab_r, delta, rows)
         xs_i = _advance(slab_i, delta, rows)
-        ck = c2[k - 1:k, :]
+        ck = c2[kk - 1:kk, :]
         t_r = ck * xs_r
         t_i = ck * xs_i
         vr = t_r if vr is None else vr + t_r
@@ -143,33 +143,41 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
     yi_out[:] = dot(vr, fi_v) + dot(vi, fr_v)
 
 
-def channelize_pallas(x, prototype, ctx, interpret: bool = False):
-    """Fused 64-channel channelizer.
+def channelize_pallas(x, prototype, ctx, num_channels: int = K,
+                      interpret: bool = False):
+    """Fused polyphase DFT channelizer, K channels (K | 128).
 
     Args:
       x: [N] complex64, N % step_samples() == 0.
-      prototype: length 64*M real lowpass (M <= 16), host numpy.
+      prototype: length K*M real lowpass (M <= 16), host numpy.
       ctx: [CTX_SAMPLES] complex64 carried input tail (zeros at
         stream start; only the trailing T-1 samples matter).
 
-    Returns ``(y[N//64, 64] complex64, new_ctx)`` matching
+    Returns ``(y[N//K, K] complex64, new_ctx)`` matching
     ``ops.channelizer.channelize_block``.
     """
     x = jnp.asarray(x)
+    k = int(num_channels)
+    if k < 2 or _LANES % k:
+        raise ValueError(f"num_channels {k} must divide 128")
     h = np.asarray(prototype, np.float64)
-    if h.shape[0] % K:
-        raise ValueError("prototype length must be a multiple of 64")
-    M = h.shape[0] // K
+    if h.shape[0] % k:
+        raise ValueError(f"prototype length must be a multiple of {k}")
+    M = h.shape[0] // k
     if M > 16:
         raise ValueError(f"taps_per_branch {M} > 16 unsupported")
+    if k * M > _HALO * _LANES + 1:
+        raise ValueError(
+            f"prototype length {k * M} exceeds the {_HALO * _LANES}-"
+            "sample halo zone")
     N = x.shape[0]
     if N % step_samples():
         raise ValueError(f"N {N} must be a multiple of {step_samples()}")
     steps = N // step_samples()
 
-    C = _fir.decimating_branch_taps(h, K).astype(np.float32)  # [M, 64]
-    c2 = np.concatenate([C, C], axis=1)                       # [M, 128]
-    fr, fi = _dft_mats()
+    C = _fir.decimating_branch_taps(h, k).astype(np.float32)  # [M, K]
+    c2 = np.concatenate([C] * (_LANES // k), axis=1)          # [M, 128]
+    fr, fi = _dft_mats(k)
 
     ctx = jnp.asarray(ctx)
     if ctx.shape[0] != CTX_SAMPLES:
@@ -177,7 +185,7 @@ def channelize_pallas(x, prototype, ctx, interpret: bool = False):
     new_ctx = jnp.concatenate([ctx, x])[-CTX_SAMPLES:]
 
     out_rows = steps * _ROWS
-    kernel = functools.partial(_kernel, M=M)
+    kernel = functools.partial(_kernel, M=M, k=k)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(steps,),
@@ -221,6 +229,6 @@ def channelize_pallas(x, prototype, ctx, interpret: bool = False):
         jnp.asarray(np.pad(c2, ((0, 16 - M), (0, 0)))),
         jnp.asarray(fr), jnp.asarray(fi),
     )
-    # packed [rows, 128] -> [frames, 64] (contiguous reshape)
-    y = jax.lax.complex(yr.reshape(-1, K), yi.reshape(-1, K))
+    # packed [rows, 128] -> [frames, K] (contiguous reshape)
+    y = jax.lax.complex(yr.reshape(-1, k), yi.reshape(-1, k))
     return y, new_ctx

@@ -57,8 +57,8 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
     if use_pallas:
         from comms_tpu.kernels import channelizer_pallas as _CP
 
-        if cfg.num_channels != _CP.K:
-            raise ValueError(f"pallas channelizer is K={_CP.K} only")
+        if 128 % cfg.num_channels:
+            raise ValueError("pallas channelizer needs K | 128")
         if cfg.block % _CP.step_samples():
             raise ValueError(
                 f"pallas channelizer needs block % {_CP.step_samples()}"
@@ -74,8 +74,9 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
             pad = _CP.CTX_SAMPLES - (T - 1)
             kctx = jnp.concatenate(
                 [jnp.zeros((pad,), x.dtype), ctx])
-            y, _ = _CP.channelize_pallas(x, proto, kctx,
-                                         interpret=interpret)
+            y, _ = _CP.channelize_pallas(
+                x, proto, kctx, num_channels=cfg.num_channels,
+                interpret=interpret)
             new_ctx = jnp.concatenate([ctx, x])[-(T - 1):]
             new_state = jnp.stack(
                 [jnp.real(new_ctx), jnp.imag(new_ctx)], axis=-1)

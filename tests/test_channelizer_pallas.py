@@ -67,3 +67,23 @@ def test_channelizer_model_pallas_path():
         assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_x))) \
             < 1e-5 * scale, b
         assert np.allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-6)
+
+
+def test_channelizer_pallas_k16():
+    # Generalized channel counts: any K dividing 128.
+    rng = np.random.default_rng(5)
+    N = CP.step_samples()
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    h = chan.design_prototype(16, 8)
+    Hb = chan.branch_taps(h.astype(np.float32), 16)
+
+    y_ref, _ = chan.channelize_block(
+        jnp.asarray(x), Hb, chan.channelizer_init_ctx(len(h)))
+    y, _ = CP.channelize_pallas(jnp.asarray(x), h,
+                                jnp.zeros(CP.CTX_SAMPLES, jnp.complex64),
+                                num_channels=16, interpret=True)
+    ref = np.asarray(y_ref)
+    got = np.asarray(y)
+    assert got.shape == ref.shape == (N // 16, 16)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) < 1e-5 * scale
