@@ -30,7 +30,7 @@ BASELINE_MSPS = 1.14          # reference real-time bound (BASELINE.md)
 MEASURED_HBM_GBPS = 2700.0    # this chip's copy roofline (docs/PERF.md)
 
 
-def _bench_best(fn, args, budget_s=25.0, max_reps=4):
+def _bench_best(fn, args, budget_s=15.0, max_reps=3):
     """Best-of-reps wall seconds for ``fn(*args)`` (sync'd)."""
     import jax
 
@@ -271,7 +271,7 @@ def bench_fm_receiver():
     state = fm_receiver.init_state(cfg)
     iq = jnp.asarray(rng.integers(
         0, 256, size=(num_blocks, cfg.block, 2), dtype=np.uint8))
-    best = _bench_best(scan_fn, (state, iq), budget_s=60.0, max_reps=4)
+    best = _bench_best(scan_fn, (state, iq), budget_s=35.0, max_reps=3)
     rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
                           seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
     _row("fm_receiver_xla_throughput", samples / best / 1e6,
@@ -298,7 +298,7 @@ def bench_fm_receiver():
         _, auds = jax.lax.scan(body, 0, (re8, im8))
         return auds
 
-    best = _bench_best(fused_scan, (re8, im8), budget_s=90.0, max_reps=6)
+    best = _bench_best(fused_scan, (re8, im8), budget_s=60.0, max_reps=6)
     rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
                           seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
     _row("fm_receiver_chain_throughput", samples / best / 1e6,
