@@ -64,7 +64,7 @@ _ROWS = 160                      # input rows per step (32-aligned for u8)
 _XHALO = 32                      # input halo zone rows (u8 tile height)
 _DHALO = 8                       # demod halo zone rows (f32 tile height)
 IN_PER_STEP = _ROWS * _ROWW      # 102,400 input samples
-_MROWS = IN_PER_STEP // _ROWW * 5 // 5  # mid GEMM rows = 160
+_MROWS = _ROWS  # each 640-wide input row yields one 128-wide mid row
 _AROWS = IN_PER_STEP // (25 * _LANES)   # audio rows per step = 32
 
 

@@ -48,7 +48,7 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
 
     ``use_pallas`` routes through the fused Pallas kernel
     (``kernels/channelizer_pallas.py``, 1.3-1.4x the XLA path on
-    hardware) — requires K = 64, taps_per_branch <= 16, and
+    hardware) — requires K | 128, taps_per_branch <= 16, and
     block % 16384 == 0.  The carried state stays the same (T-1 input
     tail as pairs), so the two paths are interchangeable mid-stream.
     """

@@ -93,9 +93,10 @@ class FmReceiverConfig:
     @property
     def audio_per_block(self) -> int:
         # Per-block-reset decimation keeps ceil(n/rate) samples
-        # (resample_node.rs:53-65), so 2^18 blocks are fine.
-        mid = -(-self.block // self.dec1)
-        return -(-mid // self.dec2)
+        # (resample_node.rs:53-65), so 2^18 blocks are fine.  Same
+        # double ceil-div as the causal tail rule: a full block is the
+        # valid_out of its own length.
+        return _tail_valid_out(self, self.block)
 
     @property
     def ctx1_len(self) -> int:
@@ -301,7 +302,7 @@ def run_file(iq_path, cfg: Optional[FmReceiverConfig] = None,
     if fused is None:
         fused = (cfg.polyphase and cfg.block % FUSED_BLOCK_QUANTUM == 0
                  and cfg.dec1 == 5 and cfg.dec2 == 5
-                 and jax.devices()[0].platform != "cpu")
+                 and jax.devices()[0].platform == "tpu")
     if fused:
         fblock = make_fused_block_fn(cfg)
         fstate = fused_init_state()

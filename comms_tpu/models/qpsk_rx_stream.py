@@ -56,8 +56,6 @@ class QpskRxStreamConfig:
     coarse carrier and timing phases.
     """
 
-    L_CTX = 12  # interpolator left context (covers 2-symbol latency + cubic)
-
     def __init__(self, block: int = 8192, sps: int = 4,
                  num_taps: int = 32, beta: float = 0.25,
                  timing_d: int = 5, costas_alpha: float = 0.1,
@@ -67,6 +65,10 @@ class QpskRxStreamConfig:
             raise ValueError(f"block {block} must be a multiple of sps {sps}")
         self.block = int(block)
         self.sps = int(sps)
+        # interpolator left context: the 2-symbol emission latency plus
+        # the cubic window must stay inside [ctx ++ block] for every
+        # tau in [0, sps) — min index is -2*sps + 3 relative the block.
+        self.L_CTX = max(12, 2 * self.sps + 4)
         self.num_taps = int(num_taps)
         self.beta = float(beta)
         self.costas_alpha = float(costas_alpha)

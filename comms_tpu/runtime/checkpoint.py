@@ -56,6 +56,10 @@ def save_state(path, state: Any, meta: dict | None = None) -> None:
         "num_leaves": len(leaves),
         "tags": tags,
         "treedef": str(treedef),
+        # str(PyTreeDef) formatting is not stable across JAX releases;
+        # record the writer's version so load_state only enforces the
+        # string comparison within the same version.
+        "jax_version": jax.__version__,
         "meta": meta or {},
     }
     with open(str(path) + ".json", "w") as f:
@@ -78,7 +82,8 @@ def load_state(path, like: Any):
             f"checkpoint has {sidecar['num_leaves']} leaves, template "
             f"has {len(like_leaves)}"
         )
-    if sidecar.get("treedef", str(treedef)) != str(treedef):
+    same_jax = sidecar.get("jax_version", jax.__version__) == jax.__version__
+    if same_jax and sidecar.get("treedef", str(treedef)) != str(treedef):
         raise ValueError(
             "checkpoint structure mismatch: saved treedef "
             f"{sidecar['treedef']!r} != template {str(treedef)!r}"

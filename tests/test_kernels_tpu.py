@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-tpu = jax.devices()[0].platform not in ("cpu",)
+tpu = jax.devices()[0].platform == "tpu"
 pytestmark = pytest.mark.skipif(
     not tpu, reason="requires a real TPU backend (CI runs interpret mode)")
 

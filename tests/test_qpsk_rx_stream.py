@@ -126,3 +126,18 @@ def test_streaming_rx_block_size_invariance():
     da = decide_bits(a[skip:m])
     db = decide_bits(b[skip:m])
     assert np.mean(da != db) < 1e-3
+
+
+def test_streaming_rx_large_sps_context():
+    # sps > 5 needs a larger interpolator context (L_CTX scales with
+    # sps); the cubic window must never index before the carried
+    # context — outputs stay finite on arbitrary input.
+    cfg = qpsk_rx_stream.QpskRxStreamConfig(block=4096, sps=8)
+    assert cfg.L_CTX >= 2 * cfg.sps + 4
+    step = qpsk_rx_stream.make_stream_fn(cfg)
+    st = qpsk_rx_stream.init_state(cfg)
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        x = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+        y, st = step(st, jnp.asarray(x))
+        assert np.isfinite(np.asarray(y)).all()
