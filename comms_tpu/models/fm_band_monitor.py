@@ -67,10 +67,39 @@ def init_state(cfg: BandMonitorConfig):
     )
 
 
-def make_block_fn(cfg: BandMonitorConfig):
-    """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``."""
+def make_block_fn(cfg: BandMonitorConfig, use_pallas: bool = False,
+                  interpret: bool = False):
+    """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``.
+
+    ``use_pallas`` routes the channelization stage through the fused
+    Pallas kernel (K | 128, taps_per_branch <= 16,
+    block % 16384 == 0); the per-channel demod + audio FIR stay XLA.
+    """
     Hb = cfg.Hb
     audio_C = cfg.audio_C
+    if use_pallas:
+        from comms_tpu.kernels import channelizer_pallas as _CP
+
+        if 128 % cfg.num_channels:
+            raise ValueError("pallas channelizer needs K | 128")
+        if cfg.block % _CP.step_samples():
+            raise ValueError(
+                f"pallas channelizer needs block % {_CP.step_samples()}"
+                f" == 0, got {cfg.block}")
+        proto = cfg.prototype
+        T = cfg.num_channels * cfg.taps_per_branch
+
+        def channelize(x, ctx):
+            pad = _CP.CTX_SAMPLES - (T - 1)
+            kctx = jnp.concatenate([jnp.zeros((pad,), x.dtype), ctx])
+            y, _ = _CP.channelize_pallas(
+                x, proto, kctx, num_channels=cfg.num_channels,
+                interpret=interpret)
+            new_ctx = jnp.concatenate([ctx, x])[-(T - 1):]
+            return y, new_ctx
+    else:
+        def channelize(x, ctx):
+            return chan.channelize_block(x, Hb, ctx)
 
     def per_channel(y_ch, prev_pair, actx):
         # y_ch: [frames] complex for one channel.
@@ -86,7 +115,7 @@ def make_block_fn(cfg: BandMonitorConfig):
         ctx_pairs, prev_pairs, actxs = state
         x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
         ctx = jax.lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
-        y, ctx2 = chan.channelize_block(x, Hb, ctx)   # [frames, K]
+        y, ctx2 = channelize(x, ctx)                 # [frames, K]
         audio, new_prev, new_actx = jax.vmap(
             per_channel, in_axes=(1, 0, 0), out_axes=(0, 0, 0)
         )(y, prev_pairs, actxs)

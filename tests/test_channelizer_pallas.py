@@ -87,3 +87,20 @@ def test_channelizer_pallas_k16():
     assert got.shape == ref.shape == (N // 16, 16)
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) < 1e-5 * scale
+
+
+def test_band_monitor_pallas_path():
+    from comms_tpu.models import fm_band_monitor as model
+
+    rng = np.random.default_rng(6)
+    cfg = model.BandMonitorConfig(block=CP.step_samples())
+    blk_x = model.make_block_fn(cfg)
+    blk_p = model.make_block_fn(cfg, use_pallas=True, interpret=True)
+    s_x, s_p = model.init_state(cfg), model.init_state(cfg)
+    for b in range(2):
+        pairs = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+        y_x, s_x = blk_x(s_x, jnp.asarray(pairs))
+        y_p, s_p = blk_p(s_p, jnp.asarray(pairs))
+        scale = float(np.abs(np.asarray(y_x)).max())
+        assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_x))) \
+            < 1e-5 * scale, b
