@@ -65,6 +65,12 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
                 f" == 0, got {cfg.block}")
         proto = cfg.prototype
         T = cfg.num_channels * cfg.taps_per_branch
+        if T - 1 > _CP.CTX_SAMPLES:
+            raise ValueError(
+                f"pallas channelizer carries at most {_CP.CTX_SAMPLES} "
+                f"context samples; prototype length {T} (K="
+                f"{cfg.num_channels} x M={cfg.taps_per_branch}) exceeds "
+                "it — reduce taps_per_branch or use the XLA path")
 
         @jax.jit
         def block_p(state, iq_pairs):

@@ -88,6 +88,12 @@ def make_block_fn(cfg: BandMonitorConfig, use_pallas: bool = False,
                 f" == 0, got {cfg.block}")
         proto = cfg.prototype
         T = cfg.num_channels * cfg.taps_per_branch
+        if T - 1 > _CP.CTX_SAMPLES:
+            raise ValueError(
+                f"pallas channelizer carries at most {_CP.CTX_SAMPLES} "
+                f"context samples; prototype length {T} (K="
+                f"{cfg.num_channels} x M={cfg.taps_per_branch}) exceeds "
+                "it — reduce taps_per_branch or use the XLA path")
 
         def channelize(x, ctx):
             pad = _CP.CTX_SAMPLES - (T - 1)

@@ -30,6 +30,16 @@ __all__ = ["save_state", "load_state"]
 _COMPLEX_TAG = "__complex_pairs__"
 
 
+def _path_fingerprint(tree) -> list[str]:
+    """JAX-version-stable structure fingerprint: the keystr of every
+    leaf path.  ``str(PyTreeDef)`` formatting changes across JAX
+    releases, but key paths ("[0][1]", ".field", "['k']") are the
+    documented tree_util surface — comparing them catches a reordered
+    or re-nested template even when the writer ran a different JAX."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(path) for path, _ in flat]
+
+
 def _norm_path(path) -> str:
     """np.savez appends .npz when missing; normalize up front so the
     array file and the json sidecar always share one basename."""
@@ -58,7 +68,9 @@ def save_state(path, state: Any, meta: dict | None = None) -> None:
         "treedef": str(treedef),
         # str(PyTreeDef) formatting is not stable across JAX releases;
         # record the writer's version so load_state only enforces the
-        # string comparison within the same version.
+        # string comparison within the same version.  "paths" is the
+        # version-stable fingerprint checked in every case.
+        "paths": _path_fingerprint(state),
         "jax_version": jax.__version__,
         "meta": meta or {},
     }
@@ -87,6 +99,13 @@ def load_state(path, like: Any):
         raise ValueError(
             "checkpoint structure mismatch: saved treedef "
             f"{sidecar['treedef']!r} != template {str(treedef)!r}"
+        )
+    paths = _path_fingerprint(like)
+    saved_paths = sidecar.get("paths", paths)  # absent in old checkpoints
+    if saved_paths != paths:
+        raise ValueError(
+            "checkpoint structure mismatch: saved leaf paths "
+            f"{saved_paths} != template {paths}"
         )
     out = []
     for i, (tag, tmpl) in enumerate(zip(sidecar["tags"], like_leaves)):

@@ -273,3 +273,29 @@ def test_checkpoint_treedef_mismatch_raises(tmp_path):
     template = {"a": jnp.zeros(3), "b": jnp.ones(3)}
     with pytest.raises(ValueError, match="structure mismatch"):
         checkpoint.load_state(tmp_path / "s.npz", template)
+
+
+def test_checkpoint_cross_version_structure_mismatch_raises(tmp_path):
+    """A checkpoint written by a *different* JAX version must still
+    reject a structurally different but leaf-compatible template: the
+    version-stable path fingerprint catches it even when the treedef
+    string comparison is skipped (advisor finding, round 2)."""
+    import json
+
+    import pytest
+
+    state = (jnp.zeros(3), jnp.ones(3))
+    checkpoint.save_state(tmp_path / "s.npz", state)
+    # simulate a writer on another JAX release
+    sidecar_path = str(tmp_path / "s.npz") + ".json"
+    with open(sidecar_path) as f:
+        sidecar = json.load(f)
+    sidecar["jax_version"] = "0.0.0-other"
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f)
+    template = {"a": jnp.zeros(3), "b": jnp.ones(3)}
+    with pytest.raises(ValueError, match="leaf paths"):
+        checkpoint.load_state(tmp_path / "s.npz", template)
+    # the matching template still loads
+    restored = checkpoint.load_state(tmp_path / "s.npz", state)
+    assert np.array_equal(np.asarray(restored[1]), np.ones(3, np.float32))

@@ -104,3 +104,23 @@ def test_band_monitor_pallas_path():
         scale = float(np.abs(np.asarray(y_x)).max())
         assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_x))) \
             < 1e-5 * scale, b
+
+
+def test_pallas_path_rejects_oversized_prototype_at_build():
+    # K=64, M=17 -> prototype length 1088 > CTX_SAMPLES+1: must raise a
+    # clear ValueError at make_block_fn time, not a negative-dimension
+    # error at first call (advisor finding, round 2).
+    import pytest
+
+    from comms_tpu.models import channelizer as model
+    from comms_tpu.models import fm_band_monitor as monitor
+
+    cfg = model.ChannelizerConfig(taps_per_branch=17,
+                                  block=CP.step_samples())
+    with pytest.raises(ValueError, match="context"):
+        model.make_block_fn(cfg, use_pallas=True, interpret=True)
+
+    mcfg = monitor.BandMonitorConfig(num_channels=64, taps_per_branch=17,
+                                     block=CP.step_samples())
+    with pytest.raises(ValueError, match="context"):
+        monitor.make_block_fn(mcfg, use_pallas=True, interpret=True)
