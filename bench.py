@@ -2,22 +2,33 @@
 
 Prints one JSON line per row; the FINAL line is the flagship
 FM-receiver chain (same metric name as round 1, so driver history
-stays comparable):
+stays comparable) — now driven through the PRODUCTION streaming path
+(``make_fused_block_fn``: fused Pallas kernel + per-block context
+recompute, state chained across the scan).
 
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
 
-Kernel rows additionally report ``pct_of_sol`` against the measured
-~2.7 TB/s copy roofline of this chip (docs/PERF.md) and whether the
-kernel is memory- or compute-bound.
+Kernel rows additionally report ``pct_of_sol`` against a copy roofline
+MEASURED AT THE START OF THE SAME RUN (printed as the first row — the
+tunnel's bandwidth varies between windows, so a fixed constant can
+read >100%) and whether the kernel is memory- or compute-bound.
+
+Pallas-vs-XLA pairs run IDENTICAL in-dispatch shapes: the same
+scan length, per-element block size, taps, and carried-state
+structure, sized to >= 64 M samples per dispatch (the scale the
+round-2 A/B runs used to clear the tunnel's dispatch floor — the
+round-2 record sized the Pallas rows ~30x smaller than their own A/B
+and recorded them losing; fixed this round).
 
 Baseline: the reference's implied real-time bound — its threaded FM
 pipeline keeps up with an RTL-SDR at 1.14 Msps complex input
 (examples/fm_radio.rs:57,144; BASELINE.md).  vs_baseline is the
 speedup over that 1.14 Msamples/s rate.
 
-Methodology: inputs pre-staged on device (the axon tunnel moves
-host<->device payloads at ~1 MB/s — a file-driven run would measure
-the tunnel, not the framework); best-of-reps inside a per-row time
+Methodology: inputs are GENERATED ON DEVICE (one jitted dispatch,
+outside the timed region) — the axon tunnel moves host<->device
+payloads at ~1 MB/s, so staging record-scale inputs from the host
+would dwarf the measurement; best-of-reps inside a per-row time
 budget (tunnel throughput varies up to ~50x between windows).
 """
 
@@ -27,7 +38,28 @@ import time
 import numpy as np
 
 BASELINE_MSPS = 1.14          # reference real-time bound (BASELINE.md)
-MEASURED_HBM_GBPS = 2700.0    # this chip's copy roofline (docs/PERF.md)
+MEASURED_HBM_GBPS = 2700.0    # window-average roofline (docs/PERF.md)
+
+# Same-run copy roofline: the tunnel's bandwidth swings ~50x between
+# windows, so pct_of_sol against a fixed constant can exceed 100% in a
+# fast window.  main() measures a big f32 copy first and every row's
+# roofline uses THAT number (printed as its own row for the record).
+_RUN_HBM_GBPS = MEASURED_HBM_GBPS
+
+
+def _measure_copy_gbps():
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 27                       # 512 MB of f32
+    x = _device_pairs((n,), seed=99)
+
+    @jax.jit
+    def cp(a):
+        return a * jnp.float32(1.0000001)
+
+    best = _bench_best(cp, (x,), budget_s=12.0, max_reps=8)
+    return 2 * 4 * n / best / 1e9
 
 
 def _bench_best(fn, args, budget_s=15.0, max_reps=3):
@@ -74,6 +106,37 @@ def _scan_wrap(block_fn, n):
     return scan
 
 
+def _device_pairs(shape, seed=0):
+    """f32 IQ pairs generated ON DEVICE (one jitted dispatch): the
+    tunnel's ~1 MB/s host->device path cannot stage record-scale
+    inputs; values are irrelevant to throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        return jax.random.normal(key, shape, dtype=jnp.float32)
+
+    out = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
+
+
+def _device_u8(shape, seed=0):
+    """uint8 planes generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, shape, 0, 256,
+                                  dtype=jnp.int32).astype(jnp.uint8)
+
+    out = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
+
+
 def bench_bpsk_tx():
     from comms_tpu.models import bpsk_tx
 
@@ -94,7 +157,6 @@ def bench_qpsk_tx():
 
 def bench_qpsk_rx():
     import jax
-    import jax.numpy as jnp
     from jax import lax
 
     from comms_tpu.models import qpsk_rx
@@ -103,8 +165,7 @@ def bench_qpsk_rx():
     rx = qpsk_rx.make_rx_fn(cfg)
     n = 1 << 20
     nb = 4
-    rng = np.random.default_rng(0)
-    pairs = jnp.asarray(rng.normal(size=(nb, n, 2)).astype(np.float32))
+    pairs = _device_pairs((nb, n, 2), seed=10)
 
     @jax.jit
     def scan(blocks):
@@ -118,33 +179,69 @@ def bench_qpsk_rx():
     _row("qpsk_rx_throughput", nb * n / best / 1e6)
 
 
-def bench_channelizer():
-    import jax.numpy as jnp
+def _planar_scan(block_fn):
+    """(state, re[L, N], im[L, N]) -> outputs, state chained."""
+    import jax
+    from jax import lax
 
+    @jax.jit
+    def scan(state, res, ims):
+        def body(c, x):
+            r, i = x
+            y, c = block_fn(c, r, i)
+            return c, y
+        final, ys = lax.scan(body, state, (res, ims))
+        return ys, final
+
+    return scan
+
+
+def bench_channelizer_pair():
+    """XLA channelizer model vs its fused-Pallas path: SAME scan
+    length, block size, prototype, carried state, and planar-plane
+    input layout (the run_file ingest layout — the round-2 record
+    compared mismatched dispatch sizes and fed the Pallas path an
+    interleaved layout it had to repack)."""
     from comms_tpu.models import channelizer
 
-    cfg = channelizer.ChannelizerConfig(block=1 << 22)
-    blk = channelizer.make_block_fn(cfg)
-    rng = np.random.default_rng(1)
-    pairs = jnp.asarray(rng.normal(size=(cfg.block, 2)).astype(np.float32))
-    best = _bench_best(blk, (channelizer.init_state(cfg), pairs))
-    _row("channelizer64_throughput", cfg.block / best / 1e6)
+    from comms_tpu.kernels import channelizer_pallas as CP
+
+    nb = 16
+    block = CP.step_samples() * 256          # 4,194,304 per element
+    total = nb * block                       # ~67 M samples / dispatch
+    cfg = channelizer.ChannelizerConfig(block=block)
+    res = _device_pairs((nb, block), seed=11)
+    ims = _device_pairs((nb, block), seed=18)
+
+    scan_x = _planar_scan(channelizer.make_planar_block_fn(cfg))
+    best = _bench_best(scan_x, (channelizer.init_state(cfg), res, ims),
+                       budget_s=20.0)
+    _row("channelizer64_throughput", total / best / 1e6)
+
+    scan_p = _planar_scan(
+        channelizer.make_planar_block_fn(cfg, use_pallas=True))
+    best = _bench_best(scan_p, (channelizer.init_state(cfg), res, ims),
+                       budget_s=20.0)
+    from comms_tpu.runtime import metrics
+
+    rl = metrics.roofline(bytes_moved=16 * total, flops=8 * 8 * total,
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_channelizer_pallas_throughput", total / best / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
 def bench_band_monitor():
-    import jax.numpy as jnp
-
     from comms_tpu.models import fm_band_monitor
 
     cfg = fm_band_monitor.BandMonitorConfig(block=1 << 22)
     blk = fm_band_monitor.make_block_fn(cfg)
-    rng = np.random.default_rng(2)
-    pairs = jnp.asarray(rng.normal(size=(cfg.block, 2)).astype(np.float32))
+    pairs = _device_pairs((cfg.block, 2), seed=12)
     best = _bench_best(blk, (fm_band_monitor.init_state(cfg), pairs))
     _row("fm_band_monitor_throughput", cfg.block / best / 1e6)
 
 
 def bench_kernels():
+    import jax
     import jax.numpy as jnp
 
     from comms_tpu.ops import fir
@@ -153,10 +250,7 @@ def bench_kernels():
     rng = np.random.default_rng(3)
     n = 1 << 22
     taps63 = rng.normal(size=63).astype(np.complex64)
-    xp = rng.normal(size=(n, 2)).astype(np.float32)
-    x_pairs = jnp.asarray(xp)
-
-    import jax
+    x_pairs = _device_pairs((n, 2), seed=13)
 
     # streaming FIR, 63 complex taps (pairs at the boundary)
     B = fir.banded_tap_matrix(taps63)
@@ -169,71 +263,60 @@ def bench_kernels():
 
     best = _bench_best(fir_k, (x_pairs,))
     rl = metrics.roofline(bytes_moved=16 * n, flops=8 * 63 * n,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
     _row("kernel_fir63_throughput", n / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
-    # polyphase decimating FIR /5 (the FM chain's hot pair)
-    C = fir.decimating_branch_taps(taps63, 5)
-
-    @jax.jit
-    def poly_k(pairs):
-        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
-        y, _ = fir.fir_decimate_poly(
-            x, C, jnp.zeros(C.size - 1, jnp.complex64))
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
-
-    n5 = (n // 5) * 5
-    best = _bench_best(poly_k, (x_pairs[:n5],))
-    rl = metrics.roofline(bytes_moved=8 * n5 + 8 * n5 // 5,
-                          flops=8 * 63 * n5 // 5,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
-    _row("kernel_polyphase_fir63_dec5_throughput", n5 / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
-
-    # the same decimating FIR as the general Pallas kernel
+    # ---- polyphase decimating FIR /5 pair (the FM chain's hot pair,
+    # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes — same
+    # scan length, same per-element size, same real 63-tap LPF, same
+    # planar-plane layout, ctx chained through the scan.  >= 64 M
+    # samples per dispatch.
     from comms_tpu.kernels import poly_fir_pallas as PP
+    from comms_tpu.models.fm_receiver import FM_LPF_TAPS
 
-    npal = PP.step_samples(5) * 12   # ~4.9M per scan element
-    xb = jnp.asarray(rng.normal(size=(4, npal, 2)).astype(np.float32))
+    npal = PP.step_samples(5) * 128          # 5,242,880 per element
+    nb = 13                                  # ~68 M samples / dispatch
+    res = _device_pairs((nb, npal), seed=14)
+    ims = _device_pairs((nb, npal), seed=19)
+    # best XLA formulation: real f32 branch taps (2 real MAC streams)
+    C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
     @jax.jit
-    def poly_pallas_k(blocks):
-        def body(c, pairs):
-            x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
-            y, c = PP.poly_fir_pallas(x, taps63.real.astype(np.float64),
-                                      c, 5)
-            return c, jnp.stack([jnp.real(y), jnp.imag(y)], -1)
-        c0 = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.complex64)
-        _, ys = jax.lax.scan(body, c0, blocks)
+    def poly_xla_k(res, ims):
+        def body(c, x):
+            r, i = x
+            y, c = fir.fir_decimate_poly(jax.lax.complex(r, i), C, c)
+            return c, (jnp.real(y), jnp.imag(y))
+        c0 = jnp.zeros(C.size - 1, jnp.complex64)
+        _, ys = jax.lax.scan(body, c0, (res, ims))
         return ys
 
-    best = _bench_best(poly_pallas_k, (xb,))
-    npal *= 4
-    rl = metrics.roofline(bytes_moved=8 * npal + 8 * npal // 5,
-                          flops=8 * 63 * npal // 5,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
-    _row("kernel_polyphase_pallas_throughput", npal / best / 1e6,
+    ntot = nb * npal
+    best = _bench_best(poly_xla_k, (res, ims), budget_s=20.0)
+    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
+                          flops=8 * 63 * ntot // 5,
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_polyphase_fir63_dec5_throughput", ntot / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
-    # fused Pallas channelizer (branch MACs + DFT in one kernel)
-    from comms_tpu.kernels import channelizer_pallas as CP
-    from comms_tpu.ops import channelizer as chan_ops
-
-    h64 = chan_ops.design_prototype(64, 8)
-    nch = CP.step_samples() * 128
-
     @jax.jit
-    def chan_pallas_k(pairs):
-        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
-        y, _ = CP.channelize_pallas(
-            x, h64, jnp.zeros(CP.CTX_SAMPLES, jnp.complex64))
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+    def poly_pallas_k(res, ims):
+        def body(c, x):
+            r, i = x
+            cr, ci = c
+            yr, yi, cr, ci = PP.poly_fir_pallas_planar(
+                r, i, FM_LPF_TAPS, cr, ci, 5)
+            return (cr, ci), (yr, yi)
+        z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
+        _, ys = jax.lax.scan(body, (z, z), (res, ims))
+        return ys
 
-    best = _bench_best(chan_pallas_k, (x_pairs[:nch],))
-    rl = metrics.roofline(bytes_moved=16 * nch, flops=8 * 8 * nch,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
-    _row("kernel_channelizer_pallas_throughput", nch / best / 1e6,
+    best = _bench_best(poly_pallas_k, (res, ims), budget_s=20.0)
+    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
+                          flops=8 * 63 * ntot // 5,
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_polyphase_pallas_throughput", ntot / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
     # batched FFT-1024
@@ -245,70 +328,77 @@ def bench_kernels():
 
     best = _bench_best(fft_k, (x_pairs,))
     rl = metrics.roofline(bytes_moved=16 * n, flops=5 * n * 10,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
     _row("kernel_fft1024_throughput", n / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
 def bench_fm_receiver():
     import jax
-    import jax.numpy as jnp
 
     from comms_tpu.models import fm_receiver
     from comms_tpu.runtime import metrics
 
     cfg = fm_receiver.FmReceiverConfig(block=6553600)
-    num_blocks = 8
-    samples = num_blocks * cfg.block
-    rng = np.random.default_rng(0)
+    num_blocks = 10
+    samples = num_blocks * cfg.block         # ~65.5 M per dispatch
     # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
     # (4/25 B/sample); intermediates fused/in-VMEM.
     floor_bytes = int(samples * (2 + 4 / 25))
     flops = int(samples * 2 * 26)
 
-    # secondary row: the XLA-fused chain (round-1 path).
+    # secondary row: the XLA-fused chain (round-1 path), same scale.
     scan_fn = fm_receiver.make_scan_fn(cfg)
     state = fm_receiver.init_state(cfg)
-    iq = jnp.asarray(rng.integers(
-        0, 256, size=(num_blocks, cfg.block, 2), dtype=np.uint8))
+    iq = _device_u8((num_blocks, cfg.block, 2), seed=15)
     best = _bench_best(scan_fn, (state, iq), budget_s=35.0, max_reps=3)
     rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
     _row("fm_receiver_xla_throughput", samples / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
-    # FLAGSHIP (final line): the fused Pallas chain — single kernel,
-    # planar u8 planes in, audio out, all intermediates in VMEM
-    # (kernels/fm_chain_pallas.py; parity ~2e-4 vs the XLA chain).
-    from comms_tpu.kernels import fm_chain_pallas as K
-
-    re8 = jnp.asarray(rng.integers(
-        0, 256, size=(num_blocks, cfg.block), dtype=np.uint8))
-    im8 = jnp.asarray(rng.integers(
-        0, 256, size=(num_blocks, cfg.block), dtype=np.uint8))
+    # FLAGSHIP (final line): the PRODUCTION fused streaming path —
+    # make_fused_block_fn (single Pallas kernel, planar u8 planes in,
+    # audio out, per-block context RECOMPUTED from the raw tail) with
+    # state chained block-to-block, exactly as run_file serves it.
+    fblock = fm_receiver.make_fused_block_fn(cfg)
+    re8 = _device_u8((num_blocks, cfg.block), seed=16)
+    im8 = _device_u8((num_blocks, cfg.block), seed=17)
 
     @jax.jit
-    def fused_scan(re8, im8):
+    def fused_scan(state, re8, im8):
         def body(c, x):
             r, i = x
-            a = K.fm_chain_fused(r, i, K.zero_ctx(),
-                                 fm_receiver.FM_LPF_TAPS,
-                                 fm_receiver.FM_LPF_TAPS)
+            a, c = fblock(c, r, i)
             return c, a
-        _, auds = jax.lax.scan(body, 0, (re8, im8))
-        return auds
+        final, auds = jax.lax.scan(body, state, (re8, im8))
+        return auds, final
 
-    best = _bench_best(fused_scan, (re8, im8), budget_s=60.0, max_reps=6)
+    fstate = fm_receiver.fused_init_state()
+    best = _bench_best(fused_scan, (fstate, re8, im8),
+                       budget_s=60.0, max_reps=6)
     rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                          seconds=best, hbm_gbps=MEASURED_HBM_GBPS)
+                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
     _row("fm_receiver_chain_throughput", samples / best / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
 def main():
+    global _RUN_HBM_GBPS
+    try:
+        _RUN_HBM_GBPS = _measure_copy_gbps()
+        print(json.dumps({"metric": "measured_copy_bandwidth",
+                          "value": round(_RUN_HBM_GBPS, 1),
+                          "unit": "GB/s",
+                          "vs_baseline": round(
+                              _RUN_HBM_GBPS / MEASURED_HBM_GBPS, 2)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "measured_copy_bandwidth",
+                          "error": str(e)}), flush=True)
     for bench in (bench_bpsk_tx, bench_qpsk_tx, bench_qpsk_rx,
-                  bench_channelizer, bench_band_monitor, bench_kernels,
-                  bench_fm_receiver):
+                  bench_channelizer_pair, bench_band_monitor,
+                  bench_kernels, bench_fm_receiver):
         try:
             bench()
         except Exception as e:  # a broken row must not hide the rest

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from comms_tpu.ops import fir as _fir
 
-__all__ = ["channelize_pallas", "step_samples", "CTX_SAMPLES", "K"]
+__all__ = ["channelize_pallas", "channelize_pallas_planar",
+           "step_samples", "CTX_SAMPLES", "K"]
 
 K = 64                         # default (BASELINE config)
 _LANES = 128
@@ -143,20 +144,22 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
     yi_out[:] = dot(vr, fi_v) + dot(vi, fr_v)
 
 
-def channelize_pallas(x, prototype, ctx, num_channels: int = K,
-                      interpret: bool = False):
-    """Fused polyphase DFT channelizer, K channels (K | 128).
+def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
+                             num_channels: int = K,
+                             interpret: bool = False):
+    """Planar-plane variant of :func:`channelize_pallas` — the kernel's
+    NATIVE layout, zero relayout on either side.
 
     Args:
-      x: [N] complex64, N % step_samples() == 0.
+      re, im: [N] float32 planes, N % step_samples() == 0.
       prototype: length K*M real lowpass (M <= 16), host numpy.
-      ctx: [CTX_SAMPLES] complex64 carried input tail (zeros at
-        stream start; only the trailing T-1 samples matter).
+      ctx_re, ctx_im: [CTX_SAMPLES] float32 carried input-tail planes
+        (zeros at stream start; only the trailing T-1 samples matter).
 
-    Returns ``(y[N//K, K] complex64, new_ctx)`` matching
-    ``ops.channelizer.channelize_block``.
+    Returns ``(yr[N//K, K], yi[N//K, K], new_ctx_re, new_ctx_im)``.
     """
-    x = jnp.asarray(x)
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
     k = int(num_channels)
     if k < 2 or _LANES % k:
         raise ValueError(f"num_channels {k} must divide 128")
@@ -170,7 +173,7 @@ def channelize_pallas(x, prototype, ctx, num_channels: int = K,
         raise ValueError(
             f"prototype length {k * M} exceeds the {_HALO * _LANES}-"
             "sample halo zone")
-    N = x.shape[0]
+    N = re.shape[0]
     if N % step_samples():
         raise ValueError(f"N {N} must be a multiple of {step_samples()}")
     steps = N // step_samples()
@@ -179,10 +182,12 @@ def channelize_pallas(x, prototype, ctx, num_channels: int = K,
     c2 = np.concatenate([C] * (_LANES // k), axis=1)          # [M, 128]
     fr, fi = _dft_mats(k)
 
-    ctx = jnp.asarray(ctx)
-    if ctx.shape[0] != CTX_SAMPLES:
+    ctx_re = jnp.asarray(ctx_re)
+    ctx_im = jnp.asarray(ctx_im)
+    if ctx_re.shape[0] != CTX_SAMPLES:
         raise ValueError(f"ctx must be {CTX_SAMPLES} samples")
-    new_ctx = jnp.concatenate([ctx, x])[-CTX_SAMPLES:]
+    new_ctx_re = jnp.concatenate([ctx_re, re])[-CTX_SAMPLES:]
+    new_ctx_im = jnp.concatenate([ctx_im, im])[-CTX_SAMPLES:]
 
     out_rows = steps * _ROWS
     kernel = functools.partial(_kernel, M=M, k=k)
@@ -223,12 +228,35 @@ def channelize_pallas(x, prototype, ctx, num_channels: int = K,
         ),
         interpret=interpret,
     )(
-        jnp.real(x).reshape(-1, _LANES), jnp.imag(x).reshape(-1, _LANES),
-        jnp.real(ctx).reshape(_HALO, _LANES),
-        jnp.imag(ctx).reshape(_HALO, _LANES),
+        re.reshape(-1, _LANES), im.reshape(-1, _LANES),
+        ctx_re.reshape(_HALO, _LANES),
+        ctx_im.reshape(_HALO, _LANES),
         jnp.asarray(np.pad(c2, ((0, 16 - M), (0, 0)))),
         jnp.asarray(fr), jnp.asarray(fi),
     )
     # packed [rows, 128] -> [frames, K] (contiguous reshape)
-    y = jax.lax.complex(yr.reshape(-1, k), yi.reshape(-1, k))
-    return y, new_ctx
+    return yr.reshape(-1, k), yi.reshape(-1, k), new_ctx_re, new_ctx_im
+
+
+def channelize_pallas(x, prototype, ctx, num_channels: int = K,
+                      interpret: bool = False):
+    """Fused polyphase DFT channelizer, K channels (K | 128).
+
+    Args:
+      x: [N] complex64, N % step_samples() == 0.
+      prototype: length K*M real lowpass (M <= 16), host numpy.
+      ctx: [CTX_SAMPLES] complex64 carried input tail (zeros at
+        stream start; only the trailing T-1 samples matter).
+
+    Returns ``(y[N//K, K] complex64, new_ctx)`` matching
+    ``ops.channelizer.channelize_block``.  (XLA folds the
+    real/imag/complex shims when the caller already holds planes;
+    plane-native callers should use :func:`channelize_pallas_planar`.)
+    """
+    x = jnp.asarray(x)
+    ctx = jnp.asarray(ctx)
+    yr, yi, ncr, nci = channelize_pallas_planar(
+        jnp.real(x), jnp.imag(x), prototype,
+        jnp.real(ctx), jnp.imag(ctx),
+        num_channels=num_channels, interpret=interpret)
+    return jax.lax.complex(yr, yi), jax.lax.complex(ncr, nci)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["poly_fir_pallas", "step_samples", "CTX_ROWS"]
+__all__ = ["poly_fir_pallas", "poly_fir_pallas_planar", "step_samples",
+           "CTX_ROWS"]
 
 _LANES = 128
 _HALO = 8          # f32 DMA row-alignment quantum
@@ -106,21 +107,24 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, brr, bri,
         yi_out[:] = gemm(slab_i[:], brr)
 
 
-def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
-    """Polyphase decimating FIR on complex input.
+def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
+                           interpret: bool = False):
+    """Planar-plane variant of :func:`poly_fir_pallas` — the kernel's
+    NATIVE layout (zero relayout on either side).
 
     Args:
-      x: [N] complex64 (device), N % step_samples(dec) == 0.
+      re, im: [N] float32 planes, N % step_samples(dec) == 0.
       taps: 1-D taps (real or complex, T <= 129), host numpy.
-      ctx: [dec*128*CTX_ROWS] complex64 carried input tail (the
-        samples immediately before this block; zeros at stream start).
-        Only the trailing 128 samples influence the output for
-        T <= 129 — the full quantum keeps DMAs tile-aligned.
+      ctx_re, ctx_im: [dec*128*CTX_ROWS] float32 carried input-tail
+        planes (zeros at stream start).  Only the trailing 128
+        samples influence the output for T <= 129 — the full quantum
+        keeps DMAs tile-aligned.
       dec: decimation factor in [2, 8].
 
-    Returns ``(y[N//dec] complex64, new_ctx)``.
+    Returns ``(yr[N//dec], yi[N//dec], new_ctx_re, new_ctx_im)``.
     """
-    x = jnp.asarray(x)
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
     taps = np.asarray(taps)
     T = taps.shape[0]
     D = int(dec)
@@ -128,7 +132,7 @@ def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
         raise ValueError(f"dec must be in [2, 8], got {D}")
     if T > _LANES + 1:
         raise ValueError(f"taps {T} > {_LANES + 1} unsupported")
-    N = x.shape[0]
+    N = re.shape[0]
     step = step_samples(D)
     if N % step:
         raise ValueError(f"N {N} must be a multiple of {step}")
@@ -140,11 +144,13 @@ def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
     bri = (_band(taps.imag.astype(np.float64), D) if complex_taps
            else np.zeros_like(brr))
 
-    ctx = jnp.asarray(ctx)
-    if ctx.shape[0] != CTX_ROWS * roww:
+    ctx_re = jnp.asarray(ctx_re)
+    ctx_im = jnp.asarray(ctx_im)
+    if ctx_re.shape[0] != CTX_ROWS * roww:
         raise ValueError(
-            f"ctx must be {CTX_ROWS * roww} samples, got {ctx.shape[0]}")
-    new_ctx = jnp.concatenate([ctx, x])[-CTX_ROWS * roww:]
+            f"ctx must be {CTX_ROWS * roww} samples, got {ctx_re.shape[0]}")
+    new_ctx_re = jnp.concatenate([ctx_re, re])[-CTX_ROWS * roww:]
+    new_ctx_im = jnp.concatenate([ctx_im, im])[-CTX_ROWS * roww:]
 
     out_rows = steps * _ROWS
     kernel = functools.partial(_kernel, dec=D, complex_taps=complex_taps)
@@ -184,10 +190,30 @@ def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(
-        jnp.real(x).reshape(-1, roww), jnp.imag(x).reshape(-1, roww),
-        jnp.real(ctx).reshape(CTX_ROWS, roww),
-        jnp.imag(ctx).reshape(CTX_ROWS, roww),
+        re.reshape(-1, roww), im.reshape(-1, roww),
+        ctx_re.reshape(CTX_ROWS, roww),
+        ctx_im.reshape(CTX_ROWS, roww),
         jnp.asarray(brr), jnp.asarray(bri),
     )
-    y = jax.lax.complex(yr.reshape(-1), yi.reshape(-1))
-    return y, new_ctx
+    return yr.reshape(-1), yi.reshape(-1), new_ctx_re, new_ctx_im
+
+
+def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
+    """Polyphase decimating FIR on complex input.
+
+    Args:
+      x: [N] complex64 (device), N % step_samples(dec) == 0.
+      taps: 1-D taps (real or complex, T <= 129), host numpy.
+      ctx: [dec*128*CTX_ROWS] complex64 carried input tail (the
+        samples immediately before this block; zeros at stream start).
+      dec: decimation factor in [2, 8].
+
+    Returns ``(y[N//dec] complex64, new_ctx)``.  Plane-native callers
+    should use :func:`poly_fir_pallas_planar` (the kernel's layout).
+    """
+    x = jnp.asarray(x)
+    ctx = jnp.asarray(ctx)
+    yr, yi, ncr, nci = poly_fir_pallas_planar(
+        jnp.real(x), jnp.imag(x), taps,
+        jnp.real(ctx), jnp.imag(ctx), dec, interpret=interpret)
+    return jax.lax.complex(yr, yi), jax.lax.complex(ncr, nci)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import channelizer as chan
 
-__all__ = ["ChannelizerConfig", "make_block_fn", "init_state"]
+__all__ = ["ChannelizerConfig", "make_block_fn", "make_planar_block_fn",
+           "init_state"]
 
 
 class ChannelizerConfig:
@@ -99,5 +100,62 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
         new_state = jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1)
         yp = jnp.stack([jnp.real(y), jnp.imag(y)], axis=-1)
         return yp, new_state
+
+    return block
+
+
+def make_planar_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
+                         interpret: bool = False):
+    """Plane-native variant: jitted ``(state, re[N], im[N]) ->
+    ((yre[frames, K], yim[frames, K]), state)``.
+
+    Ingest that deinterleaves on the host (the ``run_file`` pattern —
+    recorded IQ is interleaved on disk, planar in HBM) should use this
+    path: the fused Pallas kernel consumes/produces planes natively,
+    so NO relayout traffic exists anywhere in the block.  State stays
+    the (T-1, 2) f32 pairs of :func:`init_state` — interchangeable
+    with :func:`make_block_fn` mid-stream.
+    """
+    Hb = cfg.Hb
+    T = cfg.num_channels * cfg.taps_per_branch
+
+    if use_pallas:
+        from comms_tpu.kernels import channelizer_pallas as _CP
+
+        if 128 % cfg.num_channels:
+            raise ValueError("pallas channelizer needs K | 128")
+        if cfg.block % _CP.step_samples():
+            raise ValueError(
+                f"pallas channelizer needs block % {_CP.step_samples()}"
+                f" == 0, got {cfg.block}")
+        if T - 1 > _CP.CTX_SAMPLES:
+            raise ValueError(
+                f"pallas channelizer carries at most {_CP.CTX_SAMPLES} "
+                f"context samples; prototype length {T} exceeds it")
+        proto = cfg.prototype
+        pad = _CP.CTX_SAMPLES - (T - 1)
+
+        @jax.jit
+        def block_p(state, re, im):
+            zc = jnp.zeros((pad,), jnp.float32)
+            yr, yi, _, _ = _CP.channelize_pallas_planar(
+                re, im, proto,
+                jnp.concatenate([zc, state[:, 0]]),
+                jnp.concatenate([zc, state[:, 1]]),
+                num_channels=cfg.num_channels, interpret=interpret)
+            new_state = jnp.stack(
+                [jnp.concatenate([state[:, 0], re])[-(T - 1):],
+                 jnp.concatenate([state[:, 1], im])[-(T - 1):]], axis=-1)
+            return (yr, yi), new_state
+
+        return block_p
+
+    @jax.jit
+    def block(state, re, im):
+        x = jax.lax.complex(re, im)
+        ctx = jax.lax.complex(state[:, 0], state[:, 1])
+        y, ctx = chan.channelize_block(x, Hb, ctx)
+        new_state = jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1)
+        return (jnp.real(y), jnp.imag(y)), new_state
 
     return block

@@ -3,6 +3,7 @@ exchange, channel sharding, multi-host init."""
 
 from comms_tpu.parallel import (  # noqa: F401
     dfft,
+    fused_wideband,
     multihost,
     scaling,
     sharding,
