@@ -80,6 +80,27 @@ def _bench_best(fn, args, budget_s=15.0, max_reps=3):
     return best
 
 
+def _bench_interleaved(fns_args, budget_s=40.0, max_reps=6):
+    """Best-of-reps for SEVERAL functions with their reps interleaved
+    (A B A B ...), so compared rows share the same tunnel-throughput
+    windows — sequential rows can land in windows differing by 3-50x,
+    which poisons ratios.  Returns one best-seconds per function."""
+    import jax
+
+    for fn, args in fns_args:                # compile + warm
+        jax.block_until_ready(fn(*args))
+    best = [float("inf")] * len(fns_args)
+    deadline = time.perf_counter() + budget_s
+    reps = 0
+    while reps < max_reps and time.perf_counter() < deadline:
+        for i, (fn, args) in enumerate(fns_args):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best[i] = min(best[i], time.perf_counter() - t0)
+        reps += 1
+    return best
+
+
 def _row(metric, msps, extra=None):
     r = {"metric": metric, "value": round(msps, 2), "unit": "Msamples/s",
          "vs_baseline": round(msps / BASELINE_MSPS, 1)}
@@ -214,19 +235,19 @@ def bench_channelizer_pair():
     ims = _device_pairs((nb, block), seed=18)
 
     scan_x = _planar_scan(channelizer.make_planar_block_fn(cfg))
-    best = _bench_best(scan_x, (channelizer.init_state(cfg), res, ims),
-                       budget_s=20.0)
-    _row("channelizer64_throughput", total / best / 1e6)
-
     scan_p = _planar_scan(
         channelizer.make_planar_block_fn(cfg, use_pallas=True))
-    best = _bench_best(scan_p, (channelizer.init_state(cfg), res, ims),
-                       budget_s=20.0)
+    s0 = channelizer.init_state(cfg)
+    best_x, best_p = _bench_interleaved(
+        [(scan_x, (s0, res, ims)), (scan_p, (s0, res, ims))],
+        budget_s=40.0)
+    _row("channelizer64_throughput", total / best_x / 1e6)
+
     from comms_tpu.runtime import metrics
 
     rl = metrics.roofline(bytes_moved=16 * total, flops=8 * 8 * total,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("kernel_channelizer_pallas_throughput", total / best / 1e6,
+                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_channelizer_pallas_throughput", total / best_p / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
@@ -252,20 +273,42 @@ def bench_kernels():
     taps63 = rng.normal(size=63).astype(np.complex64)
     x_pairs = _device_pairs((n, 2), seed=13)
 
-    # streaming FIR, 63 complex taps (pairs at the boundary)
+    # ---- dense streaming FIR pair, 63 complex taps: XLA banded GEMM
+    # vs the Pallas overlap-save kernel, interleaved, scan-driven.
+    from comms_tpu.kernels import fir_pallas as FP
+
     B = fir.banded_tap_matrix(taps63)
+    nbf, nf = 8, 1 << 22                     # ~33.5 M samples/dispatch
+    fres = _device_pairs((nbf, nf), seed=20)
+    fims = _device_pairs((nbf, nf), seed=21)
 
     @jax.jit
-    def fir_k(pairs):
-        x = jax.lax.complex(pairs[:, 0], pairs[:, 1])
-        y, _ = fir.fir_block(x, B, fir.init_ctx(63))
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+    def fir_xla_k(res, ims):
+        def body(c, x):
+            y, c = fir.fir_block(jax.lax.complex(x[0], x[1]), B, c)
+            return c, (jnp.real(y), jnp.imag(y))
+        _, ys = jax.lax.scan(body, fir.init_ctx(63), (res, ims))
+        return ys
 
-    best = _bench_best(fir_k, (x_pairs,))
-    rl = metrics.roofline(bytes_moved=16 * n, flops=8 * 63 * n,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("kernel_fir63_throughput", n / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    @jax.jit
+    def fir_pallas_k(res, ims):
+        def body(c, x):
+            y, c = FP.fir_block_pallas(jax.lax.complex(x[0], x[1]),
+                                       taps63, c)
+            return c, (jnp.real(y), jnp.imag(y))
+        _, ys = jax.lax.scan(body, fir.init_ctx(63), (res, ims))
+        return ys
+
+    ntotf = nbf * nf
+    best_x, best_p = _bench_interleaved(
+        [(fir_xla_k, (fres, fims)), (fir_pallas_k, (fres, fims))],
+        budget_s=40.0)
+    for name, best in (("kernel_fir63_throughput", best_x),
+                       ("kernel_fir63_pallas_throughput", best_p)):
+        rl = metrics.roofline(bytes_moved=16 * ntotf, flops=8 * 63 * ntotf,
+                              seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+        _row(name, ntotf / best / 1e6,
+             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
     # ---- polyphase decimating FIR /5 pair (the FM chain's hot pair,
     # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes — same
@@ -292,14 +335,6 @@ def bench_kernels():
         _, ys = jax.lax.scan(body, c0, (res, ims))
         return ys
 
-    ntot = nb * npal
-    best = _bench_best(poly_xla_k, (res, ims), budget_s=20.0)
-    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
-                          flops=8 * 63 * ntot // 5,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("kernel_polyphase_fir63_dec5_throughput", ntot / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
-
     @jax.jit
     def poly_pallas_k(res, ims):
         def body(c, x):
@@ -312,11 +347,19 @@ def bench_kernels():
         _, ys = jax.lax.scan(body, (z, z), (res, ims))
         return ys
 
-    best = _bench_best(poly_pallas_k, (res, ims), budget_s=20.0)
+    ntot = nb * npal
+    best_x, best_p = _bench_interleaved(
+        [(poly_xla_k, (res, ims)), (poly_pallas_k, (res, ims))],
+        budget_s=40.0)
     rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
                           flops=8 * 63 * ntot // 5,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("kernel_polyphase_pallas_throughput", ntot / best / 1e6,
+                          seconds=best_x, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_polyphase_fir63_dec5_throughput", ntot / best_x / 1e6,
+         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
+                          flops=8 * 63 * ntot // 5,
+                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS)
+    _row("kernel_polyphase_pallas_throughput", ntot / best_p / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
     # batched FFT-1024
@@ -347,20 +390,23 @@ def bench_fm_receiver():
     floor_bytes = int(samples * (2 + 4 / 25))
     flops = int(samples * 2 * 26)
 
-    # secondary row: the XLA-fused chain (round-1 path), same scale.
+    # Three rows, reps INTERLEAVED so they share windows:
+    #  - the XLA-fused chain (round-1 path),
+    #  - the same chain as a generic runtime Pipeline (must be within
+    #    noise of the hand-composed scan — equality is tested in
+    #    tests/test_models.py; this row proves the abstraction is
+    #    free at record scale),
+    #  - FLAGSHIP (final line): the PRODUCTION fused streaming path —
+    #    make_fused_block_fn (single Pallas kernel, planar u8 planes
+    #    in, audio out, per-block context RECOMPUTED from the raw
+    #    tail) with state chained block-to-block, as run_file serves.
     scan_fn = fm_receiver.make_scan_fn(cfg)
     state = fm_receiver.init_state(cfg)
     iq = _device_u8((num_blocks, cfg.block, 2), seed=15)
-    best = _bench_best(scan_fn, (state, iq), budget_s=35.0, max_reps=3)
-    rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("fm_receiver_xla_throughput", samples / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
-    # FLAGSHIP (final line): the PRODUCTION fused streaming path —
-    # make_fused_block_fn (single Pallas kernel, planar u8 planes in,
-    # audio out, per-block context RECOMPUTED from the raw tail) with
-    # state chained block-to-block, exactly as run_file serves it.
+    pipe = fm_receiver.make_pipeline(cfg)
+    run_j = jax.jit(lambda s, b: pipe.run(s, b))
+
     fblock = fm_receiver.make_fused_block_fn(cfg)
     re8 = _device_u8((num_blocks, cfg.block), seed=16)
     im8 = _device_u8((num_blocks, cfg.block), seed=17)
@@ -374,13 +420,18 @@ def bench_fm_receiver():
         final, auds = jax.lax.scan(body, state, (re8, im8))
         return auds, final
 
-    fstate = fm_receiver.fused_init_state()
-    best = _bench_best(fused_scan, (fstate, re8, im8),
-                       budget_s=60.0, max_reps=6)
-    rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("fm_receiver_chain_throughput", samples / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    best_x, best_pipe, best_f = _bench_interleaved(
+        [(scan_fn, (state, iq)),
+         (run_j, (pipe.init_state(), iq)),
+         (fused_scan, (fm_receiver.fused_init_state(), re8, im8))],
+        budget_s=90.0, max_reps=6)
+    for name, best in (("fm_receiver_xla_throughput", best_x),
+                       ("fm_receiver_pipeline_throughput", best_pipe),
+                       ("fm_receiver_chain_throughput", best_f)):
+        rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
+                              seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+        _row(name, samples / best / 1e6,
+             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
 def main():

@@ -134,14 +134,22 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
         vi = t_i if vi is None else vi + t_i
 
     # ---- per-frame 64-point DFT via the block-diagonal matmul.
+    # 3-matmul (Karatsuba) complex product: the kernel is MXU-bound on
+    # this stage (measured: the 4-matmul form capped ~650 Gsps against
+    # a ~15 TB/s memory SoL), so one matmul saved is ~25% of the time.
+    #   P1 = Vr F_r, P2 = Vi F_i, P3 = (Vr+Vi)(F_r+F_i)
+    #   Re = P1 - P2, Im = P3 - P1 - P2
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=hp)
 
     fr_v = fr[:]
     fi_v = fi[:]
-    yr_out[:] = dot(vr, fr_v) - dot(vi, fi_v)
-    yi_out[:] = dot(vr, fi_v) + dot(vi, fr_v)
+    p1 = dot(vr, fr_v)
+    p2 = dot(vi, fi_v)
+    p3 = dot(vr + vi, fr_v + fi_v)
+    yr_out[:] = p1 - p2
+    yi_out[:] = p3 - p1 - p2
 
 
 def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,

@@ -3,10 +3,11 @@
 Functionally identical to :func:`comms_tpu.ops.fir.fir_block` (the
 reference's batch_fir, fir.rs:87-102) — the kernel exists to pin the
 memory schedule: each grid step DMAs ONE [tile + halo] slab of the
-input from HBM into VMEM, builds the overlapping window matrix with
-two in-VMEM shifted reshapes (no gather, no HBM re-reads of the halo),
-and runs the four real MXU matmuls of the complex banded product
-against taps resident in VMEM.  HBM traffic is exactly
+input from HBM into VMEM, builds the overlapping window matrix from
+ceil((T+127)/128) in-VMEM row-shifted slices (no gather, no HBM
+re-reads of the halo), and runs the real MXU matmuls of the complex
+banded product against taps resident in VMEM.  Supports T <= 1025
+(the 8-row DMA halo).  HBM traffic is exactly
 8B read + 8B write per sample (+ taps once), the FIR's speed-of-light.
 
 Complex data is carried as separate re/im f32 planes: Mosaic has no
@@ -56,38 +57,44 @@ def _kernel(xr_hbm, xi_hbm, br, bi, yr, yi, slab_r, slab_i, sem, *,
     cp_r.wait()
     cp_i.wait()
 
-    # W[r, :] = flat_slab[r*128 : r*128 + width]; width <= 256 so row
-    # r and row r+1 cover it.  The banded product splits along the
-    # window axis (Mosaic cannot concat slices with different sublane
-    # offsets, so run two matmuls per term instead):
-    #   Y = W0 @ B[:128] + W1 @ B[128:width]
-    wr0 = slab_r[:tile_rows, :]
-    wi0 = slab_i[:tile_rows, :]
-    wr1 = slab_r[1: tile_rows + 1, : width - _LANES]
-    wi1 = slab_i[1: tile_rows + 1, : width - _LANES]
-
-    b0r, b1r = br[:_LANES, :], br[_LANES:, :]
-    b0i, b1i = bi[:_LANES, :], bi[_LANES:, :]
+    # W[r, :] = flat_slab[r*128 : r*128 + width].  The banded product
+    # splits along the window axis into ceil(width/128) row-shifted
+    # pieces (Mosaic cannot concat slices with different sublane
+    # offsets, so it is one matmul pair per piece):
+    #   Y = sum_j W_j @ B[j*128 : j*128 + |piece|]
     # HIGHEST: 3-pass f32 on the MXU — parity with ops.fir's default
     # (bf16 operand rounding costs ~2e-3 rel error otherwise).
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-    yr[:] = (dot(wr0, b0r) - dot(wi0, b0i)
-             + dot(wr1, b1r) - dot(wi1, b1i))
-    yi[:] = (dot(wr0, b0i) + dot(wi0, b0r)
-             + dot(wr1, b1i) + dot(wi1, b1r))
+    npieces = -(-width // _LANES)
+    acc_r = acc_i = None
+    for j in range(npieces):
+        lo = j * _LANES
+        w = min(width, lo + _LANES) - lo
+        wr = slab_r[j: tile_rows + j, :w]
+        wi = slab_i[j: tile_rows + j, :w]
+        bjr = br[lo:lo + w, :]
+        bji = bi[lo:lo + w, :]
+        tr = dot(wr, bjr) - dot(wi, bji)
+        ti = dot(wr, bji) + dot(wi, bjr)
+        acc_r = tr if acc_r is None else acc_r + tr
+        acc_i = ti if acc_i is None else acc_i + ti
+    yr[:] = acc_r
+    yi[:] = acc_i
 
 
 def fir_block_pallas(x, taps, ctx, tile_rows: int = 128,
                      interpret: bool = False):
-    """Drop-in for ``fir_block``: complex x[N], taps[T<=129], carried
+    """Drop-in for ``fir_block``: complex x[N], taps[T<=1025], carried
     ctx[T-1].  Returns ``(y[N], new_ctx)``.  N is padded internally to
     a tile multiple."""
     x = jnp.asarray(x)
     taps = np.asarray(taps)
     T = taps.shape[0]
-    if T > _LANES + 1:
-        raise ValueError(f"kernel supports taps <= {_LANES + 1}, got {T}")
+    if T > _HALO_ROWS * _LANES + 1:
+        raise ValueError(
+            f"kernel supports taps <= {_HALO_ROWS * _LANES + 1} "
+            f"(the {_HALO_ROWS}-row DMA halo), got {T}")
     if tile_rows % 8:
         raise ValueError("tile_rows must be a multiple of 8")
     N = x.shape[0]

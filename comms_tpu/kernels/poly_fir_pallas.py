@@ -15,8 +15,10 @@ steps in VMEM.  Data is arbitrary f32, so the matmuls run at HIGHEST
 precision (3-pass f32) for parity with ``ops.fir``'s default.
 
 Supports real or complex taps over complex input (2 or 4 real GEMMs).
-Constraints: ``2 <= dec <= 8``, ``taps <= 129``, block multiple of
-``step_samples(dec)``.
+Long filters use q = ceil((T-1)/128) context pieces from the previous
+slab row (multi-slab band accumulation — one extra 128-wide GEMM per
+piece).  Constraints: ``2 <= dec <= 8``, ``taps <= dec*128 + 1``
+(e.g. 641 at dec=5), block multiple of ``step_samples(dec)``.
 """
 
 from __future__ import annotations
@@ -44,13 +46,17 @@ def step_samples(dec: int) -> int:
     return _ROWS * dec * _LANES
 
 
-def _band(taps: np.ndarray, dec: int) -> np.ndarray:
-    """B[w, j] = taps[128 + dec*j - w], w in [0, 128 + dec*128)."""
+def _band(taps: np.ndarray, dec: int, q: int = 1) -> np.ndarray:
+    """B[w, j] = taps[q*128 + dec*j - w], w in [0, q*128 + dec*128).
+
+    ``q`` = number of 128-lane context pieces reaching back into the
+    previous slab row (q = ceil((T-1)/128)); q = 1 is the short-filter
+    case."""
     T = taps.shape[0]
-    W = _LANES + dec * _LANES
+    W = q * _LANES + dec * _LANES
     w = np.arange(W)[:, None]
     j = np.arange(_LANES)[None, :]
-    t = _LANES + dec * j - w
+    t = q * _LANES + dec * j - w
     valid = (t >= 0) & (t < T)
     return np.where(valid, taps[np.clip(t, 0, T - 1)], 0.0).astype(
         np.float32)
@@ -58,7 +64,7 @@ def _band(taps: np.ndarray, dec: int) -> np.ndarray:
 
 def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, brr, bri,
             yr_out, yi_out, slab_r, slab_i, sem, *,
-            dec: int, complex_taps: bool):
+            dec: int, complex_taps: bool, q: int):
     g = pl.program_id(0)
     roww = dec * _LANES
     hp = jax.lax.Precision.HIGHEST
@@ -92,12 +98,18 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, brr, bri,
     cp_i.wait()
 
     def gemm(slab, band):
-        w0 = slab[_HALO - 1:_HALO - 1 + _ROWS, roww - _LANES:roww]
-        w1 = slab[_HALO:_HALO + _ROWS, :]
-        return (jnp.dot(w0, band[:_LANES],
-                        preferred_element_type=jnp.float32, precision=hp)
-                + jnp.dot(w1, band[_LANES:],
-                          preferred_element_type=jnp.float32, precision=hp))
+        # q context pieces from the PREVIOUS row's tail lanes (the
+        # window reaches q*128 <= roww samples back), then the full
+        # current row.  Stride-1 slices only — the Mosaic constraint.
+        acc = jnp.dot(slab[_HALO:_HALO + _ROWS, :], band[q * _LANES:],
+                      preferred_element_type=jnp.float32, precision=hp)
+        for i in range(q):
+            wi = slab[_HALO - 1:_HALO - 1 + _ROWS,
+                      roww - (q - i) * _LANES:roww - (q - i - 1) * _LANES]
+            acc = acc + jnp.dot(wi, band[i * _LANES:(i + 1) * _LANES],
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+        return acc
 
     if complex_taps:
         yr_out[:] = gemm(slab_r[:], brr) - gemm(slab_i[:], bri)
@@ -114,11 +126,11 @@ def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
 
     Args:
       re, im: [N] float32 planes, N % step_samples(dec) == 0.
-      taps: 1-D taps (real or complex, T <= 129), host numpy.
+      taps: 1-D taps (real or complex, T <= dec*128 + 1), host numpy.
       ctx_re, ctx_im: [dec*128*CTX_ROWS] float32 carried input-tail
-        planes (zeros at stream start).  Only the trailing 128
-        samples influence the output for T <= 129 — the full quantum
-        keeps DMAs tile-aligned.
+        planes (zeros at stream start).  Only the trailing T-1
+        samples influence the output — the full quantum keeps DMAs
+        tile-aligned.
       dec: decimation factor in [2, 8].
 
     Returns ``(yr[N//dec], yi[N//dec], new_ctx_re, new_ctx_im)``.
@@ -130,18 +142,21 @@ def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
     D = int(dec)
     if not 2 <= D <= 8:
         raise ValueError(f"dec must be in [2, 8], got {D}")
-    if T > _LANES + 1:
-        raise ValueError(f"taps {T} > {_LANES + 1} unsupported")
+    roww = D * _LANES
+    if T > roww + 1:
+        raise ValueError(
+            f"taps {T} > dec*128 + 1 = {roww + 1} unsupported (the "
+            "window would reach beyond one previous slab row)")
+    q = max(1, -(-(T - 1) // _LANES))   # 128-lane context pieces
     N = re.shape[0]
     step = step_samples(D)
     if N % step:
         raise ValueError(f"N {N} must be a multiple of {step}")
     steps = N // step
-    roww = D * _LANES
 
     complex_taps = np.iscomplexobj(taps)
-    brr = _band(taps.real.astype(np.float64), D)
-    bri = (_band(taps.imag.astype(np.float64), D) if complex_taps
+    brr = _band(taps.real.astype(np.float64), D, q)
+    bri = (_band(taps.imag.astype(np.float64), D, q) if complex_taps
            else np.zeros_like(brr))
 
     ctx_re = jnp.asarray(ctx_re)
@@ -153,7 +168,8 @@ def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
     new_ctx_im = jnp.concatenate([ctx_im, im])[-CTX_ROWS * roww:]
 
     out_rows = steps * _ROWS
-    kernel = functools.partial(_kernel, dec=D, complex_taps=complex_taps)
+    kernel = functools.partial(_kernel, dec=D,
+                               complex_taps=complex_taps, q=q)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(steps,),
@@ -162,9 +178,9 @@ def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((_LANES + roww, _LANES), lambda g: (0, 0),
+            pl.BlockSpec((q * _LANES + roww, _LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES + roww, _LANES), lambda g: (0, 0),
+            pl.BlockSpec((q * _LANES + roww, _LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -184,7 +200,7 @@ def poly_fir_pallas_planar(re, im, taps, ctx_re, ctx_im, dec: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=(4 if complex_taps else 2) * 2 * out_rows * _LANES
-            * (_LANES + roww) * 3,
+            * (q * _LANES + roww) * 3,
             bytes_accessed=8 * N + 8 * N // D,
             transcendentals=0,
         ),
@@ -203,7 +219,7 @@ def poly_fir_pallas(x, taps, ctx, dec: int, interpret: bool = False):
 
     Args:
       x: [N] complex64 (device), N % step_samples(dec) == 0.
-      taps: 1-D taps (real or complex, T <= 129), host numpy.
+      taps: 1-D taps (real or complex, T <= dec*128 + 1), host numpy.
       ctx: [dec*128*CTX_ROWS] complex64 carried input tail (the
         samples immediately before this block; zeros at stream start).
       dec: decimation factor in [2, 8].

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import modulation, pulse, random as crandom, taps
 
-__all__ = ["BpskTxConfig", "make_block_fn", "init_state", "run_to_file"]
+__all__ = ["BpskTxConfig", "make_block_fn", "make_pipeline", "init_state",
+           "run_to_file"]
 
 SYMS_PER_BLOCK = 4096
 SPS = 4
@@ -92,6 +93,35 @@ def _trunc_i16(x):
     """Rust ``as i16``: truncate toward zero, saturate."""
     t = jnp.trunc(x)
     return jnp.clip(t, -32768.0, 32767.0).astype(jnp.int16)
+
+
+def make_pipeline(cfg: Optional[BpskTxConfig] = None, seed: int = 0):
+    """The same tx chain on the generic runtime layer (source-headed
+    :class:`comms_tpu.runtime.Pipeline` — the reference's bpsk_mod
+    graph, examples/bpsk_mod.rs:124-161, as a BlockOp program).
+
+    ``pipe.run(pipe.init_state(), None, num_blocks=n)`` is bit-exact
+    to driving :func:`make_block_fn` with the same seed.
+    """
+    from comms_tpu.runtime import (
+        BpskMod, Lambda, Pipeline, PulseShape, RandomBitSource,
+    )
+
+    cfg = cfg or BpskTxConfig()
+    t = taps.rrc_taps(cfg.num_taps, float(cfg.sps),
+                      cfg.beta).astype(np.complex64)
+
+    def quantize(y):
+        re = _trunc_i16(jnp.real(y) * cfg.scale)
+        im = _trunc_i16(jnp.imag(y) * cfg.scale)
+        return jnp.stack([re, im], axis=-1)
+
+    return Pipeline([
+        RandomBitSource(cfg.syms_per_block, seed),
+        BpskMod(example_convention=True),
+        PulseShape.make(t, cfg.sps),
+        Lambda(quantize, result_dtype=jnp.int16),
+    ])
 
 
 def run_to_file(path, num_blocks: int, cfg: Optional[BpskTxConfig] = None,

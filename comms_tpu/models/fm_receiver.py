@@ -165,6 +165,34 @@ def make_block_fn(cfg: FmReceiverConfig):
     return block
 
 
+def make_pipeline(cfg: Optional[FmReceiverConfig] = None):
+    """The same chain expressed on the generic runtime layer — a
+    :class:`comms_tpu.runtime.Pipeline` of `BlockOp`s (the reference
+    builds every example on its node layer, fm_radio.rs:144-168; this
+    is the equivalent program here).
+
+    ``pipe.run(pipe.init_state(), blocks)`` matches
+    :func:`make_scan_fn` sample-for-sample (polyphase path — block
+    must divide by dec1*dec2) and benches within noise of it
+    (``fm_receiver_pipeline_throughput`` row): the abstraction is
+    free, because the Pipeline compiles to the same fused XLA program.
+    """
+    from comms_tpu.runtime import FirDecimate, FmDemod, Lambda, Pipeline
+
+    cfg = cfg or FmReceiverConfig()
+
+    def convert(iq_u8):
+        f = (iq_u8.astype(jnp.float32) - 127.5) / 127.5
+        return jax.lax.complex(f[:, 0], f[:, 1])
+
+    return Pipeline([
+        Lambda(convert, result_dtype=jnp.complex64),
+        FirDecimate.make(FM_LPF_TAPS.astype(np.complex64), cfg.dec1),
+        FmDemod(),
+        FirDecimate.make(FM_LPF_TAPS.astype(np.float32), cfg.dec2),
+    ])
+
+
 def make_scan_fn(cfg: FmReceiverConfig):
     """Multi-block driver: ``(state, iq_u8[num_blocks, block, 2]) ->
     (audio[num_blocks, M], state)`` as ONE jitted ``lax.scan`` — a

@@ -32,7 +32,8 @@ from jax import shard_map
 from comms_tpu.ops import fir
 from comms_tpu.parallel import sharding as sh
 
-__all__ = ["WidebandConfig", "make_sharded_step", "init_state"]
+__all__ = ["WidebandConfig", "make_sharded_step", "make_sharded_psd",
+           "init_state"]
 
 
 class WidebandConfig:
@@ -120,6 +121,53 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
         local_chain, mesh=mesh,
         in_specs=(state_specs, P(axis, None)),
         out_specs=((P(axis), P()), state_specs),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
+                     window=None, local_radix=None):
+    """Wideband spectral monitor on a sharded stream: a Welch-averaged
+    PSD whose FFT is the distributed transposed FFT
+    (:mod:`comms_tpu.parallel.dfft` inlined per shard — the dfft's
+    consumer).  Segments of ``fft_size`` samples span ALL shards, so a
+    single spectrum can be far larger than one chip's comfortable
+    working set (e.g. 2^20 bins over the whole band).
+
+    Returns jitted ``(pairs[B, fft_size, 2]) -> psd[fft_size]`` with
+    the frequency axis sharded over ``axis``; ``B`` overlapping-free
+    segments are averaged.  Window defaults to periodic Hann;
+    normalization matches :func:`comms_tpu.ops.spectrum.welch_psd`
+    (fs = 1, density, window power corrected).
+    """
+    from comms_tpu.ops import spectrum
+    from comms_tpu.parallel import dfft as dfft_mod
+
+    d = dfft_mod.make_dfft(fft_size, mesh, axis, local_radix=local_radix)
+    n = mesh.shape[axis]
+    local_f = fft_size // n
+    w = np.asarray(window if window is not None
+                   else spectrum.hann(fft_size), np.float64)
+    if w.shape[0] != fft_size:
+        raise ValueError("window length must equal fft_size")
+    scale = 1.0 / float(np.sum(w ** 2))
+    w32 = w.astype(np.float32)
+
+    def local(pairs_l):                          # [B, F/n, 2]
+        x = lax.complex(pairs_l[..., 0], pairs_l[..., 1])
+        idx = lax.axis_index(axis)
+        wl = lax.dynamic_slice_in_dim(jnp.asarray(w32), idx * local_f,
+                                      local_f)
+        # per-segment mean removal needs the cross-shard mean (psum).
+        mean = lax.psum(jnp.sum(x, axis=1, keepdims=True), axis) / fft_size
+        spec = d.local_fn((x - mean) * wl[None, :])
+        return jnp.mean(jnp.abs(spec) ** 2, axis=0) * scale
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None),),
+        out_specs=P(axis),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -44,3 +44,23 @@ def test_fir_pallas_rejects_long_taps():
         fir_block_pallas(jnp.zeros(256, jnp.complex64),
                          np.zeros(200, np.complex64),
                          jnp.zeros(199, jnp.complex64))
+
+
+def test_fir_pallas_long_filter_257_taps():
+    # multi-piece window: 257 taps -> 3 banded-GEMM pieces.
+    from comms_tpu.kernels import fir_pallas as FP
+
+    rng = np.random.default_rng(30)
+    taps = (rng.normal(size=257) + 1j * rng.normal(size=257)
+            ).astype(np.complex64)
+    x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
+         ).astype(np.complex64)
+    ctx = (rng.normal(size=256) + 1j * rng.normal(size=256)
+           ).astype(np.complex64)
+    y, _ = FP.fir_block_pallas(jnp.asarray(x), taps, jnp.asarray(ctx),
+                               interpret=True)
+    y_ref, _ = fir.fir_block(jnp.asarray(x), fir.banded_tap_matrix(taps),
+                             jnp.asarray(ctx))
+    ref = np.asarray(y_ref)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-5 * scale

@@ -199,3 +199,129 @@ def test_host_feed_single_process():
     arr = multihost.host_feed(local, mesh)
     assert arr.shape == (64,)
     assert np.array_equal(np.asarray(arr), local)
+
+
+def test_distributed_fft_nonpow2():
+    # N = 320 = 64*5 on 8 shards: non-power-of-two, exercised with the
+    # auto-picked factorization (r=1, R=8, C=40).
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(7)
+    N = 320
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh)
+    got = np.asarray(dfft(jnp.asarray(x)))
+    expected = np.fft.fft(x)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
+
+
+def test_pick_local_radix_bounds_local_fft():
+    # r rebalances R vs C: cap the per-shard FFT length for huge N.
+    from comms_tpu.parallel import dfft as dfft_mod
+    r = dfft_mod.pick_local_radix(1 << 20, 8, max_local_fft=1 << 14)
+    assert r == 8 and (1 << 20) // (r * 8) == 1 << 14
+    rng = np.random.default_rng(10)
+    N = 1 << 16
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(
+        N, mesh,
+        local_radix=dfft_mod.pick_local_radix(N, 8, max_local_fft=1 << 10))
+    assert dfft.C <= 1 << 10
+    got = np.asarray(dfft(jnp.asarray(x)))
+    expected = np.fft.fft(x)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
+
+
+def test_distributed_fft_explicit_local_radix_batched():
+    # r > 1 on a well-factorable N, batched input.
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(8)
+    N = 1 << 14
+    x = (rng.normal(size=(3, N)) + 1j * rng.normal(size=(3, N))
+         ).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh, local_radix=4)
+    assert dfft.R == 32
+    got = np.asarray(dfft(jnp.asarray(x)))
+    expected = np.fft.fft(x, axis=-1)
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(got - expected)) / scale < 1e-5
+
+
+def test_distributed_fft_interleaved_layout_r_gt_1():
+    # natural_order=False documents the layout: shard s's local chunk
+    # [pl*C + m] holds X[(s*r+pl) + R*m].
+    from comms_tpu.parallel import dfft as dfft_mod
+    rng = np.random.default_rng(9)
+    N = 1 << 12
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    dfft = dfft_mod.make_dfft(N, mesh, natural_order=False, local_radix=2)
+    R, C, r = dfft.R, dfft.C, dfft.r
+    got = np.asarray(dfft(jnp.asarray(x)))     # [N] global gather
+    expected = np.fft.fft(x)
+    # reconstruct: global flat index s*(r*C) + pl*C + m  <-  k = p + R*m
+    recon = np.empty(N, np.complex64)
+    for s in range(8):
+        for pl in range(r):
+            p = s * r + pl
+            recon[p + R * np.arange(C)] = got[s * r * C + pl * C
+                                              + np.arange(C)]
+    scale = np.max(np.abs(expected))
+    assert np.max(np.abs(recon - expected)) / scale < 1e-5
+
+
+def test_pick_local_radix_errors():
+    # n | N but n^2 does not divide N: natural order is impossible
+    # with two exchanges (see dfft.py docstring); the interleaved
+    # spectrum is offered instead.
+    import pytest
+    from comms_tpu.parallel import dfft as dfft_mod
+    with pytest.raises(ValueError, match="natural_order=False"):
+        dfft_mod.pick_local_radix(8 * 3, 8)  # 24 = 8*3, no r works
+
+
+def test_sharded_psd_matches_welch_oracle():
+    # The dfft's consumer: wideband PSD over the mesh must equal the
+    # single-device Welch estimate (nonoverlapping segments).
+    from comms_tpu.ops import spectrum
+    from comms_tpu.parallel import wideband
+
+    rng = np.random.default_rng(11)
+    F, B = 1 << 12, 4
+    x = (rng.normal(size=B * F) + 1j * rng.normal(size=B * F)
+         ).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    psd_fn = wideband.make_sharded_psd(F, mesh)
+    pairs = np.stack([x.real, x.imag], -1).reshape(B, F, 2)
+    got = np.asarray(psd_fn(jnp.asarray(pairs)))
+
+    _, ref = spectrum.welch_psd(jnp.asarray(x), nperseg=F, noverlap=0)
+    ref = np.asarray(ref)
+    scale = np.max(ref)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_sharded_psd_large_2pow20_local_radix():
+    # 2^20-bin spectrum across the mesh with the local radix bounding
+    # the per-shard FFT to 2^14.
+    from comms_tpu.parallel import dfft as dfft_mod
+    from comms_tpu.parallel import wideband
+
+    rng = np.random.default_rng(12)
+    F = 1 << 20
+    x = (rng.normal(size=F) + 1j * rng.normal(size=F)).astype(np.complex64)
+    mesh = sh.time_mesh(8)
+    r = dfft_mod.pick_local_radix(F, 8, max_local_fft=1 << 14)
+    psd_fn = wideband.make_sharded_psd(F, mesh, local_radix=r)
+    pairs = np.stack([x.real, x.imag], -1).reshape(1, F, 2)
+    got = np.asarray(psd_fn(jnp.asarray(pairs)))
+
+    from comms_tpu.ops import spectrum
+    _, ref = spectrum.welch_psd(jnp.asarray(x), nperseg=F, noverlap=0)
+    ref = np.asarray(ref)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-5
