@@ -45,6 +45,30 @@ MEASURED_HBM_GBPS = 2700.0    # window-average roofline (docs/PERF.md)
 # fast window.  main() measures a big f32 copy first and every row's
 # roofline uses THAT number (printed as its own row for the record).
 _RUN_HBM_GBPS = MEASURED_HBM_GBPS
+_RUN_TFLOPS = 22.0  # v5e f32 spec; replaced by the same-run measurement
+
+
+def _measure_matmul_tflops():
+    """f32 matmul peak at HIGHEST precision (the precision most rows'
+    math runs at), measured as a chain of relu'd matmuls with distinct
+    operands — XLA folds sum-of-dots microbenchmarks otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    k = 8
+    ws = [_device_pairs((n, n), seed=100 + i) for i in range(k)]
+    x0 = _device_pairs((n, n), seed=110)
+
+    @jax.jit
+    def mm(x, ws):
+        for w in ws:
+            x = jnp.maximum(
+                jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST), 0.0)
+        return x * 1e-3          # keep magnitudes bounded across reps
+
+    best = _bench_best(mm, (x0, ws), budget_s=12.0, max_reps=8)
+    return k * 2 * n ** 3 / best / 1e12
 
 
 def _measure_copy_gbps():
@@ -161,7 +185,7 @@ def _device_u8(shape, seed=0):
 def bench_bpsk_tx():
     from comms_tpu.models import bpsk_tx
 
-    cfg = bpsk_tx.BpskTxConfig(syms_per_block=1 << 20)
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=1 << 22)
     scan = _scan_wrap(bpsk_tx.make_block_fn(cfg), 4)
     best = _bench_best(scan, (bpsk_tx.init_state(cfg),))
     _row("bpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
@@ -170,7 +194,7 @@ def bench_bpsk_tx():
 def bench_qpsk_tx():
     from comms_tpu.models import qpsk_tx
 
-    cfg = qpsk_tx.QpskTxConfig(bits_per_block=1 << 21)
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=1 << 23)
     scan = _scan_wrap(qpsk_tx.make_block_fn(cfg), 4)
     best = _bench_best(scan, (qpsk_tx.init_state(cfg),))
     _row("qpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
@@ -184,8 +208,8 @@ def bench_qpsk_rx():
 
     cfg = qpsk_rx.QpskRxConfig()
     rx = qpsk_rx.make_rx_fn(cfg)
-    n = 1 << 20
-    nb = 4
+    n = 1 << 22
+    nb = 8
     pairs = _device_pairs((nb, n, 2), seed=10)
 
     @jax.jit
@@ -246,7 +270,8 @@ def bench_channelizer_pair():
     from comms_tpu.runtime import metrics
 
     rl = metrics.roofline(bytes_moved=16 * total, flops=8 * 8 * total,
-                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS)
+                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
     _row("kernel_channelizer_pallas_throughput", total / best_p / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
@@ -254,11 +279,41 @@ def bench_channelizer_pair():
 def bench_band_monitor():
     from comms_tpu.models import fm_band_monitor
 
+    import jax
+    from jax import lax
+
     cfg = fm_band_monitor.BandMonitorConfig(block=1 << 22)
     blk = fm_band_monitor.make_block_fn(cfg)
-    pairs = _device_pairs((cfg.block, 2), seed=12)
-    best = _bench_best(blk, (fm_band_monitor.init_state(cfg), pairs))
-    _row("fm_band_monitor_throughput", cfg.block / best / 1e6)
+    nb = 16                                   # ~67 M samples / dispatch
+    pairs = _device_pairs((nb, cfg.block, 2), seed=12)
+
+    @jax.jit
+    def scan(state, blocks):
+        def body(c, xb):
+            y, c = blk(c, xb)
+            return c, y
+        final, ys = lax.scan(body, state, blocks)
+        return ys, final
+
+    best = _bench_best(scan, (fm_band_monitor.init_state(cfg), pairs),
+                       budget_s=25.0)
+    _row("fm_band_monitor_throughput", nb * cfg.block / best / 1e6)
+
+
+def bench_wideband_psd():
+    """The distributed FFT's consumer (wideband.make_sharded_psd): a
+    2^20-bin Welch PSD over 32 segments.  On this 1-chip runner the
+    mesh is trivial (the dfft short-circuits to the local FFT); the
+    multi-device path is exercised by tests + dryrun_multichip."""
+    from comms_tpu.parallel import sharding as sh
+    from comms_tpu.parallel import wideband
+
+    F, B = 1 << 20, 32
+    mesh = sh.time_mesh(1)
+    psd = wideband.make_sharded_psd(F, mesh)
+    pairs = _device_pairs((B, F, 2), seed=24)
+    best = _bench_best(psd, (pairs,), budget_s=20.0)
+    _row("wideband_psd_2pow20_throughput", B * F / best / 1e6)
 
 
 def bench_kernels():
@@ -269,9 +324,7 @@ def bench_kernels():
     from comms_tpu.runtime import metrics
 
     rng = np.random.default_rng(3)
-    n = 1 << 22
     taps63 = rng.normal(size=63).astype(np.complex64)
-    x_pairs = _device_pairs((n, 2), seed=13)
 
     # ---- dense streaming FIR pair, 63 complex taps: XLA banded GEMM
     # vs the Pallas overlap-save kernel, interleaved, scan-driven.
@@ -306,7 +359,8 @@ def bench_kernels():
     for name, best in (("kernel_fir63_throughput", best_x),
                        ("kernel_fir63_pallas_throughput", best_p)):
         rl = metrics.roofline(bytes_moved=16 * ntotf, flops=8 * 63 * ntotf,
-                              seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
         _row(name, ntotf / best / 1e6,
              {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
@@ -353,27 +407,50 @@ def bench_kernels():
         budget_s=40.0)
     rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
                           flops=8 * 63 * ntot // 5,
-                          seconds=best_x, hbm_gbps=_RUN_HBM_GBPS)
+                          seconds=best_x, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
     _row("kernel_polyphase_fir63_dec5_throughput", ntot / best_x / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
     rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
                           flops=8 * 63 * ntot // 5,
-                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS)
+                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
     _row("kernel_polyphase_pallas_throughput", ntot / best_p / 1e6,
          {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
-    # batched FFT-1024
-    @jax.jit
-    def fft_k(pairs):
-        x = jax.lax.complex(pairs[:, 0], pairs[:, 1]).reshape(-1, 1024)
-        y = jnp.fft.fft(x)
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1)
+    # ---- batched FFT-1024 pair: XLA's native FFT vs the four-step
+    # matmul FFT (ops.fft.fft_four_step), interleaved at record scale
+    # (the round-2 row used one 4.2 M-sample dispatch and recorded
+    # 13-48 Gsps of pure dispatch noise; at scan scale the FFT itself
+    # runs near the memory roofline).
+    from comms_tpu.ops import fft as cfft
 
-    best = _bench_best(fft_k, (x_pairs,))
-    rl = metrics.roofline(bytes_moved=16 * n, flops=5 * n * 10,
-                          seconds=best, hbm_gbps=_RUN_HBM_GBPS)
-    _row("kernel_fft1024_throughput", n / best / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    nbq, rows = 4, 1 << 14                 # 4 x 16384 x 1024 = 67 M
+    qres = _device_pairs((nbq, rows, 1024), seed=22)
+    qims = _device_pairs((nbq, rows, 1024), seed=23)
+    ntotq = nbq * rows * 1024
+
+    def fft_scan(fft_fn):
+        @jax.jit
+        def s(res, ims):
+            def body(c, x):
+                z = fft_fn(jax.lax.complex(x[0], x[1]))
+                return c, (jnp.real(z), jnp.imag(z))
+            _, ys = jax.lax.scan(body, 0, (res, ims))
+            return ys
+        return s
+
+    best_x, best_m = _bench_interleaved(
+        [(fft_scan(jnp.fft.fft), (qres, qims)),
+         (fft_scan(cfft.fft_four_step), (qres, qims))],
+        budget_s=40.0)
+    for name, best in (("kernel_fft1024_throughput", best_x),
+                       ("kernel_fft1024_fourstep_throughput", best_m)):
+        rl = metrics.roofline(bytes_moved=16 * ntotq, flops=5 * ntotq * 10,
+                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
+        _row(name, ntotq / best / 1e6,
+             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
 
 def bench_fm_receiver():
@@ -429,7 +506,8 @@ def bench_fm_receiver():
                        ("fm_receiver_pipeline_throughput", best_pipe),
                        ("fm_receiver_chain_throughput", best_f)):
         rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                              seconds=best, hbm_gbps=_RUN_HBM_GBPS)
+                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
+                              peak_tflops=_RUN_TFLOPS)
         _row(name, samples / best / 1e6,
              {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
 
@@ -447,9 +525,19 @@ def main():
     except Exception as e:
         print(json.dumps({"metric": "measured_copy_bandwidth",
                           "error": str(e)}), flush=True)
+    global _RUN_TFLOPS
+    try:
+        _RUN_TFLOPS = _measure_matmul_tflops()
+        print(json.dumps({"metric": "measured_matmul_f32_tflops",
+                          "value": round(_RUN_TFLOPS, 1),
+                          "unit": "TFLOP/s", "vs_baseline": 0.0}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "measured_matmul_f32_tflops",
+                          "error": str(e)}), flush=True)
     for bench in (bench_bpsk_tx, bench_qpsk_tx, bench_qpsk_rx,
                   bench_channelizer_pair, bench_band_monitor,
-                  bench_kernels, bench_fm_receiver):
+                  bench_wideband_psd, bench_kernels, bench_fm_receiver):
         try:
             bench()
         except Exception as e:  # a broken row must not hide the rest

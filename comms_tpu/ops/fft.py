@@ -21,9 +21,13 @@ precision (c64), validated against the reference tolerance
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["fft_block", "ifft_block", "fft_reblock"]
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["fft_block", "ifft_block", "fft_reblock",
+           "fft_four_step"]
 
 
 def fft_block(x, fft_size: int):
@@ -65,3 +69,52 @@ def fft_reblock(samples, fft_size: int):
 
 def _complex_like(x):
     return jnp.result_type(x.dtype, jnp.complex64)
+
+
+def fft_four_step(x, radix=None, precision=None):
+    """Batched FFT over the last axis as TWO DFT MATMULS (four-step /
+    Bailey): N = R*C, a cross-block R-point DFT, exact integer-mod
+    twiddles, and a C-point DFT, all MXU-resident.
+
+    On hardware this measured ~1.1x ``jnp.fft.fft`` at N = 1024
+    record-scale scans with parity 1.5e-7 at HIGHEST precision
+    (docs/PERF.md) — the MXU eats the extra FLOPs and the layout stays
+    fusion-friendly.  Same math as the distributed FFT's stages
+    (parallel/dfft.py) collapsed onto one chip.
+
+    Args:
+      x: [..., N] complex.
+      radix: optional (R, C) with R*C = N; default picks the largest
+        R <= 128 dividing N (MXU-width contraction first).
+      precision: dot precision (default HIGHEST — f32-exact results).
+    """
+    x = jnp.asarray(x)
+    N = x.shape[-1]
+    if radix is None:
+        R = 128
+        while R > 1 and N % R:
+            R //= 2
+        radix = (R, N // R)
+    R, C = map(int, radix)
+    if R * C != N:
+        raise ValueError(f"radix {radix} does not factor N = {N}")
+    if R == 1 or C == 1:
+        return jnp.fft.fft(x)
+    prec = precision if precision is not None else lax.Precision.HIGHEST
+    cdtype = _complex_like(x)
+
+    p = np.arange(R)
+    d_r = np.exp((-2j * np.pi / R) * np.mod(np.outer(p, p), R)
+                 ).astype(cdtype)
+    j = np.arange(C)
+    tw = np.exp((-2j * np.pi / N) * np.mod(np.outer(p, j), N)
+                ).astype(cdtype)
+    d_c = np.exp((-2j * np.pi / C) * np.mod(np.outer(j, j), C)
+                 ).astype(cdtype)
+
+    lead = x.shape[:-1]
+    xm = x.reshape((-1, R, C))
+    g = jnp.einsum("ps,bsj->bpj", d_r, xm, precision=prec) * tw[None]
+    z = jnp.einsum("bpj,jm->bpm", g, d_c, precision=prec)
+    # X[k], k = p + R*m  ->  [b, m, p] then flatten.
+    return jnp.swapaxes(z, 1, 2).reshape(lead + (N,)).astype(cdtype)

@@ -46,3 +46,26 @@ def test_fft_reblock_sample_semantics():
     frames, tail = fft.fft_reblock(x, 8)
     assert frames.shape == (4, 8)
     assert np.array_equal(np.asarray(tail), np.arange(32, 37))
+
+
+def test_fft_four_step_matches_numpy():
+    from comms_tpu.ops import fft as cfft
+
+    rng = np.random.default_rng(40)
+    for N, radix in [(1024, None), (1024, (32, 32)), (256, None),
+                     (96, None)]:
+        x = (rng.normal(size=(5, N)) + 1j * rng.normal(size=(5, N))
+             ).astype(np.complex64)
+        got = np.asarray(cfft.fft_four_step(jnp.asarray(x), radix=radix))
+        ref = np.fft.fft(x, axis=-1)
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5, (N, radix)
+
+
+def test_fft_four_step_bad_radix():
+    import pytest
+
+    from comms_tpu.ops import fft as cfft
+
+    with pytest.raises(ValueError, match="factor"):
+        cfft.fft_four_step(jnp.zeros((2, 64), jnp.complex64), radix=(16, 8))
