@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import mixer, modulation, pulse, random as crandom, taps
 
-__all__ = ["QpskTxConfig", "make_block_fn", "init_state", "run_to_file"]
+__all__ = ["QpskTxConfig", "make_block_fn", "make_pipeline", "init_state",
+           "run_to_file"]
 
 
 class QpskTxConfig:
@@ -80,6 +81,34 @@ def make_block_fn(cfg: QpskTxConfig):
         return jnp.stack([re, im], axis=-1), (key, new_ctx_pairs, phase)
 
     return block
+
+
+def make_pipeline(cfg: Optional[QpskTxConfig] = None, seed: int = 0):
+    """The same tx chain on the generic runtime layer (source-headed
+    Pipeline: bits -> QPSK -> pulse shape -> mixer -> i16 quantize).
+    Bit-exact to :func:`make_block_fn` with the same seed."""
+    from comms_tpu.runtime import (
+        Lambda, Mixer, Pipeline, PulseShape, QpskMod, RandomBitSource,
+    )
+
+    cfg = cfg or QpskTxConfig()
+    t = taps.rrc_taps(cfg.num_taps, float(cfg.sps),
+                      cfg.beta).astype(np.complex64)
+
+    def quantize(y):
+        re = jnp.clip(jnp.trunc(jnp.real(y) * cfg.scale),
+                      -32768.0, 32767.0).astype(jnp.int16)
+        im = jnp.clip(jnp.trunc(jnp.imag(y) * cfg.scale),
+                      -32768.0, 32767.0).astype(jnp.int16)
+        return jnp.stack([re, im], axis=-1)
+
+    return Pipeline([
+        RandomBitSource(cfg.bits_per_block, seed),
+        QpskMod(example_convention=True),
+        PulseShape.make(t, cfg.sps),
+        Mixer(cfg.dphase, cfg.phase0),
+        Lambda(quantize, result_dtype=jnp.int16),
+    ])
 
 
 def run_to_file(path, num_blocks: int, cfg: Optional[QpskTxConfig] = None,

@@ -158,22 +158,31 @@ class Graph:
         """
         import jax.numpy as jnp
         dtype = dtype or jnp.complex64
-        stream: Dict[str, Any] = {name: dtype for name in self._external}
-        op_state = {}
-        fb_state = {}
-        for spec in self._topo():
-            ins = [stream.get(pr, dtype) for pr in spec.inputs]
-            in_dt = jnp.result_type(*ins) if ins else dtype
-            if isinstance(spec.op, BlockOp):
-                op_state[spec.name] = spec.op.init_state(dtype=in_dt)
-                stream[spec.name] = spec.op.out_dtype(in_dt)
-            else:
-                op_state[spec.name] = ()
-                stream[spec.name] = in_dt  # raw callable: assume same
-        for spec in self._nodes.values():
-            if spec.feedback:
-                fb_state[spec.name] = spec.default
-        return {"ops": op_state, "fb": fb_state}
+
+        # Built inside one jitted program: eager complex leaf creation
+        # performs a host->device complex transfer, unimplemented on
+        # the axon runtime AND poisoning later transfers (see
+        # Pipeline.init_state).
+        def build():
+            stream: Dict[str, Any] = {name: dtype
+                                      for name in self._external}
+            op_state = {}
+            fb_state = {}
+            for spec in self._topo():
+                ins = [stream.get(pr, dtype) for pr in spec.inputs]
+                in_dt = jnp.result_type(*ins) if ins else dtype
+                if isinstance(spec.op, BlockOp):
+                    op_state[spec.name] = spec.op.init_state(dtype=in_dt)
+                    stream[spec.name] = spec.op.out_dtype(in_dt)
+                else:
+                    op_state[spec.name] = ()
+                    stream[spec.name] = in_dt  # raw callable: same dtype
+            for spec in self._nodes.values():
+                if spec.feedback:
+                    fb_state[spec.name] = spec.default
+            return {"ops": op_state, "fb": fb_state}
+
+        return jax.jit(build)()
 
     def _make_step(self, op_apply=None):
         """Build the step body; ``op_apply(op, state, x)`` defaults to

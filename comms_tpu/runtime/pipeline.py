@@ -48,13 +48,24 @@ class Pipeline:
     def init_state(self):
         """Per-op states with dtypes propagated through the chain
         (``state_dtype`` is the pipeline INPUT stream dtype; each op's
-        ``out_dtype`` determines its successor's)."""
-        cur = self.state_dtype
-        states = []
-        for op in self.ops:
-            states.append(op.init_state(dtype=cur))
-            cur = op.out_dtype(cur)
-        return tuple(states)
+        ``out_dtype`` determines its successor's).
+
+        Built INSIDE one jitted program: eager (op-by-op) creation of
+        complex leaves performs a host->device complex transfer, which
+        the axon runtime does not implement — and a failed complex
+        transfer poisons every later transfer in the process.  Inside
+        jit, complex is fully supported, and jit outputs live on
+        device ready for the step functions.
+        """
+        def build():
+            cur = self.state_dtype
+            states = []
+            for op in self.ops:
+                states.append(op.init_state(dtype=cur))
+                cur = op.out_dtype(cur)
+            return tuple(states)
+
+        return jax.jit(build)()
 
     @property
     def rate(self) -> Fraction:

@@ -8,6 +8,12 @@ single_thread_bpsk.rs (random bits -> BPSK -> RRC(32, sps=4, 0.25)
 Usage: python examples/bpsk_mod.py [num_blocks] [out_path]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 from comms_tpu.models import bpsk_tx

@@ -7,6 +7,12 @@ per-channel power map — each tone lands in its own channel.
 Usage: python examples/channelizer_demo.py [num_channels]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 import numpy as np

@@ -8,6 +8,12 @@ The capture is raw float32 re/im pairs at the wideband rate; each of
 the K channels' audio is written to fm_ch<k>.wav.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 import numpy as np

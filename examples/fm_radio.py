@@ -8,6 +8,12 @@ audio device replaced by a WAV file — the BASELINE's file-driven form.
 Usage: python examples/fm_radio.py capture.u8 [out.wav]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 import numpy as np

@@ -8,6 +8,12 @@ otherwise).
 Usage: python examples/play_audio.py input.f32 [out.wav] [rate]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 from comms_tpu.models import play_audio

@@ -8,6 +8,12 @@ upconversion (--dphase).
 Usage: python examples/qpsk_mod.py [num_blocks] [out_path] [dphase]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 from comms_tpu.models import qpsk_tx

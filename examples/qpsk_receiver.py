@@ -11,6 +11,12 @@ serving loop and reports the bit error rate.
 Usage: python examples/qpsk_receiver.py [num_blocks]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 import numpy as np

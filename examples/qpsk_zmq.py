@@ -10,6 +10,12 @@ Usage:
   python examples/qpsk_zmq.py send tcp://127.0.0.1:5556
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run examples without install
+
 import sys
 
 from comms_tpu.models import qpsk_stream

@@ -369,3 +369,20 @@ def test_bpsk_tx_pipeline_matches_block_fn():
         iq_pipe, s_pipe = pipe.step(s_pipe)
         np.testing.assert_array_equal(np.asarray(iq_pipe),
                                       np.asarray(iq_ref)), b
+
+
+def test_qpsk_tx_pipeline_matches_block_fn():
+    from comms_tpu.models import qpsk_tx
+
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=4096, dphase=0.21,
+                               phase0=0.5)
+    blk = qpsk_tx.make_block_fn(cfg)
+    pipe = qpsk_tx.make_pipeline(cfg, seed=0)
+
+    s_ref = qpsk_tx.init_state(cfg, seed=0)
+    s_pipe = pipe.init_state()
+    for b in range(3):
+        iq_ref, s_ref = blk(s_ref)
+        iq_pipe, s_pipe = pipe.step(s_pipe)
+        np.testing.assert_array_equal(np.asarray(iq_pipe),
+                                      np.asarray(iq_ref)), b
