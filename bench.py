@@ -331,7 +331,7 @@ def bench_kernels():
     from comms_tpu.kernels import fir_pallas as FP
 
     B = fir.banded_tap_matrix(taps63)
-    nbf, nf = 8, 1 << 22                     # ~33.5 M samples/dispatch
+    nbf, nf = 16, 1 << 22                    # ~67 M samples/dispatch
     fres = _device_pairs((nbf, nf), seed=20)
     fims = _device_pairs((nbf, nf), seed=21)
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from comms_tpu.ops import demodulation, fir
 
 __all__ = ["FM_LPF_TAPS", "FmReceiverConfig", "make_block_fn",
-           "make_scan_fn", "init_state", "run_file",
+           "make_pipeline", "make_scan_fn", "init_state", "run_file",
            "make_fused_block_fn", "fused_init_state", "FUSED_BLOCK_QUANTUM",
            "FUSED_TAIL_SAMPLES", "fused_ctx_from_raw_tail"]
 

@@ -94,10 +94,22 @@ def fft_four_step(x, radix=None, precision=None):
         R = 128
         while R > 1 and N % R:
             R //= 2
+        if R == 1 or N // R > 4096:
+            # No MXU-width factor, or the dense C x C DFT matrix would
+            # be huge (C = 8192 is already a 512 MB constant and an
+            # N*C-flop stage) — the four-step form targets small-to-
+            # mid N; for large transforms use jnp.fft or the
+            # distributed FFT (parallel/dfft.py).
+            return jnp.fft.fft(x)
         radix = (R, N // R)
     R, C = map(int, radix)
     if R * C != N:
         raise ValueError(f"radix {radix} does not factor N = {N}")
+    if max(R, C) > 8192:
+        raise ValueError(
+            f"radix {radix}: a dense {max(R, C)}^2 DFT matrix is "
+            "impractical (memory/flops grow quadratically); refactor N "
+            "or use jnp.fft / parallel.dfft")
     if R == 1 or C == 1:
         return jnp.fft.fft(x)
     prec = precision if precision is not None else lax.Precision.HIGHEST

@@ -27,8 +27,10 @@ import sys
 
 NATIVE = "--native" in sys.argv   # run on attached accelerators
 if __name__ == "__main__" and not NATIVE:
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 import jax

@@ -69,3 +69,21 @@ def test_fft_four_step_bad_radix():
 
     with pytest.raises(ValueError, match="factor"):
         cfft.fft_four_step(jnp.zeros((2, 64), jnp.complex64), radix=(16, 8))
+
+
+def test_fft_four_step_large_n_guard():
+    from comms_tpu.ops import fft as cfft
+
+    # default radix falls back to jnp.fft rather than materializing a
+    # huge dense DFT matrix (code-review finding, round 3)
+    x = (np.random.default_rng(1).normal(size=(1, 1 << 20))
+         ).astype(np.complex64)
+    got = np.asarray(cfft.fft_four_step(jnp.asarray(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dense"):
+        cfft.fft_four_step(jnp.zeros((1, 1 << 20), jnp.complex64),
+                           radix=(64, 1 << 14))

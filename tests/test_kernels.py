@@ -39,11 +39,15 @@ def test_fir_pallas_ragged_length():
 
 
 def test_fir_pallas_rejects_long_taps():
+    # the validation itself must fire (interpret mode, so the error
+    # cannot come from an unrelated backend limitation), at the NEW
+    # 1025-tap limit.
     import pytest
-    with pytest.raises(ValueError):
-        fir_block_pallas(jnp.zeros(256, jnp.complex64),
-                         np.zeros(200, np.complex64),
-                         jnp.zeros(199, jnp.complex64))
+    with pytest.raises(ValueError, match="1025"):
+        fir_block_pallas(jnp.zeros(2048, jnp.complex64),
+                         np.zeros(1026, np.complex64),
+                         jnp.zeros(1025, jnp.complex64),
+                         interpret=True)
 
 
 def test_fir_pallas_long_filter_257_taps():
