@@ -1,35 +1,44 @@
 """Benchmark suite: every flagship model plus kernel rooflines.
 
 Prints one JSON line per row; the FINAL line is the flagship
-FM-receiver chain (same metric name as round 1, so driver history
-stays comparable) — now driven through the PRODUCTION streaming path
-(``make_fused_block_fn``: fused Pallas kernel + per-block context
-recompute, state chained across the scan).
+FM-receiver chain (same metric name since round 1) — the PRODUCTION
+streaming path (``make_fused_block_fn``: fused Pallas kernel +
+per-block context recompute, state chained across the scan).
 
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
 
-Kernel rows additionally report ``pct_of_sol`` against a copy roofline
-MEASURED AT THE START OF THE SAME RUN (printed as the first row — the
-tunnel's bandwidth varies between windows, so a fixed constant can
-read >100%) and whether the kernel is memory- or compute-bound.
+TIMING METHODOLOGY (round-3 correction — READ THIS before comparing
+against BENCH_r01/r02 history).  On this tunneled TPU runtime,
+``jax.block_until_ready`` returns at enqueue-ack time, NOT at device
+completion: an 8-matmul 4096^3 f32 chain "completed" in 118 us (an
+implied 9 PFLOP/s — forty times the chip's spec) but takes a real
+62 ms (17.6 TFLOP/s, exactly v5e-shaped) once completion is forced by
+reading back a value.  Every number in BENCH_r01/r02 therefore
+measured ENQUEUE RATE, not compute, inflated ~1000x, and all
+"window variance" was enqueue noise.  This suite times honestly:
 
-Pallas-vs-XLA pairs run IDENTICAL in-dispatch shapes: the same
-scan length, per-element block size, taps, and carried-state
-structure, sized to >= 64 M samples per dispatch (the scale the
-round-2 A/B runs used to clear the tunnel's dispatch floor — the
-round-2 record sized the Pallas rows ~30x smaller than their own A/B
-and recorded them losing; fixed this round).
+* every timed function returns an f32 SCALAR checksum whose value
+  depends on all outputs; ``float(...)`` readback is the completion
+  barrier (``runtime/metrics.device_sync`` documents this);
+* each dispatch runs R passes over device-resident input inside an
+  outer ``lax.scan`` with carried state + checksum (the data
+  dependency defeats loop-invariant hoisting for stateless ops we
+  perturb the input by ``acc * 1e-30`` per pass);
+* R is auto-calibrated so device time is ~10x the measured ~30 ms
+  sync round-trip, which is also subtracted;
+* rooflines are SLOPE-measured in the same run (marginal seconds per
+  added pass between two R values), cancelling all fixed overheads:
+  real copy ~640 GB/s, bf16 matmul ~190 TFLOP/s, f32-HIGHEST
+  ~31 TFLOP/s — a stock v5e, not the fictional 15 TB/s part the
+  enqueue numbers implied.
 
 Baseline: the reference's implied real-time bound — its threaded FM
 pipeline keeps up with an RTL-SDR at 1.14 Msps complex input
 (examples/fm_radio.rs:57,144; BASELINE.md).  vs_baseline is the
 speedup over that 1.14 Msamples/s rate.
 
-Methodology: inputs are GENERATED ON DEVICE (one jitted dispatch,
-outside the timed region) — the axon tunnel moves host<->device
-payloads at ~1 MB/s, so staging record-scale inputs from the host
-would dwarf the measurement; best-of-reps inside a per-row time
-budget (tunnel throughput varies up to ~50x between windows).
+Inputs are GENERATED ON DEVICE (the tunnel moves host<->device
+payloads at ~1 MB/s); values are irrelevant to throughput.
 """
 
 import json
@@ -38,91 +47,75 @@ import time
 import numpy as np
 
 BASELINE_MSPS = 1.14          # reference real-time bound (BASELINE.md)
-MEASURED_HBM_GBPS = 2700.0    # window-average roofline (docs/PERF.md)
+SPEC_HBM_GBPS = 819.0         # v5e public spec, for the copy row's ratio
+SPEC_BF16_TFLOPS = 197.0
 
-# Same-run copy roofline: the tunnel's bandwidth swings ~50x between
-# windows, so pct_of_sol against a fixed constant can exceed 100% in a
-# fast window.  main() measures a big f32 copy first and every row's
-# roofline uses THAT number (printed as its own row for the record).
-_RUN_HBM_GBPS = MEASURED_HBM_GBPS
-_RUN_TFLOPS = 22.0  # v5e f32 spec; replaced by the same-run measurement
-
-
-def _measure_matmul_tflops():
-    """f32 matmul peak at HIGHEST precision (the precision most rows'
-    math runs at), measured as a chain of relu'd matmuls with distinct
-    operands — XLA folds sum-of-dots microbenchmarks otherwise."""
-    import jax
-    import jax.numpy as jnp
-
-    n = 4096
-    k = 8
-    ws = [_device_pairs((n, n), seed=100 + i) for i in range(k)]
-    x0 = _device_pairs((n, n), seed=110)
-
-    @jax.jit
-    def mm(x, ws):
-        for w in ws:
-            x = jnp.maximum(
-                jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST), 0.0)
-        return x * 1e-3          # keep magnitudes bounded across reps
-
-    best = _bench_best(mm, (x0, ws), budget_s=12.0, max_reps=8)
-    return k * 2 * n ** 3 / best / 1e12
+# Same-run slope-measured rates; set in main() before any row runs.
+_RUN_HBM_GBPS = 640.0
+_RUN_TFLOPS_F32 = 31.0
+_RUN_TFLOPS_BF16 = 190.0
+_SYNC_S = 0.030               # measured null dispatch+readback seconds
 
 
-def _measure_copy_gbps():
-    import jax
-    import jax.numpy as jnp
+# --------------------------------------------------------------- timing
 
-    n = 1 << 27                       # 512 MB of f32
-    x = _device_pairs((n,), seed=99)
-
-    @jax.jit
-    def cp(a):
-        return a * jnp.float32(1.0000001)
-
-    best = _bench_best(cp, (x,), budget_s=12.0, max_reps=8)
-    return 2 * 4 * n / best / 1e9
+def _timed_call(fn, args):
+    """Wall seconds of one dispatch, completion forced by scalar
+    readback, fixed sync overhead subtracted."""
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return max(time.perf_counter() - t0 - _SYNC_S, 1e-6)
 
 
-def _bench_best(fn, args, budget_s=15.0, max_reps=3):
-    """Best-of-reps wall seconds for ``fn(*args)`` (sync'd)."""
-    import jax
-
-    out = fn(*args)                      # compile + warm
-    jax.block_until_ready(out)
+def _best_of(fn, args, reps=3, budget_s=30.0):
     best = float("inf")
     deadline = time.perf_counter() + budget_s
-    reps = 0
-    while reps < max_reps and time.perf_counter() < deadline:
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-        reps += 1
+    done = 0
+    while done < reps and time.perf_counter() < deadline:
+        best = min(best, _timed_call(fn, args))
+        done += 1
     return best
 
 
-def _bench_interleaved(fns_args, budget_s=40.0, max_reps=6):
-    """Best-of-reps for SEVERAL functions with their reps interleaved
-    (A B A B ...), so compared rows share the same tunnel-throughput
-    windows — sequential rows can land in windows differing by 3-50x,
-    which poisons ratios.  Returns one best-seconds per function."""
+def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=0.35,
+                 reps=3, max_R=4096):
+    """Build the R-pass timed fn, calibrate R for ~target_s of device
+    time, return (samples_per_second, best_seconds, R).
+
+    ``make_fn(R)`` must return a jitted fn of ``args`` that runs R
+    passes of ``per_pass`` samples and returns an f32 scalar checksum.
+    """
+    f = make_fn(pilot_R)
+    _timed_call(f, args)                     # warm: compile + drain
+    t_pilot = _best_of(f, args, reps=2, budget_s=20.0)
+    per_pass_t = max(t_pilot / pilot_R, 1e-7)
+    R = int(min(max_R, max(pilot_R, round(target_s / per_pass_t))))
+    if R > 2 * pilot_R:
+        f = make_fn(R)
+        _timed_call(f, args)                 # warm the final shape
+        best = _best_of(f, args, reps=reps)
+    else:
+        R = pilot_R
+        best = min(t_pilot, _best_of(f, args, reps=reps - 2, budget_s=15.0)
+                   if reps > 2 else t_pilot)
+    return R * per_pass / best, best, R
+
+
+def _cks(y):
+    """Cheap f32 checksum of a pytree: strided sums touching every
+    leaf buffer (forces materialization without re-reading it all)."""
     import jax
+    import jax.numpy as jnp
 
-    for fn, args in fns_args:                # compile + warm
-        jax.block_until_ready(fn(*args))
-    best = [float("inf")] * len(fns_args)
-    deadline = time.perf_counter() + budget_s
-    reps = 0
-    while reps < max_reps and time.perf_counter() < deadline:
-        for i, (fn, args) in enumerate(fns_args):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            best[i] = min(best[i], time.perf_counter() - t0)
-        reps += 1
-    return best
+    tot = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(y):
+        x = leaf
+        if jnp.iscomplexobj(x):
+            x = jnp.real(x)
+        x = x.ravel()
+        stride = max(1, x.size // 64)
+        tot = tot + jnp.sum(x[::stride].astype(jnp.float32))
+    return tot
 
 
 def _row(metric, msps, extra=None):
@@ -134,25 +127,20 @@ def _row(metric, msps, extra=None):
     return r
 
 
-def _scan_wrap(block_fn, n):
-    """Source-headed block fn -> one dispatch running n blocks."""
-    import jax
-    from jax import lax
+def _roof(best_s, bytes_per_pass, flops_per_pass, R, peak_tflops=None):
+    from comms_tpu.runtime import metrics
 
-    @jax.jit
-    def scan(state):
-        def body(carry, _):
-            y, carry = block_fn(carry)
-            return carry, y
+    rl = metrics.roofline(
+        bytes_moved=R * bytes_per_pass, flops=R * flops_per_pass,
+        seconds=best_s, hbm_gbps=_RUN_HBM_GBPS,
+        peak_tflops=peak_tflops or _RUN_TFLOPS_F32)
+    return {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]}
 
-        final, ys = lax.scan(body, state, None, length=n)
-        return ys, final
 
-    return scan
-
+# --------------------------------------------------------- device inputs
 
 def _device_pairs(shape, seed=0):
-    """f32 IQ pairs generated ON DEVICE (one jitted dispatch): the
+    """f32 planes generated ON DEVICE (one jitted dispatch): the
     tunnel's ~1 MB/s host->device path cannot stage record-scale
     inputs; values are irrelevant to throughput."""
     import jax
@@ -162,13 +150,10 @@ def _device_pairs(shape, seed=0):
     def gen(key):
         return jax.random.normal(key, shape, dtype=jnp.float32)
 
-    out = gen(jax.random.PRNGKey(seed))
-    jax.block_until_ready(out)
-    return out
+    return gen(jax.random.PRNGKey(seed))
 
 
 def _device_u8(shape, seed=0):
-    """uint8 planes generated on device."""
     import jax
     import jax.numpy as jnp
 
@@ -177,31 +162,143 @@ def _device_u8(shape, seed=0):
         return jax.random.randint(key, shape, 0, 256,
                                   dtype=jnp.int32).astype(jnp.uint8)
 
-    out = gen(jax.random.PRNGKey(seed))
-    jax.block_until_ready(out)
-    return out
+    return gen(jax.random.PRNGKey(seed))
 
+
+# ------------------------------------------------------------ rooflines
+
+def _slope_seconds(make_fn, args, K1, K2):
+    """Marginal seconds per added in-dispatch iteration — fixed
+    overheads (sync, dispatch, readback) cancel in the difference."""
+    f1, f2 = make_fn(K1), make_fn(K2)
+    _timed_call(f1, args)
+    _timed_call(f2, args)
+    t1 = _best_of(f1, args, reps=3, budget_s=20.0)
+    t2 = _best_of(f2, args, reps=3, budget_s=30.0)
+    return max((t2 - t1) / (K2 - K1), 1e-9)
+
+
+def _measure_copy_gbps():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 1 << 27                       # 512 MB of f32
+    x = _device_pairs((n,), seed=99)
+
+    def make(K):
+        @jax.jit
+        def f(a):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), None
+            c, _ = lax.scan(body, a, None, length=K)
+            return jnp.sum(c[::n // 64])
+        return f
+
+    s = _slope_seconds(make, (x,), 8, 32)
+    return 2 * 4 * n / s / 1e9
+
+
+def _measure_matmul_tflops(bf16):
+    """Marginal matmul rate: K dependent relu'd matmuls in one scan
+    (the nonlinearity + data dependency defeat algebraic folding)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 4096
+    w = _device_pairs((n, n), seed=100)
+    if bf16:
+        w = jax.jit(lambda a: a.astype(jnp.bfloat16))(w)
+
+    def make(K):
+        @jax.jit
+        def f(a):
+            def body(c, _):
+                y = (jnp.dot(c, w) if bf16 else
+                     jnp.dot(c, w, precision=lax.Precision.HIGHEST))
+                y = jnp.maximum(y, 0) * y.dtype.type(1e-3)
+                return y, None
+            c, _ = lax.scan(body, a, None, length=K)
+            return jnp.sum(c[0, :8].astype(jnp.float32))
+        return f
+
+    s = _slope_seconds(make, (w,), 16 if bf16 else 8, 64 if bf16 else 32)
+    return 2 * n ** 3 / s / 1e12
+
+
+# ----------------------------------------------------------------- rows
 
 def bench_bpsk_tx():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     from comms_tpu.models import bpsk_tx
 
     cfg = bpsk_tx.BpskTxConfig(syms_per_block=1 << 22)
-    scan = _scan_wrap(bpsk_tx.make_block_fn(cfg), 4)
-    best = _bench_best(scan, (bpsk_tx.init_state(cfg),))
-    _row("bpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
+    blk = bpsk_tx.make_block_fn(cfg)
+    nb = 4
+
+    def make(R):
+        @jax.jit
+        def f(state):
+            def rep(carry, _):
+                st, acc = carry
+                def body(c, _):
+                    y, c = blk(c)
+                    return c, _cks(y)
+                st, cs = lax.scan(body, st, None, length=nb)
+                return (st, acc + jnp.sum(cs)), None
+            (st, acc), _ = lax.scan(
+                rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
+
+    msps, best, R = _measure_row(make, (bpsk_tx.init_state(cfg),),
+                                 nb * cfg.samples_per_block)
+    _row("bpsk_tx_throughput", msps / 1e6)
+
+
+def _f32(v):
+    import jax.numpy as jnp
+
+    return jnp.float32(v)
 
 
 def bench_qpsk_tx():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     from comms_tpu.models import qpsk_tx
 
     cfg = qpsk_tx.QpskTxConfig(bits_per_block=1 << 23)
-    scan = _scan_wrap(qpsk_tx.make_block_fn(cfg), 4)
-    best = _bench_best(scan, (qpsk_tx.init_state(cfg),))
-    _row("qpsk_tx_throughput", 4 * cfg.samples_per_block / best / 1e6)
+    blk = qpsk_tx.make_block_fn(cfg)
+    nb = 4
+
+    def make(R):
+        @jax.jit
+        def f(state):
+            def rep(carry, _):
+                st, acc = carry
+                def body(c, _):
+                    y, c = blk(c)
+                    return c, _cks(y)
+                st, cs = lax.scan(body, st, None, length=nb)
+                return (st, acc + jnp.sum(cs)), None
+            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
+
+    msps, best, R = _measure_row(make, (qpsk_tx.init_state(cfg),),
+                                 nb * cfg.samples_per_block)
+    _row("qpsk_tx_throughput", msps / 1e6)
 
 
 def bench_qpsk_rx():
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     from comms_tpu.models import qpsk_rx
@@ -212,92 +309,101 @@ def bench_qpsk_rx():
     nb = 8
     pairs = _device_pairs((nb, n, 2), seed=10)
 
-    @jax.jit
-    def scan(blocks):
-        def body(c, xb):
-            sym, _ = rx(xb)
-            return c, sym
-        _, syms = lax.scan(body, 0, blocks)
-        return syms
+    def make(R):
+        @jax.jit
+        def f(blocks):
+            def rep(acc, _):
+                def body(c, xb):
+                    # acc-dependent perturbation: defeats hoisting of
+                    # this stateless body out of the rep loop
+                    sym, _aux = rx(xb + c * jnp.float32(1e-30))
+                    return c, _cks(sym)
+                _, cs = lax.scan(body, acc, blocks)
+                return acc + jnp.sum(cs), None
+            acc, _ = lax.scan(rep, _f32(0), None, length=R)
+            return acc
+        return f
 
-    best = _bench_best(scan, (pairs,))
-    _row("qpsk_rx_throughput", nb * n / best / 1e6)
-
-
-def _planar_scan(block_fn):
-    """(state, re[L, N], im[L, N]) -> outputs, state chained."""
-    import jax
-    from jax import lax
-
-    @jax.jit
-    def scan(state, res, ims):
-        def body(c, x):
-            r, i = x
-            y, c = block_fn(c, r, i)
-            return c, y
-        final, ys = lax.scan(body, state, (res, ims))
-        return ys, final
-
-    return scan
+    msps, best, R = _measure_row(make, (pairs,), nb * n)
+    _row("qpsk_rx_throughput", msps / 1e6)
 
 
 def bench_channelizer_pair():
-    """XLA channelizer model vs its fused-Pallas path: SAME scan
-    length, block size, prototype, carried state, and planar-plane
-    input layout (the run_file ingest layout — the round-2 record
-    compared mismatched dispatch sizes and fed the Pallas path an
-    interleaved layout it had to repack)."""
-    from comms_tpu.models import channelizer
+    """XLA channelizer model vs its fused-Pallas path: same scan
+    length, block size, prototype, carried state, planar layout."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     from comms_tpu.kernels import channelizer_pallas as CP
+    from comms_tpu.models import channelizer
 
-    nb = 16
+    nb = 4
     block = CP.step_samples() * 256          # 4,194,304 per element
-    total = nb * block                       # ~67 M samples / dispatch
+    per_pass = nb * block
     cfg = channelizer.ChannelizerConfig(block=block)
     res = _device_pairs((nb, block), seed=11)
     ims = _device_pairs((nb, block), seed=18)
 
-    scan_x = _planar_scan(channelizer.make_planar_block_fn(cfg))
-    scan_p = _planar_scan(
-        channelizer.make_planar_block_fn(cfg, use_pallas=True))
+    def make_maker(blk):
+        def make(R):
+            @jax.jit
+            def f(state, res, ims):
+                def rep(carry, _):
+                    st, acc = carry
+                    def body(c, x):
+                        y, c = blk(c, x[0], x[1])
+                        return c, _cks(y)
+                    st, cs = lax.scan(body, st, (res, ims))
+                    return (st, acc + jnp.sum(cs)), None
+                (st, acc), _ = lax.scan(rep, (state, _f32(0)), None,
+                                        length=R)
+                return acc
+            return f
+        return make
+
     s0 = channelizer.init_state(cfg)
-    best_x, best_p = _bench_interleaved(
-        [(scan_x, (s0, res, ims)), (scan_p, (s0, res, ims))],
-        budget_s=40.0)
-    _row("channelizer64_throughput", total / best_x / 1e6)
-
-    from comms_tpu.runtime import metrics
-
-    rl = metrics.roofline(bytes_moved=16 * total, flops=8 * 8 * total,
-                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-    _row("kernel_channelizer_pallas_throughput", total / best_p / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    msps_x, best_x, R_x = _measure_row(
+        make_maker(channelizer.make_planar_block_fn(cfg)),
+        (s0, res, ims), per_pass)
+    msps_p, best_p, R_p = _measure_row(
+        make_maker(channelizer.make_planar_block_fn(cfg, use_pallas=True)),
+        (s0, res, ims), per_pass)
+    _row("channelizer64_throughput", msps_x / 1e6)
+    _row("kernel_channelizer_pallas_throughput", msps_p / 1e6,
+         _roof(best_p, 16 * per_pass, 8 * 8 * per_pass, R_p,
+               peak_tflops=_RUN_TFLOPS_BF16))
 
 
 def bench_band_monitor():
-    from comms_tpu.models import fm_band_monitor
-
     import jax
+    import jax.numpy as jnp
     from jax import lax
+
+    from comms_tpu.models import fm_band_monitor
 
     cfg = fm_band_monitor.BandMonitorConfig(block=1 << 22)
     blk = fm_band_monitor.make_block_fn(cfg)
-    nb = 16                                   # ~67 M samples / dispatch
+    nb = 4
     pairs = _device_pairs((nb, cfg.block, 2), seed=12)
 
-    @jax.jit
-    def scan(state, blocks):
-        def body(c, xb):
-            y, c = blk(c, xb)
-            return c, y
-        final, ys = lax.scan(body, state, blocks)
-        return ys, final
+    def make(R):
+        @jax.jit
+        def f(state, blocks):
+            def rep(carry, _):
+                st, acc = carry
+                def body(c, xb):
+                    y, c = blk(c, xb)
+                    return c, _cks(y)
+                st, cs = lax.scan(body, st, blocks)
+                return (st, acc + jnp.sum(cs)), None
+            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
 
-    best = _bench_best(scan, (fm_band_monitor.init_state(cfg), pairs),
-                       budget_s=25.0)
-    _row("fm_band_monitor_throughput", nb * cfg.block / best / 1e6)
+    msps, best, R = _measure_row(
+        make, (fm_band_monitor.init_state(cfg), pairs), nb * cfg.block)
+    _row("fm_band_monitor_throughput", msps / 1e6)
 
 
 def bench_wideband_psd():
@@ -305,6 +411,10 @@ def bench_wideband_psd():
     2^20-bin Welch PSD over 32 segments.  On this 1-chip runner the
     mesh is trivial (the dfft short-circuits to the local FFT); the
     multi-device path is exercised by tests + dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     from comms_tpu.parallel import sharding as sh
     from comms_tpu.parallel import wideband
 
@@ -312,228 +422,288 @@ def bench_wideband_psd():
     mesh = sh.time_mesh(1)
     psd = wideband.make_sharded_psd(F, mesh)
     pairs = _device_pairs((B, F, 2), seed=24)
-    best = _bench_best(psd, (pairs,), budget_s=20.0)
-    _row("wideband_psd_2pow20_throughput", B * F / best / 1e6)
+
+    def make(R):
+        @jax.jit
+        def f(pairs):
+            def rep(acc, _):
+                y = psd(pairs + acc * jnp.float32(1e-30))
+                return acc + _cks(y), None
+            acc, _ = lax.scan(rep, _f32(0), None, length=R)
+            return acc
+        return f
+
+    msps, best, R = _measure_row(make, (pairs,), B * F)
+    _row("wideband_psd_2pow20_throughput", msps / 1e6)
 
 
 def bench_kernels():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from comms_tpu.ops import fir
-    from comms_tpu.runtime import metrics
 
     rng = np.random.default_rng(3)
     taps63 = rng.normal(size=63).astype(np.complex64)
 
     # ---- dense streaming FIR pair, 63 complex taps: XLA banded GEMM
-    # vs the Pallas overlap-save kernel, interleaved, scan-driven.
+    # vs the Pallas overlap-save kernel, scan-driven.
     from comms_tpu.kernels import fir_pallas as FP
 
     B = fir.banded_tap_matrix(taps63)
-    nbf, nf = 16, 1 << 22                    # ~67 M samples/dispatch
+    nbf, nf = 4, 1 << 22
+    per_pass = nbf * nf
     fres = _device_pairs((nbf, nf), seed=20)
     fims = _device_pairs((nbf, nf), seed=21)
 
-    @jax.jit
-    def fir_xla_k(res, ims):
-        def body(c, x):
-            y, c = fir.fir_block(jax.lax.complex(x[0], x[1]), B, c)
-            return c, (jnp.real(y), jnp.imag(y))
-        _, ys = jax.lax.scan(body, fir.init_ctx(63), (res, ims))
-        return ys
+    def make_fir(use_pallas):
+        def make(R):
+            @jax.jit
+            def f(res, ims):
+                def rep(carry, _):
+                    ctx, acc = carry
+                    def body(c, x):
+                        z = jax.lax.complex(x[0], x[1])
+                        if use_pallas:
+                            y, c = FP.fir_block_pallas(z, taps63, c)
+                        else:
+                            y, c = fir.fir_block(z, B, c)
+                        return c, _cks(y)
+                    ctx, cs = lax.scan(body, ctx, (res, ims))
+                    return (ctx, acc + jnp.sum(cs)), None
+                (ctx, acc), _ = lax.scan(
+                    rep, (fir.init_ctx(63), _f32(0)), None, length=R)
+                return acc
+            return f
+        return make
 
-    @jax.jit
-    def fir_pallas_k(res, ims):
-        def body(c, x):
-            y, c = FP.fir_block_pallas(jax.lax.complex(x[0], x[1]),
-                                       taps63, c)
-            return c, (jnp.real(y), jnp.imag(y))
-        _, ys = jax.lax.scan(body, fir.init_ctx(63), (res, ims))
-        return ys
-
-    ntotf = nbf * nf
-    best_x, best_p = _bench_interleaved(
-        [(fir_xla_k, (fres, fims)), (fir_pallas_k, (fres, fims))],
-        budget_s=40.0)
-    for name, best in (("kernel_fir63_throughput", best_x),
-                       ("kernel_fir63_pallas_throughput", best_p)):
-        rl = metrics.roofline(bytes_moved=16 * ntotf, flops=8 * 63 * ntotf,
-                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-        _row(name, ntotf / best / 1e6,
-             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    msps_x, best_x, R_x = _measure_row(make_fir(False), (fres, fims),
+                                       per_pass)
+    msps_p, best_p, R_p = _measure_row(make_fir(True), (fres, fims),
+                                       per_pass)
+    _row("kernel_fir63_throughput", msps_x / 1e6,
+         _roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x))
+    _row("kernel_fir63_pallas_throughput", msps_p / 1e6,
+         _roof(best_p, 16 * per_pass, 8 * 63 * per_pass, R_p))
 
     # ---- polyphase decimating FIR /5 pair (the FM chain's hot pair,
-    # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes — same
-    # scan length, same per-element size, same real 63-tap LPF, same
-    # planar-plane layout, ctx chained through the scan.  >= 64 M
-    # samples per dispatch.
+    # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes, planar
+    # planes, ctx chained through the scan.
     from comms_tpu.kernels import poly_fir_pallas as PP
     from comms_tpu.models.fm_receiver import FM_LPF_TAPS
 
     npal = PP.step_samples(5) * 128          # 5,242,880 per element
-    nb = 13                                  # ~68 M samples / dispatch
+    nb = 4
+    per_pass = nb * npal
     res = _device_pairs((nb, npal), seed=14)
     ims = _device_pairs((nb, npal), seed=19)
-    # best XLA formulation: real f32 branch taps (2 real MAC streams)
     C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
-    @jax.jit
-    def poly_xla_k(res, ims):
-        def body(c, x):
-            r, i = x
-            y, c = fir.fir_decimate_poly(jax.lax.complex(r, i), C, c)
-            return c, (jnp.real(y), jnp.imag(y))
-        c0 = jnp.zeros(C.size - 1, jnp.complex64)
-        _, ys = jax.lax.scan(body, c0, (res, ims))
-        return ys
+    def make_poly(use_pallas):
+        def make(R):
+            @jax.jit
+            def f(res, ims):
+                if use_pallas:
+                    z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
+                    c0 = (z, z)
+                else:
+                    c0 = jnp.zeros(C.size - 1, jnp.complex64)
 
-    @jax.jit
-    def poly_pallas_k(res, ims):
-        def body(c, x):
-            r, i = x
-            cr, ci = c
-            yr, yi, cr, ci = PP.poly_fir_pallas_planar(
-                r, i, FM_LPF_TAPS, cr, ci, 5)
-            return (cr, ci), (yr, yi)
-        z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
-        _, ys = jax.lax.scan(body, (z, z), (res, ims))
-        return ys
+                def rep(carry, _):
+                    ctx, acc = carry
+                    def body(c, x):
+                        r, i = x
+                        if use_pallas:
+                            cr, ci = c
+                            yr, yi, cr, ci = PP.poly_fir_pallas_planar(
+                                r, i, FM_LPF_TAPS, cr, ci, 5)
+                            return (cr, ci), _cks((yr, yi))
+                        y, c = fir.fir_decimate_poly(
+                            jax.lax.complex(r, i), C, c)
+                        return c, _cks(y)
+                    ctx, cs = lax.scan(body, ctx, (res, ims))
+                    return (ctx, acc + jnp.sum(cs)), None
+                (ctx, acc), _ = lax.scan(rep, (c0, _f32(0)), None,
+                                         length=R)
+                return acc
+            return f
+        return make
 
-    ntot = nb * npal
-    best_x, best_p = _bench_interleaved(
-        [(poly_xla_k, (res, ims)), (poly_pallas_k, (res, ims))],
-        budget_s=40.0)
-    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
-                          flops=8 * 63 * ntot // 5,
-                          seconds=best_x, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-    _row("kernel_polyphase_fir63_dec5_throughput", ntot / best_x / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
-    rl = metrics.roofline(bytes_moved=8 * ntot + 8 * ntot // 5,
-                          flops=8 * 63 * ntot // 5,
-                          seconds=best_p, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-    _row("kernel_polyphase_pallas_throughput", ntot / best_p / 1e6,
-         {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    msps_x, best_x, R_x = _measure_row(make_poly(False), (res, ims),
+                                       per_pass)
+    msps_p, best_p, R_p = _measure_row(make_poly(True), (res, ims),
+                                       per_pass)
+    bytes_pp = 8 * per_pass + 8 * per_pass // 5
+    flops_pp = 8 * 63 * per_pass // 5
+    _row("kernel_polyphase_fir63_dec5_throughput", msps_x / 1e6,
+         _roof(best_x, bytes_pp, flops_pp, R_x))
+    _row("kernel_polyphase_pallas_throughput", msps_p / 1e6,
+         _roof(best_p, bytes_pp, flops_pp, R_p))
 
     # ---- batched FFT-1024 pair: XLA's native FFT vs the four-step
-    # matmul FFT (ops.fft.fft_four_step), interleaved at record scale
-    # (the round-2 row used one 4.2 M-sample dispatch and recorded
-    # 13-48 Gsps of pure dispatch noise; at scan scale the FFT itself
-    # runs near the memory roofline).
+    # matmul FFT (ops.fft.fft_four_step).
     from comms_tpu.ops import fft as cfft
 
-    nbq, rows = 4, 1 << 14                 # 4 x 16384 x 1024 = 67 M
+    nbq, rows = 2, 1 << 13
+    per_pass = nbq * rows * 1024
     qres = _device_pairs((nbq, rows, 1024), seed=22)
     qims = _device_pairs((nbq, rows, 1024), seed=23)
-    ntotq = nbq * rows * 1024
 
-    def fft_scan(fft_fn):
-        @jax.jit
-        def s(res, ims):
-            def body(c, x):
-                z = fft_fn(jax.lax.complex(x[0], x[1]))
-                return c, (jnp.real(z), jnp.imag(z))
-            _, ys = jax.lax.scan(body, 0, (res, ims))
-            return ys
-        return s
+    def make_fft(fft_fn):
+        def make(R):
+            @jax.jit
+            def f(res, ims):
+                def rep(acc, _):
+                    def body(c, x):
+                        z = fft_fn(jax.lax.complex(
+                            x[0] + c * jnp.float32(1e-30), x[1]))
+                        return c, _cks(z)
+                    _, cs = lax.scan(body, acc, (res, ims))
+                    return acc + jnp.sum(cs), None
+                acc, _ = lax.scan(rep, _f32(0), None, length=R)
+                return acc
+            return f
+        return make
 
-    best_x, best_m = _bench_interleaved(
-        [(fft_scan(jnp.fft.fft), (qres, qims)),
-         (fft_scan(cfft.fft_four_step), (qres, qims))],
-        budget_s=40.0)
-    for name, best in (("kernel_fft1024_throughput", best_x),
-                       ("kernel_fft1024_fourstep_throughput", best_m)):
-        rl = metrics.roofline(bytes_moved=16 * ntotq, flops=5 * ntotq * 10,
-                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-        _row(name, ntotq / best / 1e6,
-             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    msps_x, best_x, R_x = _measure_row(make_fft(jnp.fft.fft),
+                                       (qres, qims), per_pass)
+    msps_m, best_m, R_m = _measure_row(make_fft(cfft.fft_four_step),
+                                       (qres, qims), per_pass)
+    _row("kernel_fft1024_throughput", msps_x / 1e6,
+         _roof(best_x, 16 * per_pass, 5 * per_pass * 10, R_x))
+    _row("kernel_fft1024_fourstep_throughput", msps_m / 1e6,
+         _roof(best_m, 16 * per_pass, 5 * per_pass * 10, R_m,
+               peak_tflops=_RUN_TFLOPS_BF16))
 
 
 def bench_fm_receiver():
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     from comms_tpu.models import fm_receiver
-    from comms_tpu.runtime import metrics
 
     cfg = fm_receiver.FmReceiverConfig(block=6553600)
-    num_blocks = 10
-    samples = num_blocks * cfg.block         # ~65.5 M per dispatch
+    nb = 4
+    per_pass = nb * cfg.block
     # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
     # (4/25 B/sample); intermediates fused/in-VMEM.
-    floor_bytes = int(samples * (2 + 4 / 25))
-    flops = int(samples * 2 * 26)
+    bytes_pp = int(per_pass * (2 + 4 / 25))
+    flops_pp = int(per_pass * 2 * 26)
 
-    # Three rows, reps INTERLEAVED so they share windows:
+    # Three rows:
     #  - the XLA-fused chain (round-1 path),
-    #  - the same chain as a generic runtime Pipeline (must be within
-    #    noise of the hand-composed scan — equality is tested in
-    #    tests/test_models.py; this row proves the abstraction is
-    #    free at record scale),
+    #  - the same chain as a generic runtime Pipeline (within noise of
+    #    the hand-composed scan — equality tested in tests/test_models),
     #  - FLAGSHIP (final line): the PRODUCTION fused streaming path —
     #    make_fused_block_fn (single Pallas kernel, planar u8 planes
     #    in, audio out, per-block context RECOMPUTED from the raw
     #    tail) with state chained block-to-block, as run_file serves.
-    scan_fn = fm_receiver.make_scan_fn(cfg)
-    state = fm_receiver.init_state(cfg)
-    iq = _device_u8((num_blocks, cfg.block, 2), seed=15)
+    iq = _device_u8((nb, cfg.block, 2), seed=15)
+    re8 = _device_u8((nb, cfg.block), seed=16)
+    im8 = _device_u8((nb, cfg.block), seed=17)
 
+    blk = fm_receiver.make_block_fn(cfg)
     pipe = fm_receiver.make_pipeline(cfg)
-    run_j = jax.jit(lambda s, b: pipe.run(s, b))
+    fblk = fm_receiver.make_fused_block_fn(cfg)
 
-    fblock = fm_receiver.make_fused_block_fn(cfg)
-    re8 = _device_u8((num_blocks, cfg.block), seed=16)
-    im8 = _device_u8((num_blocks, cfg.block), seed=17)
+    def make_xla(R):
+        @jax.jit
+        def f(state, iq):
+            def rep(carry, _):
+                st, acc = carry
+                def body(c, xb):
+                    y, c = blk(c, xb)
+                    return c, _cks(y)
+                st, cs = lax.scan(body, st, iq)
+                return (st, acc + jnp.sum(cs)), None
+            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
 
-    @jax.jit
-    def fused_scan(state, re8, im8):
-        def body(c, x):
-            r, i = x
-            a, c = fblock(c, r, i)
-            return c, a
-        final, auds = jax.lax.scan(body, state, (re8, im8))
-        return auds, final
+    def make_pipe(R):
+        @jax.jit
+        def f(state, iq):
+            def rep(carry, _):
+                st, acc = carry
+                ys, st = pipe.run(st, iq)
+                return (st, acc + _cks(ys)), None
+            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
 
-    best_x, best_pipe, best_f = _bench_interleaved(
-        [(scan_fn, (state, iq)),
-         (run_j, (pipe.init_state(), iq)),
-         (fused_scan, (fm_receiver.fused_init_state(), re8, im8))],
-        budget_s=90.0, max_reps=6)
-    for name, best in (("fm_receiver_xla_throughput", best_x),
-                       ("fm_receiver_pipeline_throughput", best_pipe),
-                       ("fm_receiver_chain_throughput", best_f)):
-        rl = metrics.roofline(bytes_moved=floor_bytes, flops=flops,
-                              seconds=best, hbm_gbps=_RUN_HBM_GBPS,
-                              peak_tflops=_RUN_TFLOPS)
-        _row(name, samples / best / 1e6,
-             {"pct_of_sol": rl["pct_of_sol"], "bound": rl["bound"]})
+    def make_fused(R):
+        @jax.jit
+        def f(state, re8, im8):
+            def rep(carry, _):
+                st, acc = carry
+                def body(c, x):
+                    y, c = fblk(c, x[0], x[1])
+                    return c, _cks(y)
+                st, cs = lax.scan(body, st, (re8, im8))
+                return (st, acc + jnp.sum(cs)), None
+            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
+            return acc
+        return f
+
+    msps_x, best_x, R_x = _measure_row(
+        make_xla, (fm_receiver.init_state(cfg), iq), per_pass, pilot_R=2)
+    msps_pl, best_pl, R_pl = _measure_row(
+        make_pipe, (pipe.init_state(), iq), per_pass, pilot_R=2)
+    msps_f, best_f, R_f = _measure_row(
+        make_fused, (fm_receiver.fused_init_state(), re8, im8), per_pass,
+        pilot_R=8)
+    _row("fm_receiver_xla_throughput", msps_x / 1e6,
+         _roof(best_x, bytes_pp, flops_pp, R_x))
+    _row("fm_receiver_pipeline_throughput", msps_pl / 1e6,
+         _roof(best_pl, bytes_pp, flops_pp, R_pl))
+    _row("fm_receiver_chain_throughput", msps_f / 1e6,
+         _roof(best_f, bytes_pp, flops_pp, R_f,
+               peak_tflops=_RUN_TFLOPS_BF16))
 
 
 def main():
-    global _RUN_HBM_GBPS
+    global _SYNC_S, _RUN_HBM_GBPS, _RUN_TFLOPS_F32, _RUN_TFLOPS_BF16
+    from comms_tpu.runtime import metrics
+
+    try:
+        _SYNC_S = metrics.sync_overhead()
+        print(json.dumps({"metric": "sync_overhead", "value":
+                          round(_SYNC_S * 1e3, 2), "unit": "ms",
+                          "vs_baseline": 0.0}), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "sync_overhead", "error": str(e)}),
+              flush=True)
     try:
         _RUN_HBM_GBPS = _measure_copy_gbps()
         print(json.dumps({"metric": "measured_copy_bandwidth",
                           "value": round(_RUN_HBM_GBPS, 1),
                           "unit": "GB/s",
                           "vs_baseline": round(
-                              _RUN_HBM_GBPS / MEASURED_HBM_GBPS, 2)}),
+                              _RUN_HBM_GBPS / SPEC_HBM_GBPS, 2)}),
               flush=True)
     except Exception as e:
         print(json.dumps({"metric": "measured_copy_bandwidth",
                           "error": str(e)}), flush=True)
-    global _RUN_TFLOPS
     try:
-        _RUN_TFLOPS = _measure_matmul_tflops()
+        _RUN_TFLOPS_F32 = _measure_matmul_tflops(bf16=False)
         print(json.dumps({"metric": "measured_matmul_f32_tflops",
-                          "value": round(_RUN_TFLOPS, 1),
+                          "value": round(_RUN_TFLOPS_F32, 1),
                           "unit": "TFLOP/s", "vs_baseline": 0.0}),
               flush=True)
     except Exception as e:
         print(json.dumps({"metric": "measured_matmul_f32_tflops",
+                          "error": str(e)}), flush=True)
+    try:
+        _RUN_TFLOPS_BF16 = _measure_matmul_tflops(bf16=True)
+        print(json.dumps({"metric": "measured_matmul_bf16_tflops",
+                          "value": round(_RUN_TFLOPS_BF16, 1),
+                          "unit": "TFLOP/s", "vs_baseline": round(
+                              _RUN_TFLOPS_BF16 / SPEC_BF16_TFLOPS, 2)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "measured_matmul_bf16_tflops",
                           "error": str(e)}), flush=True)
     for bench in (bench_bpsk_tx, bench_qpsk_tx, bench_qpsk_rx,
                   bench_channelizer_pair, bench_band_monitor,

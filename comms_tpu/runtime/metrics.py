@@ -17,7 +17,8 @@ import time
 
 import jax
 
-__all__ = ["ThroughputMeter", "named_scope", "roofline", "trace"]
+__all__ = ["ThroughputMeter", "device_sync", "named_scope", "roofline",
+           "sync_overhead", "trace"]
 
 # v5e per-chip peaks (public spec): 197 bf16 TFLOP/s, 819 GB/s HBM.
 V5E_HBM_GBPS = 819.0
@@ -60,6 +61,50 @@ class ThroughputMeter:
 
     def __str__(self):
         return json.dumps(self.report())
+
+
+def device_sync(tree) -> float:
+    """True device-completion barrier; returns a checksum float.
+
+    ``jax.block_until_ready`` can return at enqueue-ack time on async
+    plugin runtimes (observed on the tunneled TPU runtime used here: an
+    8-matmul 4096^3 chain "completed" in 118 us — an implied 9 PFLOP/s —
+    but takes a real 62 ms once completion is forced).  Fetching a VALUE
+    derived from the outputs is the only reliable barrier, so timing
+    loops must call this, not ``block_until_ready``.  Complex leaves are
+    reduced to their real part on device first (complex arrays cannot
+    cross the host<->device boundary on this runtime).
+    """
+    import jax.numpy as jnp
+
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not hasattr(leaf, "ravel"):
+            total += float(leaf)
+            continue
+        x = leaf
+        if jnp.iscomplexobj(x):
+            x = jnp.real(x)
+        total += float(jnp.sum(x.ravel()[:1].astype(jnp.float32)))
+    return total
+
+
+def sync_overhead(reps: int = 5) -> float:
+    """Measured seconds of a null dispatch + value readback — the fixed
+    cost :func:`device_sync` adds to any timed region.  Subtract this
+    from timed dispatches, and size the work so it dominates (~30 ms on
+    the tunnel runtime)."""
+    import jax.numpy as jnp
+
+    one = jax.jit(lambda a: a + 1.0)
+    x = jnp.float32(0.0)
+    float(one(x))                      # compile + drain pending queue
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        float(one(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def named_scope(name: str):
