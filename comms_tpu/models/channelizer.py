@@ -19,6 +19,22 @@ __all__ = ["ChannelizerConfig", "make_block_fn", "make_planar_block_fn",
            "init_state"]
 
 
+def _auto_use_pallas(cfg: "ChannelizerConfig") -> bool:
+    """Production default: the fused Pallas kernel measures 2.2x the
+    XLA path with honest completion-synced timing (10.2 vs 4.6 Gsps,
+    docs/bench_real_r3.json), so on TPU it is the default whenever the
+    kernel's constraints hold; anywhere else (CPU tests, unsupported
+    shapes) fall back to XLA."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    from comms_tpu.kernels import channelizer_pallas as _CP
+
+    T = cfg.num_channels * cfg.taps_per_branch
+    return (128 % cfg.num_channels == 0
+            and cfg.block % _CP.step_samples() == 0
+            and T - 1 <= _CP.CTX_SAMPLES)
+
+
 class ChannelizerConfig:
     def __init__(self, num_channels: int = 64, taps_per_branch: int = 8,
                  block: int = 1 << 18, prototype=None):
@@ -43,16 +59,20 @@ def init_state(cfg: ChannelizerConfig):
     return jnp.zeros((T - 1, 2), dtype=jnp.float32)
 
 
-def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
+def make_block_fn(cfg: ChannelizerConfig, use_pallas=None,
                   interpret: bool = False):
     """jitted ``(state, iq_pairs[N, 2]) -> (y_pairs[frames, K, 2], state)``.
 
     ``use_pallas`` routes through the fused Pallas kernel
-    (``kernels/channelizer_pallas.py``, 1.3-1.4x the XLA path on
-    hardware) — requires K | 128, taps_per_branch <= 16, and
-    block % 16384 == 0.  The carried state stays the same (T-1 input
-    tail as pairs), so the two paths are interchangeable mid-stream.
+    (``kernels/channelizer_pallas.py``, 2.2x the XLA path with
+    completion-synced timing) — requires K | 128, taps_per_branch <= 16,
+    and block % 16384 == 0.  ``None`` (default) auto-selects: the kernel
+    on TPU when those constraints hold, the XLA path otherwise.  The
+    carried state stays the same (T-1 input tail as pairs), so the two
+    paths are interchangeable mid-stream.
     """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas(cfg)
     Hb = cfg.Hb  # numpy closure (real f32; kept host-side for symmetry)
 
     if use_pallas:
@@ -104,7 +124,7 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
     return block
 
 
-def make_planar_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
+def make_planar_block_fn(cfg: ChannelizerConfig, use_pallas=None,
                          interpret: bool = False):
     """Plane-native variant: jitted ``(state, re[N], im[N]) ->
     ((yre[frames, K], yim[frames, K]), state)``.
@@ -114,8 +134,11 @@ def make_planar_block_fn(cfg: ChannelizerConfig, use_pallas: bool = False,
     path: the fused Pallas kernel consumes/produces planes natively,
     so NO relayout traffic exists anywhere in the block.  State stays
     the (T-1, 2) f32 pairs of :func:`init_state` — interchangeable
-    with :func:`make_block_fn` mid-stream.
+    with :func:`make_block_fn` mid-stream.  ``use_pallas=None``
+    auto-selects like :func:`make_block_fn`.
     """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas(cfg)
     Hb = cfg.Hb
     T = cfg.num_channels * cfg.taps_per_branch
 

@@ -67,14 +67,21 @@ def init_state(cfg: BandMonitorConfig):
     )
 
 
-def make_block_fn(cfg: BandMonitorConfig, use_pallas: bool = False,
+def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
                   interpret: bool = False):
     """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``.
 
     ``use_pallas`` routes the channelization stage through the fused
     Pallas kernel (K | 128, taps_per_branch <= 16,
     block % 16384 == 0); the per-channel demod + audio FIR stay XLA.
+    ``None`` (default) auto-selects the kernel on TPU when those
+    constraints hold (2.2x the XLA channelization stage with
+    completion-synced timing), the XLA path otherwise.
     """
+    if use_pallas is None:
+        from comms_tpu.models.channelizer import _auto_use_pallas
+
+        use_pallas = _auto_use_pallas(cfg)
     Hb = cfg.Hb
     audio_C = cfg.audio_C
     if use_pallas:

@@ -352,7 +352,12 @@ def test_fm_receiver_pipeline_run_matches_scan_fn():
     iq = rng.integers(0, 256, size=(3, block, 2), dtype=np.uint8)
     a_ref, _ = scan(fm_receiver.init_state(cfg), jnp.asarray(iq))
     a_pipe, _ = pipe.run(pipe.init_state(), jnp.asarray(iq))
-    np.testing.assert_array_equal(np.asarray(a_pipe), np.asarray(a_ref))
+    # Same program, but the polyphase GEMM inside a lax.scan body can
+    # compile with different blocking than outside one — f32-eps noise,
+    # not a semantic difference (the per-block step test above stays
+    # bit-exact).
+    np.testing.assert_allclose(np.asarray(a_pipe), np.asarray(a_ref),
+                               atol=1e-6, rtol=0)
 
 
 def test_bpsk_tx_pipeline_matches_block_fn():
