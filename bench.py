@@ -236,8 +236,11 @@ def bench_bpsk_tx():
 
     from comms_tpu.models import bpsk_tx
 
+    # Production path: fused bits->packed-i16 planar GEMM
+    # (models/bpsk_tx.make_block_fn_fast; the pair-layout path measured
+    # 0.66 Gsps vs 28 Gsps fused — docs/PERF.md "tx chains").
     cfg = bpsk_tx.BpskTxConfig(syms_per_block=1 << 22)
-    blk = bpsk_tx.make_block_fn(cfg)
+    blk = bpsk_tx.make_block_fn_fast(cfg)
     nb = 4
 
     def make(R):
@@ -255,7 +258,7 @@ def bench_bpsk_tx():
             return acc
         return f
 
-    msps, best, R = _measure_row(make, (bpsk_tx.init_state(cfg),),
+    msps, best, R = _measure_row(make, (bpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
     _row("bpsk_tx_throughput", msps / 1e6)
 
@@ -273,8 +276,11 @@ def bench_qpsk_tx():
 
     from comms_tpu.models import qpsk_tx
 
+    # Production path: fused bits->packed-i16 planar GEMM + planar
+    # mixer (models/qpsk_tx.make_block_fn_fast; pair-layout path
+    # measured 0.29 Gsps vs 10.8 Gsps fused — docs/PERF.md).
     cfg = qpsk_tx.QpskTxConfig(bits_per_block=1 << 23)
-    blk = qpsk_tx.make_block_fn(cfg)
+    blk = qpsk_tx.make_block_fn_fast(cfg)
     nb = 4
 
     def make(R):
@@ -291,7 +297,7 @@ def bench_qpsk_tx():
             return acc
         return f
 
-    msps, best, R = _measure_row(make, (qpsk_tx.init_state(cfg),),
+    msps, best, R = _measure_row(make, (qpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
     _row("qpsk_tx_throughput", msps / 1e6)
 

@@ -22,10 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from comms_tpu.ops import modulation, pulse, random as crandom, taps
+from comms_tpu.ops import modulation, pulse, random as crandom, taps, txshape
 
-__all__ = ["BpskTxConfig", "make_block_fn", "make_pipeline", "init_state",
-           "run_to_file"]
+__all__ = ["BpskTxConfig", "make_block_fn", "make_block_fn_fast",
+           "make_pipeline", "init_state", "init_state_fast", "run_to_file"]
 
 SYMS_PER_BLOCK = 4096
 SPS = 4
@@ -47,10 +47,20 @@ class BpskTxConfig:
         self.scale = float(scale)
         t = taps.rrc_taps(num_taps, float(sps), beta).astype(np.complex64)
         self.phase_taps = pulse.polyphase_taps(t, sps)
+        self._shape_mats = None
 
     @property
     def samples_per_block(self) -> int:
         return self.syms_per_block * self.sps
+
+    @property
+    def shape_mats(self) -> txshape.TxShapeMats:
+        """Fused bits->samples GEMM operands (lazy, host f64->f32)."""
+        if self._shape_mats is None:
+            t = taps.rrc_taps(self.num_taps, float(self.sps), self.beta)
+            self._shape_mats = txshape.tx_shape_matrices(
+                t, self.sps, bits_per_sym=1)
+        return self._shape_mats
 
 
 def init_state(cfg: BpskTxConfig, seed: int = 0):
@@ -95,6 +105,42 @@ def _trunc_i16(x):
     return jnp.clip(t, -32768.0, 32767.0).astype(jnp.int16)
 
 
+def init_state_fast(cfg: BpskTxConfig, seed: int = 0):
+    """State for :func:`make_block_fn_fast`: (prng_key, ctx_bits).
+
+    Initial context bits are 0.5 — the bit value whose symbol map
+    ``2b - 1`` is the zero symbol, so the warmup transient matches the
+    reference's zero FIR state exactly.
+    """
+    key = crandom.source_init(seed)
+    ctx = jnp.full((cfg.shape_mats.ctx_bits,), 0.5, dtype=jnp.float32)
+    return key, ctx
+
+
+def make_block_fn_fast(cfg: BpskTxConfig):
+    """Production tx path: jitted ``state -> (iq_packed_i32[N], state)``.
+
+    The whole chain (PRNG -> map -> upsample -> RRC -> quantize ->
+    interleave) is one planar banded GEMM plus full-lane elementwise
+    ops (:mod:`comms_tpu.ops.txshape`); the packed int32 stream's
+    little-endian bytes are the i16 IQ file format.  Measured ~2
+    orders of magnitude faster than the pair-layout path on v5e; the
+    two differ only by f32 summation order (<=1 i16 LSB) and by PRNG
+    stream (:func:`comms_tpu.ops.random.random_bits_packed_block`).
+    """
+    mats = cfg.shape_mats
+
+    @jax.jit
+    def block(state):
+        key, ctx = state
+        bits, key = crandom.random_bits_packed_block(key, cfg.syms_per_block)
+        yre, yim, ctx, n_valid = txshape.tx_shape_block(bits, ctx, mats)
+        packed = txshape.quantize_pack_iq(yre, yim, cfg.scale, n_valid)
+        return packed, (key, ctx)
+
+    return block
+
+
 def make_pipeline(cfg: Optional[BpskTxConfig] = None, seed: int = 0):
     """The same tx chain on the generic runtime layer (source-headed
     :class:`comms_tpu.runtime.Pipeline` — the reference's bpsk_mod
@@ -125,12 +171,26 @@ def make_pipeline(cfg: Optional[BpskTxConfig] = None, seed: int = 0):
 
 
 def run_to_file(path, num_blocks: int, cfg: Optional[BpskTxConfig] = None,
-                seed: int = 0) -> int:
-    """File-driven entry (bpsk_out.bin parity).  Returns samples written."""
+                seed: int = 0, fast: bool = False) -> int:
+    """File-driven entry (bpsk_out.bin parity).  Returns samples written.
+
+    ``fast=True`` uses :func:`make_block_fn_fast` (packed-i32 device
+    layout, identical file bytes modulo its documented PRNG stream and
+    <=1 LSB rounding difference — see its docstring)."""
     cfg = cfg or BpskTxConfig()
+    written = 0
+    if fast:
+        block = make_block_fn_fast(cfg)
+        state = init_state_fast(cfg, seed)
+        with open(path, "wb") as f:
+            for _ in range(num_blocks):
+                packed, state = block(state)
+                arr = np.ascontiguousarray(np.asarray(packed), dtype="<i4")
+                f.write(arr.tobytes())
+                written += arr.shape[0]
+        return written
     block = make_block_fn(cfg)
     state = init_state(cfg, seed)
-    written = 0
     with open(path, "wb") as f:
         for _ in range(num_blocks):
             iq, state = block(state)

@@ -19,10 +19,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from comms_tpu.ops import mixer, modulation, pulse, random as crandom, taps
+from comms_tpu.ops import (
+    mixer, modulation, pulse, random as crandom, taps, txshape,
+)
 
-__all__ = ["QpskTxConfig", "make_block_fn", "make_pipeline", "init_state",
-           "run_to_file"]
+__all__ = ["QpskTxConfig", "make_block_fn", "make_block_fn_fast",
+           "make_pipeline", "init_state", "init_state_fast", "run_to_file"]
 
 
 class QpskTxConfig:
@@ -41,13 +43,48 @@ class QpskTxConfig:
         self.phase0 = float(phase0)
         t = taps.rrc_taps(num_taps, float(sps), beta).astype(np.complex64)
         self.phase_taps = pulse.polyphase_taps(t, sps)
-        n_out = (bits_per_block // 2) * sps
-        self.ramp, _ = mixer.mixer_ramp(n_out, dphase)
-        self.advance_fix = mixer.advance_fix(n_out, dphase)
+        self._ramp = None
+        self._advance_fix = None
+        self._shape_mats = None
+        self._mix_tables = None
 
     @property
     def samples_per_block(self) -> int:
         return (self.bits_per_block // 2) * self.sps
+
+    @property
+    def ramp(self):
+        """N-sized complex mixer ramp for the pair-layout path (lazy —
+        it is an O(N) host constant the fused path never needs)."""
+        if self._ramp is None:
+            self._ramp, _ = mixer.mixer_ramp(self.samples_per_block,
+                                             self.dphase)
+        return self._ramp
+
+    @property
+    def advance_fix(self):
+        if self._advance_fix is None:
+            self._advance_fix = mixer.advance_fix(self.samples_per_block,
+                                                  self.dphase)
+        return self._advance_fix
+
+    @property
+    def shape_mats(self) -> txshape.TxShapeMats:
+        """Fused bits->samples GEMM operands (lazy, host f64->f32)."""
+        if self._shape_mats is None:
+            t = taps.rrc_taps(self.num_taps, float(self.sps), self.beta)
+            self._shape_mats = txshape.tx_shape_matrices(
+                t, self.sps, bits_per_sym=2)
+        return self._shape_mats
+
+    @property
+    def mix_tables(self) -> txshape.MixerTables:
+        """Planar mixer angle tables (lazy; O(N/128) host floats)."""
+        if self._mix_tables is None:
+            self._mix_tables = txshape.mixer_tables(
+                self.samples_per_block, self.dphase,
+                self.shape_mats.samples_per_row)
+        return self._mix_tables
 
 
 def init_state(cfg: QpskTxConfig, seed: int = 0):
@@ -83,6 +120,46 @@ def make_block_fn(cfg: QpskTxConfig):
     return block
 
 
+def init_state_fast(cfg: QpskTxConfig, seed: int = 0):
+    """State for :func:`make_block_fn_fast`: (key, ctx_bits, phase_fix).
+
+    Initial context bits are 0.5 — the bit value whose symbol map
+    ``2b - 1`` is the zero symbol, matching the reference's zero FIR
+    state."""
+    key = crandom.source_init(seed)
+    ctx = jnp.full((cfg.shape_mats.ctx_bits,), 0.5, dtype=jnp.float32)
+    return key, ctx, mixer.phase_fix_init(cfg.phase0)
+
+
+def make_block_fn_fast(cfg: QpskTxConfig):
+    """Production tx path: jitted ``state -> (iq_packed_i32[N], state)``.
+
+    PRNG -> QPSK map -> upsample -> RRC -> mixer -> quantize ->
+    interleave as one planar banded GEMM + full-lane VPU epilogue
+    (:mod:`comms_tpu.ops.txshape`).  The stride-2 re/im bit
+    deinterleave of the symbol map and the [N, 2] i16 relayout — the
+    two measured lane-collapse stages of the pair-layout path — do
+    not exist here; the mixer uses host angle tables instead of an
+    N-sized complex ramp constant.  Differs from
+    :func:`make_block_fn` only by f32 summation order (<=1 i16 LSB)
+    and PRNG stream (packed threefry words).
+    """
+    mats = cfg.shape_mats
+    tables = cfg.mix_tables
+
+    @jax.jit
+    def block(state):
+        key, ctx, pfix = state
+        bits, key = crandom.random_bits_packed_block(key,
+                                                     cfg.bits_per_block)
+        yre, yim, ctx, n_valid = txshape.tx_shape_block(bits, ctx, mats)
+        yre, yim, pfix = txshape.mix_planar(yre, yim, pfix, tables)
+        packed = txshape.quantize_pack_iq(yre, yim, cfg.scale, n_valid)
+        return packed, (key, ctx, pfix)
+
+    return block
+
+
 def make_pipeline(cfg: Optional[QpskTxConfig] = None, seed: int = 0):
     """The same tx chain on the generic runtime layer (source-headed
     Pipeline: bits -> QPSK -> pulse shape -> mixer -> i16 quantize).
@@ -112,11 +189,21 @@ def make_pipeline(cfg: Optional[QpskTxConfig] = None, seed: int = 0):
 
 
 def run_to_file(path, num_blocks: int, cfg: Optional[QpskTxConfig] = None,
-                seed: int = 0) -> int:
+                seed: int = 0, fast: bool = False) -> int:
     cfg = cfg or QpskTxConfig()
+    written = 0
+    if fast:
+        block = make_block_fn_fast(cfg)
+        state = init_state_fast(cfg, seed)
+        with open(path, "wb") as f:
+            for _ in range(num_blocks):
+                packed, state = block(state)
+                arr = np.ascontiguousarray(np.asarray(packed), dtype="<i4")
+                f.write(arr.tobytes())
+                written += arr.shape[0]
+        return written
     block = make_block_fn(cfg)
     state = init_state(cfg, seed)
-    written = 0
     with open(path, "wb") as f:
         for _ in range(num_blocks):
             iq, state = block(state)

@@ -43,6 +43,15 @@ def test_qpsk_tx_boundary():
            "qpsk_tx")
 
 
+def test_tx_fast_boundaries():
+    cfg = bpsk_tx.BpskTxConfig(syms_per_block=128)
+    _check(bpsk_tx.make_block_fn_fast(cfg),
+           (bpsk_tx.init_state_fast(cfg),), "bpsk_tx.fast")
+    qcfg = qpsk_tx.QpskTxConfig(bits_per_block=256, dphase=0.5)
+    _check(qpsk_tx.make_block_fn_fast(qcfg),
+           (qpsk_tx.init_state_fast(qcfg),), "qpsk_tx.fast")
+
+
 def test_fm_receiver_boundary():
     cfg = fm_receiver.FmReceiverConfig(block=1000)
     iq = jnp.zeros((1000, 2), jnp.uint8)
