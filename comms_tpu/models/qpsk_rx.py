@@ -42,17 +42,38 @@ class QpskRxConfig:
         self.timing_d = int(timing_d)
         t = taps.rrc_taps(num_taps, float(sps), beta)
         # Unit-energy matched filter so decisions are scale-free.
+        # Real taps: fir_block runs two real GEMMs on the re/im planes
+        # instead of a zero-imag complex GEMM.
         t = t / np.sqrt(np.sum(np.abs(t) ** 2))
-        self.mf = fir.banded_tap_matrix(t.astype(np.complex64))
+        self.mf = fir.banded_tap_matrix(np.real(t).astype(np.float32))
         self.timing = demodulation.TimingEstimator(
             n=self.sps, d=self.timing_d, alpha=self.beta)
+        # One-hot banded matrices for the cubic-Lagrange interpolator:
+        # the traced 4-tap filter becomes sum_j lag[j] * E_j, one
+        # device scalar-matrix product per tap, then ONE banded GEMM
+        # replaces 3 full-rate rolls + weighted sum.
+        eye4 = np.eye(4, dtype=np.float32)
+        self.lag_bands = np.stack(
+            [fir.banded_tap_matrix(eye4[j]) for j in range(4)])
 
 
 def make_rx_fn(cfg: QpskRxConfig):
-    """Returns ``rx(iq_pairs_f32[N, 2]) -> (sym_pairs_f32[M, 2],
-    diag)``: synchronized symbols as re/im pairs (complex cannot cross
-    the axon jit boundary, runtime/boundary.py) plus a diagnostics
-    dict of the estimates.  N should be a multiple of sps."""
+    """Returns ``rx(iq_pairs_f32[N, 2]) -> (sym_planes_f32[2, M],
+    diag)``: synchronized symbols as re/im PLANES (row 0 = re, row 1 =
+    im — the planar layout is ~free on device, unlike an [M, 2]
+    interleave which is a 2/128-lane relayout; complex cannot cross
+    the axon jit boundary either, runtime/boundary.py) plus a
+    diagnostics dict of the estimates.  N should be a multiple of sps.
+
+    TPU formulation notes (each measured on v5e, docs/PERF.md):
+    derotations by the traced estimates use
+    :func:`comms_tpu.ops.mixer.derotate_traced` (transcendentals on
+    N/128-sized vectors, not N); the traced-coefficient Lagrange
+    interpolator is ONE banded GEMM (device-combined one-hot bands)
+    instead of 3 full-rate rolls; the symbol pick at the max-energy
+    phase folds into the existing integer roll and a strided
+    decimating GEMM instead of a traced gather.
+    """
 
     def rx(iq_pairs):
         x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
@@ -62,10 +83,9 @@ def make_rx_fn(cfg: QpskRxConfig):
         # tolerance is 0.01 rad/sample — a fine stage follows at
         # symbol rate).
         f_est = demodulation.frequency_offset_estimate(x)
-        k = jnp.arange(n, dtype=jnp.float32)
-        x = x * jnp.exp(-1j * f_est * k)
+        x = mixer.derotate_traced(x, f_est)
 
-        # --- matched filter.
+        # --- matched filter (real-tap planar GEMM).
         y, _ = fir.fir_block(x, cfg.mf, fir.init_ctx(cfg.num_taps))
 
         # --- timing (Mengali 8.4): estimate ~ -(sampling delay);
@@ -82,60 +102,98 @@ def make_rx_fn(cfg: QpskRxConfig):
         den = jnp.prod(
             jnp.where(jnp.eye(4, dtype=bool),
                       1.0, pts[:, None] - pts[None, :]), axis=1)
-        lag = (num / den).astype(jnp.complex64)
-        yd = (lag[0] * y
-              + lag[1] * jnp.roll(y, 1)
-              + lag[2] * jnp.roll(y, 2)
-              + lag[3] * jnp.roll(y, 3))
+        lag = num / den                       # [4] traced f32
+        # Lagrange as one banded GEMM: B = sum_j lag[j] * E_j.  With
+        # zero context the first 3 outputs differ from the circular
+        # rolls; both are contaminated and masked below.
+        B_lag = jnp.tensordot(lag, jnp.asarray(cfg.lag_bands), axes=1)
+        yd, _ = fir.fir_block(y, B_lag, jnp.zeros((3,), y.dtype))
+
+        # --- symbol phase: pick the max-energy phase.  Computed on
+        # the unrolled yd (edge contamination is O(taps) of O(N)
+        # samples), then mapped through the roll so it matches the
+        # post-roll column argmax exactly.
+        e4 = jnp.sum(
+            (jnp.real(yd) ** 2 + jnp.imag(yd) ** 2)[
+                : (n // cfg.sps) * cfg.sps].reshape(-1, cfg.sps), axis=0)
         shift = d_int + 1  # +1: interpolator basepoint
-        yd = jnp.roll(yd, shift)
+        p_star = jnp.mod(jnp.argmax(e4).astype(jnp.int32) + shift,
+                         cfg.sps)
+
+        # Fold the integer timing shift AND the phase pick into one
+        # roll: roll(yd, shift - p_star)[sps*m] == roll(yd, shift)
+        # [sps*m + p_star].
+        shift2 = shift - p_star
+        yd = jnp.roll(yd, shift2)
         # roll is circular: a positive shift wraps tail samples to the
         # block head, a negative one wraps head samples (already
-        # Lagrange-contaminated by the roll(y, 1..3) above) to the
-        # tail — zero BOTH contaminated ends so they cannot masquerade
-        # as valid symbols (callers should skip the first few symbols
-        # either way; see module docstring).
-        lo = 3 + jnp.maximum(shift, 0)
-        hi = yd.shape[0] + jnp.minimum(shift, 0)
-        idx = jnp.arange(yd.shape[0])
+        # Lagrange-contaminated above) to the tail — zero BOTH
+        # contaminated ends so they cannot masquerade as valid symbols
+        # (callers should skip the first few symbols either way).
+        lo = 3 + jnp.maximum(shift2, 0)
+        hi = n + jnp.minimum(shift2, 0)
+        idx = jnp.arange(n)
         yd = jnp.where((idx < lo) | (idx >= hi), 0.0 + 0.0j, yd)
 
-        # --- symbol downsample: pick the max-energy phase (static
-        # shape; traced index).
-        frames = yd[: (yd.shape[0] // cfg.sps) * cfg.sps].reshape(
-            -1, cfg.sps)
-        energy = jnp.sum(jnp.abs(frames) ** 2, axis=0)
-        p_star = jnp.argmax(energy)
-        sym = jnp.take(frames, p_star, axis=1)
+        # --- symbol downsample at static offset 0: a strided
+        # decimating GEMM (keeps only every sps-th sample via a
+        # host-static one-hot band — no traced gather, no [M, sps]
+        # column extraction).
+        sym = _decimate_static(yd, cfg.sps)
 
         # --- fine carrier frequency at symbol rate: 4th power removes
         # the QPSK modulation from the lag-1 product.
         lag1 = (sym[1:] * jnp.conj(sym[:-1])) ** 4
         w_fine = jnp.angle(jnp.sum(lag1)) / 4.0
-        m = jnp.arange(sym.shape[0], dtype=jnp.float32)
-        sym = sym * jnp.exp(-1j * w_fine * m)
+        sym = mixer.derotate_traced(sym, w_fine)
 
         # --- carrier phase (Mengali 5.7.4, M=4).  The estimator
         # aligns s^4 to the real axis, leaving the constellation on
         # the axes; rotate a further pi/4 back onto +-1+-1j.
         p_est = demodulation.psk_phase_estimate(sym, 4)
-        sym = sym * jnp.exp(1j * (jnp.pi / 4 - p_est))
+        sym = sym * jnp.exp(1j * (jnp.pi / 4 - p_est))  # scalar phasor
 
         diag = {"freq": f_est, "timing": t_est, "freq_fine": w_fine,
                 "phase": p_est, "sym_phase": p_star}
-        sym_pairs = jnp.stack([jnp.real(sym), jnp.imag(sym)], axis=-1)
-        return sym_pairs, diag
+        sym_planes = jnp.stack([jnp.real(sym), jnp.imag(sym)], axis=0)
+        return sym_planes, diag
 
     return jax.jit(rx)
+
+
+def _decimate_static(yd, sps: int):
+    """Keep every ``sps``-th sample (offset 0) via the strided banded
+    GEMM (:func:`comms_tpu.ops.fir.fir_decimate_poly` with a unit
+    tap): 128 kept samples per MXU row, no gather, no [M, sps] column
+    relayout.
+
+    ``y[m] = sum_t flat[t] * x[m*D - t]`` with ``flat = [1, 0, ...]``
+    picks ``x[m*D]``; ``decimating_branch_taps`` layout puts that unit
+    at ``C[0, D-1]``."""
+    n = yd.shape[0]
+    keep = (n // sps) * sps
+    C = np.zeros((1, sps), np.float32)
+    C[0, sps - 1] = 1.0
+    sym, _ = fir.fir_decimate_poly(yd[:keep], C,
+                                   jnp.zeros((sps - 1,), yd.dtype))
+    return sym
+
+
+def _as_complex(symbols) -> np.ndarray:
+    """Accept complex [M], planar [2, M] (rx output), or pairs [M, 2]."""
+    s = np.asarray(symbols)
+    if s.ndim == 2 and s.shape[0] == 2 and s.shape[1] != 2:
+        return s[0] + 1j * s[1]
+    if s.ndim == 2 and s.shape[-1] == 2:
+        return s[:, 0] + 1j * s[:, 1]
+    return s
 
 
 def decide_bits(symbols) -> np.ndarray:
     """Hard decisions back to the tx bit convention
     (single_thread_qpsk.rs:29-36: re = 2*b0 - 1, im = 2*b1 - 1).
-    Accepts complex [M] or re/im pairs [M, 2]."""
-    s = np.asarray(symbols)
-    if s.ndim == 2 and s.shape[-1] == 2:
-        s = s[:, 0] + 1j * s[:, 1]
+    Accepts complex [M], planar [2, M], or re/im pairs [M, 2]."""
+    s = _as_complex(symbols)
     b0 = (s.real > 0).astype(np.uint8)
     b1 = (s.imag > 0).astype(np.uint8)
     out = np.empty(2 * len(s), dtype=np.uint8)
@@ -153,9 +211,7 @@ def resolve_ambiguity(symbols, reference_bits, search: int = 1024,
     A real system resolves this with pilots/differential coding; the
     loopback tests use the transmitted bits."""
     best = None
-    s = np.asarray(symbols)
-    if s.ndim == 2 and s.shape[-1] == 2:
-        s = s[:, 0] + 1j * s[:, 1]
+    s = _as_complex(symbols)
     for rot in range(4):
         cand = decide_bits(s * np.exp(1j * np.pi / 2 * rot))
         for lag in range(0, max_lag + 1):

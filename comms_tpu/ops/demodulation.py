@@ -135,7 +135,9 @@ class TimingEstimator:
         self.d = int(d)
         self.alpha = float(alpha)
         q = _taps.qfilt_taps(2 * self.n * self.d + 1, alpha, self.n)
-        self.qfilt = q.astype(np.complex128)
+        # q(t) is real (math.rs:307-342); real taps let fir_block run
+        # two real GEMMs on the re/im planes instead of a complex one.
+        self.qfilt = np.real(q).astype(np.float64)
         self._ramps: dict[int, np.ndarray] = {}
 
     def _ramp(self, length: int) -> np.ndarray:
@@ -146,13 +148,28 @@ class TimingEstimator:
             self._ramps[length] = r
         return r
 
+    def _mixed(self, x):
+        """``(conj(x)*r, x*r)`` for ``r = exp(-j*pi*k/N)``.
+
+        r is periodic with period 2N; when the period divides the
+        128-lane tile and the block length, the ramp is a [128]
+        broadcast against the reshaped signal instead of an N-sized
+        complex constant (8 B/sample of pure HBM read)."""
+        L = int(x.shape[0])
+        per = 2 * self.n
+        if L % 128 == 0 and 128 % per == 0:
+            r128 = np.tile(self._ramp(per), 128 // per)
+            r = jnp.asarray(r128.astype(x.dtype))[None, :]
+            X2 = x.reshape(-1, 128)
+            return (jnp.conj(X2) * r).reshape(L), (X2 * r).reshape(L)
+        r = jnp.asarray(self._ramp(L), dtype=x.dtype)
+        return jnp.conj(x) * r, x * r
+
     def estimate(self, samples):
         """Timing estimate in samples for one block (push semantics)."""
         x = jnp.asarray(samples)
-        r = jnp.asarray(self._ramp(int(x.shape[0])), dtype=x.dtype)
-        qin = jnp.conj(x) * r
-        din = x * r
-        qout = _fir.fir_apply(qin, self.qfilt.astype(np.complex64)
+        qin, din = self._mixed(x)
+        qout = _fir.fir_apply(qin, self.qfilt.astype(np.float32)
                               if x.dtype == jnp.complex64 else self.qfilt)
         nd = self.n * self.d
         # Delay filter = [0]*ND + [1]: pure ND-sample causal delay.

@@ -142,11 +142,24 @@ def fir_block(x, taps, ctx, phases: int = _DEFAULT_PHASES,
     last_off = P * ((width - 1) // P)
     pad = last_off + R * P - xext.shape[0]
     xpad = jnp.pad(xext, (0, max(pad, 0)))
-    W = _window_rows(xpad, R, P, T)  # [R, T+P-1]
-    Y = jnp.dot(
-        W.astype(out_dtype), B.astype(out_dtype),
-        preferred_element_type=out_dtype, precision=precision,
-    )  # [R, P]
+    if jnp.iscomplexobj(x) and not jnp.iscomplexobj(B):
+        # Real taps on complex data: two real GEMMs on the re/im
+        # planes (B is shared) instead of a complex GEMM with a zero
+        # imaginary operand — half the MXU passes.
+        Wr = _window_rows(jnp.real(xpad), R, P, T)
+        Wi = _window_rows(jnp.imag(xpad), R, P, T)
+        Br = B.astype(Wr.dtype)
+        Y = lax.complex(
+            jnp.dot(Wr, Br, preferred_element_type=Wr.dtype,
+                    precision=precision),
+            jnp.dot(Wi, Br, preferred_element_type=Wr.dtype,
+                    precision=precision))
+    else:
+        W = _window_rows(xpad, R, P, T)  # [R, T+P-1]
+        Y = jnp.dot(
+            W.astype(out_dtype), B.astype(out_dtype),
+            preferred_element_type=out_dtype, precision=precision,
+        )  # [R, P]
     y = Y.reshape(R * P)[:N]
     return y, new_ctx
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "add_fix",
     "phase_fix_to_angle",
     "mixer_block_fix",
+    "derotate_traced",
 ]
 
 _TWO_PI = 2.0 * np.pi
@@ -140,6 +142,37 @@ def mixer_block_fix(x, pfix, ramp, adv_fix):
     phasor = jnp.exp(1j * phi0).astype(x.dtype)
     y = x * (phasor * jnp.asarray(ramp))
     return y, add_fix(pfix, adv_fix)
+
+
+def derotate_traced(x, freq, phase0=0.0):
+    """``y[k] = x[k] * exp(-j*(phase0 + freq*k))`` for a TRACED
+    frequency (estimator output — host precompute impossible).
+
+    Instead of a transcendental pair per sample, cos/sin are computed
+    on two small vectors (row angle ``freq*128*r`` for r < ceil(N/128)
+    and column angle ``freq*s`` for s < 128) and combined on the [R,
+    128] planes by the angle-addition identity — N/64-ish
+    transcendentals plus a few full-lane multiplies.  f32 angle
+    precision matches the naive ``exp(-1j*freq*k)`` formulation (both
+    compute freq*k at f32 ulp of the full product).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    R = -(-n // 128)
+    pad = R * 128 - n
+    freq = jnp.asarray(freq, jnp.float32)
+    a = freq * jnp.float32(128.0) * jnp.arange(R, dtype=jnp.float32) \
+        + jnp.float32(phase0)
+    b = freq * jnp.arange(128, dtype=jnp.float32)
+    ca, sa = jnp.cos(a)[:, None], jnp.sin(a)[:, None]
+    cb, sb = jnp.cos(b)[None, :], jnp.sin(b)[None, :]
+    c = ca * cb - sa * sb               # cos(phase0 + freq*k)
+    s = sa * cb + ca * sb               # sin(phase0 + freq*k)
+    xr = jnp.pad(jnp.real(x), (0, pad)).reshape(R, 128)
+    xi = jnp.pad(jnp.imag(x), (0, pad)).reshape(R, 128)
+    yr = xr * c + xi * s                # x * (c - j*s)
+    yi = xi * c - xr * s
+    return jax.lax.complex(yr.reshape(-1)[:n], yi.reshape(-1)[:n])
 
 
 def nco_block(perr, phase, dphase: float):
