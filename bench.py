@@ -22,8 +22,16 @@ measured ENQUEUE RATE, not compute, inflated ~1000x, and all
   barrier (``runtime/metrics.device_sync`` documents this);
 * each dispatch runs R passes over device-resident input inside an
   outer ``lax.scan`` with carried state + checksum (the data
-  dependency defeats loop-invariant hoisting for stateless ops we
+  dependency defeats loop-invariant hoisting; for stateless ops we
   perturb the input by ``acc * 1e-30`` per pass);
+* operands are passed WHOLE — never sliced by a ``lax.scan`` over a
+  block axis.  XLA materializes each sliced custom-call/graph operand
+  with a copy that runs at ~100 GB/s for u8 (measured: 2.1 us per
+  102,400-sample u8 block — 38% of the fused FM kernel's runtime was
+  this harness artifact, not kernel time).  Streaming state instead
+  chains across the R reps (each rep = one big block of the stream),
+  which is exactly how the serving path dispatches: one ingest buffer
+  per dispatch, no slicing;
 * R is auto-calibrated so device time is ~10x the measured ~30 ms
   sync round-trip, which is also subtracted;
 * rooflines are SLOPE-measured in the same run (marginal seconds per
@@ -311,26 +319,22 @@ def bench_qpsk_rx():
 
     cfg = qpsk_rx.QpskRxConfig()
     rx = qpsk_rx.make_rx_fn(cfg)
-    n = 1 << 22
-    nb = 8
-    pairs = _device_pairs((nb, n, 2), seed=10)
+    n = 1 << 25                       # one whole 33.5M-sample capture
+    pairs = _device_pairs((n, 2), seed=10)
 
     def make(R):
         @jax.jit
-        def f(blocks):
+        def f(block):
             def rep(acc, _):
-                def body(c, xb):
-                    # acc-dependent perturbation: defeats hoisting of
-                    # this stateless body out of the rep loop
-                    sym, _aux = rx(xb + c * jnp.float32(1e-30))
-                    return c, _cks(sym)
-                _, cs = lax.scan(body, acc, blocks)
-                return acc + jnp.sum(cs), None
+                # acc-dependent perturbation: defeats hoisting of this
+                # stateless body out of the rep loop
+                sym, _aux = rx(block + acc * jnp.float32(1e-30))
+                return acc + _cks(sym), None
             acc, _ = lax.scan(rep, _f32(0), None, length=R)
             return acc
         return f
 
-    msps, best, R = _measure_row(make, (pairs,), nb * n)
+    msps, best, R = _measure_row(make, (pairs,), n)
     _row("qpsk_rx_throughput", msps / 1e6)
 
 
@@ -344,24 +348,20 @@ def bench_channelizer_pair():
     from comms_tpu.kernels import channelizer_pallas as CP
     from comms_tpu.models import channelizer
 
-    nb = 4
-    block = CP.step_samples() * 256          # 4,194,304 per element
-    per_pass = nb * block
+    block = CP.step_samples() * 1024         # one 16.8M-sample block
+    per_pass = block
     cfg = channelizer.ChannelizerConfig(block=block)
-    res = _device_pairs((nb, block), seed=11)
-    ims = _device_pairs((nb, block), seed=18)
+    res = _device_pairs((block,), seed=11)
+    ims = _device_pairs((block,), seed=18)
 
     def make_maker(blk):
         def make(R):
             @jax.jit
             def f(state, res, ims):
                 def rep(carry, _):
-                    st, acc = carry
-                    def body(c, x):
-                        y, c = blk(c, x[0], x[1])
-                        return c, _cks(y)
-                    st, cs = lax.scan(body, st, (res, ims))
-                    return (st, acc + jnp.sum(cs)), None
+                    st, acc = carry      # state chained: rep = next block
+                    y, st = blk(st, res, ims)
+                    return (st, acc + _cks(y)), None
                 (st, acc), _ = lax.scan(rep, (state, _f32(0)), None,
                                         length=R)
                 return acc
@@ -388,27 +388,23 @@ def bench_band_monitor():
 
     from comms_tpu.models import fm_band_monitor
 
-    cfg = fm_band_monitor.BandMonitorConfig(block=1 << 22)
+    cfg = fm_band_monitor.BandMonitorConfig(block=1 << 24)
     blk = fm_band_monitor.make_block_fn(cfg)
-    nb = 4
-    pairs = _device_pairs((nb, cfg.block, 2), seed=12)
+    pairs = _device_pairs((cfg.block, 2), seed=12)
 
     def make(R):
         @jax.jit
-        def f(state, blocks):
+        def f(state, block):
             def rep(carry, _):
-                st, acc = carry
-                def body(c, xb):
-                    y, c = blk(c, xb)
-                    return c, _cks(y)
-                st, cs = lax.scan(body, st, blocks)
-                return (st, acc + jnp.sum(cs)), None
+                st, acc = carry          # state chained: rep = next block
+                y, st = blk(st, block)
+                return (st, acc + _cks(y)), None
             (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
             return acc
         return f
 
     msps, best, R = _measure_row(
-        make, (fm_band_monitor.init_state(cfg), pairs), nb * cfg.block)
+        make, (fm_band_monitor.init_state(cfg), pairs), cfg.block)
     _row("fm_band_monitor_throughput", msps / 1e6)
 
 
@@ -458,26 +454,23 @@ def bench_kernels():
     from comms_tpu.kernels import fir_pallas as FP
 
     B = fir.banded_tap_matrix(taps63)
-    nbf, nf = 4, 1 << 22
-    per_pass = nbf * nf
-    fres = _device_pairs((nbf, nf), seed=20)
-    fims = _device_pairs((nbf, nf), seed=21)
+    nf = 1 << 24                       # one whole 16.8M-sample block
+    per_pass = nf
+    fres = _device_pairs((nf,), seed=20)
+    fims = _device_pairs((nf,), seed=21)
 
     def make_fir(use_pallas):
         def make(R):
             @jax.jit
             def f(res, ims):
+                z = jax.lax.complex(res, ims)
                 def rep(carry, _):
-                    ctx, acc = carry
-                    def body(c, x):
-                        z = jax.lax.complex(x[0], x[1])
-                        if use_pallas:
-                            y, c = FP.fir_block_pallas(z, taps63, c)
-                        else:
-                            y, c = fir.fir_block(z, B, c)
-                        return c, _cks(y)
-                    ctx, cs = lax.scan(body, ctx, (res, ims))
-                    return (ctx, acc + jnp.sum(cs)), None
+                    ctx, acc = carry     # ctx chained: rep = next block
+                    if use_pallas:
+                        y, ctx = FP.fir_block_pallas(z, taps63, ctx)
+                    else:
+                        y, ctx = fir.fir_block(z, B, ctx)
+                    return (ctx, acc + _cks(y)), None
                 (ctx, acc), _ = lax.scan(
                     rep, (fir.init_ctx(63), _f32(0)), None, length=R)
                 return acc
@@ -499,11 +492,10 @@ def bench_kernels():
     from comms_tpu.kernels import poly_fir_pallas as PP
     from comms_tpu.models.fm_receiver import FM_LPF_TAPS
 
-    npal = PP.step_samples(5) * 128          # 5,242,880 per element
-    nb = 4
-    per_pass = nb * npal
-    res = _device_pairs((nb, npal), seed=14)
-    ims = _device_pairs((nb, npal), seed=19)
+    npal = PP.step_samples(5) * 512          # one whole 21M-sample block
+    per_pass = npal
+    res = _device_pairs((npal,), seed=14)
+    ims = _device_pairs((npal,), seed=19)
     C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
     def make_poly(use_pallas):
@@ -517,19 +509,15 @@ def bench_kernels():
                     c0 = jnp.zeros(C.size - 1, jnp.complex64)
 
                 def rep(carry, _):
-                    ctx, acc = carry
-                    def body(c, x):
-                        r, i = x
-                        if use_pallas:
-                            cr, ci = c
-                            yr, yi, cr, ci = PP.poly_fir_pallas_planar(
-                                r, i, FM_LPF_TAPS, cr, ci, 5)
-                            return (cr, ci), _cks((yr, yi))
-                        y, c = fir.fir_decimate_poly(
-                            jax.lax.complex(r, i), C, c)
-                        return c, _cks(y)
-                    ctx, cs = lax.scan(body, ctx, (res, ims))
-                    return (ctx, acc + jnp.sum(cs)), None
+                    ctx, acc = carry     # ctx chained: rep = next block
+                    if use_pallas:
+                        cr, ci = ctx
+                        yr, yi, cr, ci = PP.poly_fir_pallas_planar(
+                            res, ims, FM_LPF_TAPS, cr, ci, 5)
+                        return ((cr, ci), acc + _cks((yr, yi))), None
+                    y, ctx = fir.fir_decimate_poly(
+                        jax.lax.complex(res, ims), C, ctx)
+                    return (ctx, acc + _cks(y)), None
                 (ctx, acc), _ = lax.scan(rep, (c0, _f32(0)), None,
                                          length=R)
                 return acc
@@ -551,22 +539,19 @@ def bench_kernels():
     # matmul FFT (ops.fft.fft_four_step).
     from comms_tpu.ops import fft as cfft
 
-    nbq, rows = 2, 1 << 13
-    per_pass = nbq * rows * 1024
-    qres = _device_pairs((nbq, rows, 1024), seed=22)
-    qims = _device_pairs((nbq, rows, 1024), seed=23)
+    rows = 1 << 14
+    per_pass = rows * 1024            # one whole 16.8M-sample batch
+    qres = _device_pairs((rows, 1024), seed=22)
+    qims = _device_pairs((rows, 1024), seed=23)
 
     def make_fft(fft_fn):
         def make(R):
             @jax.jit
             def f(res, ims):
                 def rep(acc, _):
-                    def body(c, x):
-                        z = fft_fn(jax.lax.complex(
-                            x[0] + c * jnp.float32(1e-30), x[1]))
-                        return c, _cks(z)
-                    _, cs = lax.scan(body, acc, (res, ims))
-                    return acc + jnp.sum(cs), None
+                    z = fft_fn(jax.lax.complex(
+                        res + acc * jnp.float32(1e-30), ims))
+                    return acc + _cks(z), None
                 acc, _ = lax.scan(rep, _f32(0), None, length=R)
                 return acc
             return f
@@ -590,9 +575,8 @@ def bench_fm_receiver():
 
     from comms_tpu.models import fm_receiver
 
-    cfg = fm_receiver.FmReceiverConfig(block=6553600)
-    nb = 4
-    per_pass = nb * cfg.block
+    cfg = fm_receiver.FmReceiverConfig(block=26214400)
+    per_pass = cfg.block
     # chain HBM floor: u8 pairs in (2 B/sample) + f32 audio out
     # (4/25 B/sample); intermediates fused/in-VMEM.
     bytes_pp = int(per_pass * (2 + 4 / 25))
@@ -606,9 +590,12 @@ def bench_fm_receiver():
     #    make_fused_block_fn (single Pallas kernel, planar u8 planes
     #    in, audio out, per-block context RECOMPUTED from the raw
     #    tail) with state chained block-to-block, as run_file serves.
-    iq = _device_u8((nb, cfg.block, 2), seed=15)
-    re8 = _device_u8((nb, cfg.block), seed=16)
-    im8 = _device_u8((nb, cfg.block), seed=17)
+    # State chains across the rep scan (rep = next stream block);
+    # operands are whole blocks, never scan-sliced (see module
+    # docstring: sliced u8 operands cost 2.1 us/102,400 samples).
+    iq = _device_u8((cfg.block, 2), seed=15)
+    re8 = _device_u8((cfg.block,), seed=16)
+    im8 = _device_u8((cfg.block,), seed=17)
 
     blk = fm_receiver.make_block_fn(cfg)
     pipe = fm_receiver.make_pipeline(cfg)
@@ -619,11 +606,8 @@ def bench_fm_receiver():
         def f(state, iq):
             def rep(carry, _):
                 st, acc = carry
-                def body(c, xb):
-                    y, c = blk(c, xb)
-                    return c, _cks(y)
-                st, cs = lax.scan(body, st, iq)
-                return (st, acc + jnp.sum(cs)), None
+                y, st = blk(st, iq)
+                return (st, acc + _cks(y)), None
             (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
             return acc
         return f
@@ -633,7 +617,7 @@ def bench_fm_receiver():
         def f(state, iq):
             def rep(carry, _):
                 st, acc = carry
-                ys, st = pipe.run(st, iq)
+                ys, st = pipe.step(st, iq)
                 return (st, acc + _cks(ys)), None
             (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
             return acc
@@ -644,11 +628,8 @@ def bench_fm_receiver():
         def f(state, re8, im8):
             def rep(carry, _):
                 st, acc = carry
-                def body(c, x):
-                    y, c = fblk(c, x[0], x[1])
-                    return c, _cks(y)
-                st, cs = lax.scan(body, st, (re8, im8))
-                return (st, acc + jnp.sum(cs)), None
+                y, st = fblk(st, re8, im8)
+                return (st, acc + _cks(y)), None
             (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
             return acc
         return f

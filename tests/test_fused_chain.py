@@ -19,6 +19,22 @@ def _oracle(iq, block):
     return np.asarray(audio)
 
 
+def test_quantize_taps_exact_byte_split():
+    # The 3-byte s8 split must reconstruct round(h*S) EXACTLY, and the
+    # quantization error per tap must stay under 0.5/S.
+    taps = np.asarray(fm_receiver.FM_LPF_TAPS, np.float64)
+    ba, bb, bc, S = K.quantize_taps(taps)
+    for m in (ba, bb, bc):
+        assert m.dtype == np.int8 and m.shape == (768, 128)
+    B = (ba.astype(np.int64) * 65536 + bb.astype(np.int64) * 256
+         + bc.astype(np.int64))
+    Bref = K._band(np.round(taps * S), 5).astype(np.int64)
+    assert np.array_equal(B, Bref)
+    # reconstructed taps within the rounding bound of the f64 band
+    err = np.abs(B / S - K._band(taps, 5))
+    assert err.max() <= 0.5 / S + 1e-12
+
+
 def test_fused_chain_parity_interpret():
     N = K.IN_PER_STEP * 2
     rng = np.random.default_rng(0)
