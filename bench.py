@@ -369,8 +369,10 @@ def bench_channelizer_pair():
         return make
 
     s0 = channelizer.init_state(cfg)
+    # use_pallas=False: the default (None) auto-picks the Pallas
+    # kernel here, which would make both rows measure the same path.
     msps_x, best_x, R_x = _measure_row(
-        make_maker(channelizer.make_planar_block_fn(cfg)),
+        make_maker(channelizer.make_planar_block_fn(cfg, use_pallas=False)),
         (s0, res, ims), per_pass)
     msps_p, best_p, R_p = _measure_row(
         make_maker(channelizer.make_planar_block_fn(cfg, use_pallas=True)),
