@@ -20,10 +20,13 @@ measured ENQUEUE RATE, not compute, inflated ~1000x, and all
 * every timed function returns an f32 SCALAR checksum whose value
   depends on all outputs; ``float(...)`` readback is the completion
   barrier (``runtime/metrics.device_sync`` documents this);
-* each dispatch runs R passes over device-resident input inside an
-  outer ``lax.scan`` with carried state + checksum (the data
+* each dispatch runs R passes over device-resident input inside a
+  ``lax.fori_loop`` with carried state + checksum (the data
   dependency defeats loop-invariant hoisting; for stateless ops we
-  perturb the input by ``acc * 1e-30`` per pass);
+  perturb the input by ``acc * 1e-30`` per pass).  R is a TRACED
+  bound, so each row compiles exactly ONE program for both the pilot
+  and the calibrated measurement — tunnel compiles cost 20-40 s and
+  previously dominated the suite's wall clock;
 * operands are passed WHOLE — never sliced by a ``lax.scan`` over a
   block axis.  XLA materializes each sliced custom-call/graph operand
   with a copy that runs at ~100 GB/s for u8 (measured: 2.1 us per
@@ -87,25 +90,36 @@ def _best_of(fn, args, reps=3, budget_s=30.0):
 
 def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=0.35,
                  reps=3, max_R=4096):
-    """Build the R-pass timed fn, calibrate R for ~target_s of device
-    time, return (samples_per_second, best_seconds, R).
+    """Build ONE jitted dynamic-R runner, calibrate R for ~target_s of
+    device time, return (samples_per_second, best_seconds, R).
 
-    ``make_fn(R)`` must return a jitted fn of ``args`` that runs R
-    passes of ``per_pass`` samples and returns an f32 scalar checksum.
+    ``make_step(*args)`` is traced under jit and must return
+    ``(carry0, body)`` where ``body(carry) -> carry`` runs ONE pass of
+    ``per_pass`` samples with a chained f32 checksum somewhere in the
+    carry (the data dependency defeats hoisting/DCE).  R is a TRACED
+    ``fori_loop`` bound, so the pilot and final measurements share a
+    single compile — tunnel compiles cost 20-40 s each and dominated
+    the suite's wall time when every row compiled two scan lengths.
     """
-    f = make_fn(pilot_R)
-    _timed_call(f, args)                     # warm: compile + drain
-    t_pilot = _best_of(f, args, reps=2, budget_s=20.0)
+    import jax
+    from jax import lax
+
+    make_step = make_fn
+
+    @jax.jit
+    def f(R, *a):
+        carry0, body = make_step(*a)
+        c = lax.fori_loop(0, R, lambda i, cc: body(cc), carry0)
+        return _cks(c)
+
+    pa = (np.int32(pilot_R),) + tuple(args)
+    _timed_call(f, pa)                       # warm: compile + drain
+    t_pilot = _best_of(f, pa, reps=2, budget_s=20.0)
     per_pass_t = max(t_pilot / pilot_R, 1e-7)
     R = int(min(max_R, max(pilot_R, round(target_s / per_pass_t))))
-    if R > 2 * pilot_R:
-        f = make_fn(R)
-        _timed_call(f, args)                 # warm the final shape
-        best = _best_of(f, args, reps=reps)
-    else:
-        R = pilot_R
-        best = min(t_pilot, _best_of(f, args, reps=reps - 2, budget_s=15.0)
-                   if reps > 2 else t_pilot)
+    best = _best_of(f, (np.int32(R),) + tuple(args), reps=reps)
+    if R == pilot_R:
+        best = min(best, t_pilot)
     return R * per_pass / best, best, R
 
 
@@ -175,14 +189,25 @@ def _device_u8(shape, seed=0):
 
 # ------------------------------------------------------------ rooflines
 
-def _slope_seconds(make_fn, args, K1, K2):
+def _slope_seconds(make_step, args, K1, K2):
     """Marginal seconds per added in-dispatch iteration — fixed
-    overheads (sync, dispatch, readback) cancel in the difference."""
-    f1, f2 = make_fn(K1), make_fn(K2)
-    _timed_call(f1, args)
-    _timed_call(f2, args)
-    t1 = _best_of(f1, args, reps=3, budget_s=20.0)
-    t2 = _best_of(f2, args, reps=3, budget_s=30.0)
+    overheads (sync, dispatch, readback) cancel in the difference.
+    ``make_step`` has the same dynamic-count contract as
+    ``_measure_row`` (one compile serves both K values)."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def f(K, *a):
+        carry0, body = make_step(*a)
+        c = lax.fori_loop(0, K, lambda i, cc: body(cc), carry0)
+        return _cks(c)
+
+    a1 = (np.int32(K1),) + tuple(args)
+    a2 = (np.int32(K2),) + tuple(args)
+    _timed_call(f, a2)
+    t1 = _best_of(f, a1, reps=3, budget_s=20.0)
+    t2 = _best_of(f, a2, reps=3, budget_s=30.0)
     return max((t2 - t1) / (K2 - K1), 1e-9)
 
 
@@ -194,16 +219,12 @@ def _measure_copy_gbps():
     n = 1 << 27                       # 512 MB of f32
     x = _device_pairs((n,), seed=99)
 
-    def make(K):
-        @jax.jit
-        def f(a):
-            def body(c, _):
-                return c * jnp.float32(1.0000001), None
-            c, _ = lax.scan(body, a, None, length=K)
-            return jnp.sum(c[::n // 64])
-        return f
+    def make_step(a):
+        def body(c):
+            return c * jnp.float32(1.0000001)
+        return a, body
 
-    s = _slope_seconds(make, (x,), 8, 32)
+    s = _slope_seconds(make_step, (x,), 8, 32)
     return 2 * 4 * n / s / 1e9
 
 
@@ -219,19 +240,15 @@ def _measure_matmul_tflops(bf16):
     if bf16:
         w = jax.jit(lambda a: a.astype(jnp.bfloat16))(w)
 
-    def make(K):
-        @jax.jit
-        def f(a):
-            def body(c, _):
-                y = (jnp.dot(c, w) if bf16 else
-                     jnp.dot(c, w, precision=lax.Precision.HIGHEST))
-                y = jnp.maximum(y, 0) * y.dtype.type(1e-3)
-                return y, None
-            c, _ = lax.scan(body, a, None, length=K)
-            return jnp.sum(c[0, :8].astype(jnp.float32))
-        return f
+    def make_step(a):
+        def body(c):
+            y = (jnp.dot(c, a) if bf16 else
+                 jnp.dot(c, a, precision=lax.Precision.HIGHEST))
+            return jnp.maximum(y, 0) * y.dtype.type(1e-3)
+        return a, body
 
-    s = _slope_seconds(make, (w,), 16 if bf16 else 8, 64 if bf16 else 32)
+    s = _slope_seconds(make_step, (w,), 16 if bf16 else 8,
+                       64 if bf16 else 32)
     return 2 * n ** 3 / s / 1e12
 
 
@@ -251,22 +268,18 @@ def bench_bpsk_tx():
     blk = bpsk_tx.make_block_fn_fast(cfg)
     nb = 4
 
-    def make(R):
-        @jax.jit
-        def f(state):
-            def rep(carry, _):
-                st, acc = carry
-                def body(c, _):
-                    y, c = blk(c)
-                    return c, _cks(y)
-                st, cs = lax.scan(body, st, None, length=nb)
-                return (st, acc + jnp.sum(cs)), None
-            (st, acc), _ = lax.scan(
-                rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_step(state):
+        def body(c):
+            st, acc = c
+            def inner(cc, _):
+                y, cc = blk(cc)
+                return cc, _cks(y)
+            st, cs = lax.scan(inner, st, None, length=nb)
+            return (st, acc + jnp.sum(cs))
+        return (state, _f32(0)), body
 
-    msps, best, R = _measure_row(make, (bpsk_tx.init_state_fast(cfg),),
+    msps, best, R = _measure_row(make_step,
+                                 (bpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
     _row("bpsk_tx_throughput", msps / 1e6)
 
@@ -291,21 +304,18 @@ def bench_qpsk_tx():
     blk = qpsk_tx.make_block_fn_fast(cfg)
     nb = 4
 
-    def make(R):
-        @jax.jit
-        def f(state):
-            def rep(carry, _):
-                st, acc = carry
-                def body(c, _):
-                    y, c = blk(c)
-                    return c, _cks(y)
-                st, cs = lax.scan(body, st, None, length=nb)
-                return (st, acc + jnp.sum(cs)), None
-            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_step(state):
+        def body(c):
+            st, acc = c
+            def inner(cc, _):
+                y, cc = blk(cc)
+                return cc, _cks(y)
+            st, cs = lax.scan(inner, st, None, length=nb)
+            return (st, acc + jnp.sum(cs))
+        return (state, _f32(0)), body
 
-    msps, best, R = _measure_row(make, (qpsk_tx.init_state_fast(cfg),),
+    msps, best, R = _measure_row(make_step,
+                                 (qpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
     _row("qpsk_tx_throughput", msps / 1e6)
 
@@ -322,19 +332,16 @@ def bench_qpsk_rx():
     n = 1 << 25                       # one whole 33.5M-sample capture
     pairs = _device_pairs((n, 2), seed=10)
 
-    def make(R):
-        @jax.jit
-        def f(block):
-            def rep(acc, _):
-                # acc-dependent perturbation: defeats hoisting of this
-                # stateless body out of the rep loop
-                sym, _aux = rx(block + acc * jnp.float32(1e-30))
-                return acc + _cks(sym), None
-            acc, _ = lax.scan(rep, _f32(0), None, length=R)
-            return acc
-        return f
+    def make_step(block):
+        def body(c):
+            (acc,) = c
+            # acc-dependent perturbation: defeats hoisting of this
+            # stateless body out of the rep loop
+            sym, _aux = rx(block + acc * jnp.float32(1e-30))
+            return (acc + _cks(sym),)
+        return (_f32(0),), body
 
-    msps, best, R = _measure_row(make, (pairs,), n)
+    msps, best, R = _measure_row(make_step, (pairs,), n)
     _row("qpsk_rx_throughput", msps / 1e6)
 
 
@@ -355,18 +362,13 @@ def bench_channelizer_pair():
     ims = _device_pairs((block,), seed=18)
 
     def make_maker(blk):
-        def make(R):
-            @jax.jit
-            def f(state, res, ims):
-                def rep(carry, _):
-                    st, acc = carry      # state chained: rep = next block
-                    y, st = blk(st, res, ims)
-                    return (st, acc + _cks(y)), None
-                (st, acc), _ = lax.scan(rep, (state, _f32(0)), None,
-                                        length=R)
-                return acc
-            return f
-        return make
+        def make_step(state, res, ims):
+            def body(c):
+                st, acc = c          # state chained: pass = next block
+                y, st = blk(st, res, ims)
+                return (st, acc + _cks(y))
+            return (state, _f32(0)), body
+        return make_step
 
     s0 = channelizer.init_state(cfg)
     # use_pallas=False: the default (None) auto-picks the Pallas
@@ -394,19 +396,15 @@ def bench_band_monitor():
     blk = fm_band_monitor.make_block_fn(cfg)
     pairs = _device_pairs((cfg.block, 2), seed=12)
 
-    def make(R):
-        @jax.jit
-        def f(state, block):
-            def rep(carry, _):
-                st, acc = carry          # state chained: rep = next block
-                y, st = blk(st, block)
-                return (st, acc + _cks(y)), None
-            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_step(state, block):
+        def body(c):
+            st, acc = c              # state chained: pass = next block
+            y, st = blk(st, block)
+            return (st, acc + _cks(y))
+        return (state, _f32(0)), body
 
     msps, best, R = _measure_row(
-        make, (fm_band_monitor.init_state(cfg), pairs), cfg.block)
+        make_step, (fm_band_monitor.init_state(cfg), pairs), cfg.block)
     _row("fm_band_monitor_throughput", msps / 1e6)
 
 
@@ -427,17 +425,14 @@ def bench_wideband_psd():
     psd = wideband.make_sharded_psd(F, mesh)
     pairs = _device_pairs((B, F, 2), seed=24)
 
-    def make(R):
-        @jax.jit
-        def f(pairs):
-            def rep(acc, _):
-                y = psd(pairs + acc * jnp.float32(1e-30))
-                return acc + _cks(y), None
-            acc, _ = lax.scan(rep, _f32(0), None, length=R)
-            return acc
-        return f
+    def make_step(pairs):
+        def body(c):
+            (acc,) = c
+            y = psd(pairs + acc * jnp.float32(1e-30))
+            return (acc + _cks(y),)
+        return (_f32(0),), body
 
-    msps, best, R = _measure_row(make, (pairs,), B * F)
+    msps, best, R = _measure_row(make_step, (pairs,), B * F)
     _row("wideband_psd_2pow20_throughput", msps / 1e6)
 
 
@@ -462,22 +457,17 @@ def bench_kernels():
     fims = _device_pairs((nf,), seed=21)
 
     def make_fir(use_pallas):
-        def make(R):
-            @jax.jit
-            def f(res, ims):
-                z = jax.lax.complex(res, ims)
-                def rep(carry, _):
-                    ctx, acc = carry     # ctx chained: rep = next block
-                    if use_pallas:
-                        y, ctx = FP.fir_block_pallas(z, taps63, ctx)
-                    else:
-                        y, ctx = fir.fir_block(z, B, ctx)
-                    return (ctx, acc + _cks(y)), None
-                (ctx, acc), _ = lax.scan(
-                    rep, (fir.init_ctx(63), _f32(0)), None, length=R)
-                return acc
-            return f
-        return make
+        def make_step(res, ims):
+            z = jax.lax.complex(res, ims)
+            def body(c):
+                ctx, acc = c         # ctx chained: pass = next block
+                if use_pallas:
+                    y, ctx = FP.fir_block_pallas(z, taps63, ctx)
+                else:
+                    y, ctx = fir.fir_block(z, B, ctx)
+                return (ctx, acc + _cks(y))
+            return (fir.init_ctx(63), _f32(0)), body
+        return make_step
 
     msps_x, best_x, R_x = _measure_row(make_fir(False), (fres, fims),
                                        per_pass)
@@ -501,30 +491,25 @@ def bench_kernels():
     C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
     def make_poly(use_pallas):
-        def make(R):
-            @jax.jit
-            def f(res, ims):
-                if use_pallas:
-                    z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
-                    c0 = (z, z)
-                else:
-                    c0 = jnp.zeros(C.size - 1, jnp.complex64)
+        def make_step(res, ims):
+            if use_pallas:
+                z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
+                c0 = (z, z)
+            else:
+                c0 = jnp.zeros(C.size - 1, jnp.complex64)
 
-                def rep(carry, _):
-                    ctx, acc = carry     # ctx chained: rep = next block
-                    if use_pallas:
-                        cr, ci = ctx
-                        yr, yi, cr, ci = PP.poly_fir_pallas_planar(
-                            res, ims, FM_LPF_TAPS, cr, ci, 5)
-                        return ((cr, ci), acc + _cks((yr, yi))), None
-                    y, ctx = fir.fir_decimate_poly(
-                        jax.lax.complex(res, ims), C, ctx)
-                    return (ctx, acc + _cks(y)), None
-                (ctx, acc), _ = lax.scan(rep, (c0, _f32(0)), None,
-                                         length=R)
-                return acc
-            return f
-        return make
+            def body(c):
+                ctx, acc = c         # ctx chained: pass = next block
+                if use_pallas:
+                    cr, ci = ctx
+                    yr, yi, cr, ci = PP.poly_fir_pallas_planar(
+                        res, ims, FM_LPF_TAPS, cr, ci, 5)
+                    return ((cr, ci), acc + _cks((yr, yi)))
+                y, ctx = fir.fir_decimate_poly(
+                    jax.lax.complex(res, ims), C, ctx)
+                return (ctx, acc + _cks(y))
+            return (c0, _f32(0)), body
+        return make_step
 
     msps_x, best_x, R_x = _measure_row(make_poly(False), (res, ims),
                                        per_pass)
@@ -547,17 +532,14 @@ def bench_kernels():
     qims = _device_pairs((rows, 1024), seed=23)
 
     def make_fft(fft_fn):
-        def make(R):
-            @jax.jit
-            def f(res, ims):
-                def rep(acc, _):
-                    z = fft_fn(jax.lax.complex(
-                        res + acc * jnp.float32(1e-30), ims))
-                    return acc + _cks(z), None
-                acc, _ = lax.scan(rep, _f32(0), None, length=R)
-                return acc
-            return f
-        return make
+        def make_step(res, ims):
+            def body(c):
+                (acc,) = c
+                z = fft_fn(jax.lax.complex(
+                    res + acc * jnp.float32(1e-30), ims))
+                return (acc + _cks(z),)
+            return (_f32(0),), body
+        return make_step
 
     msps_x, best_x, R_x = _measure_row(make_fft(jnp.fft.fft),
                                        (qres, qims), per_pass)
@@ -603,38 +585,26 @@ def bench_fm_receiver():
     pipe = fm_receiver.make_pipeline(cfg)
     fblk = fm_receiver.make_fused_block_fn(cfg)
 
-    def make_xla(R):
-        @jax.jit
-        def f(state, iq):
-            def rep(carry, _):
-                st, acc = carry
-                y, st = blk(st, iq)
-                return (st, acc + _cks(y)), None
-            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_xla(state, iq):
+        def body(c):
+            st, acc = c
+            y, st = blk(st, iq)
+            return (st, acc + _cks(y))
+        return (state, _f32(0)), body
 
-    def make_pipe(R):
-        @jax.jit
-        def f(state, iq):
-            def rep(carry, _):
-                st, acc = carry
-                ys, st = pipe.step(st, iq)
-                return (st, acc + _cks(ys)), None
-            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_pipe(state, iq):
+        def body(c):
+            st, acc = c
+            ys, st = pipe.step(st, iq)
+            return (st, acc + _cks(ys))
+        return (state, _f32(0)), body
 
-    def make_fused(R):
-        @jax.jit
-        def f(state, re8, im8):
-            def rep(carry, _):
-                st, acc = carry
-                y, st = fblk(st, re8, im8)
-                return (st, acc + _cks(y)), None
-            (st, acc), _ = lax.scan(rep, (state, _f32(0)), None, length=R)
-            return acc
-        return f
+    def make_fused(state, re8, im8):
+        def body(c):
+            st, acc = c
+            y, st = fblk(st, re8, im8)
+            return (st, acc + _cks(y))
+        return (state, _f32(0)), body
 
     msps_x, best_x, R_x = _measure_row(
         make_xla, (fm_receiver.init_state(cfg), iq), per_pass, pilot_R=2)
