@@ -522,9 +522,11 @@ def bench_kernels():
     _row("kernel_polyphase_pallas_throughput", msps_p / 1e6,
          _roof(best_p, bytes_pp, flops_pp, R_p))
 
-    # ---- batched FFT-1024 pair: XLA's native FFT vs the four-step
-    # matmul FFT (ops.fft.fft_four_step).
+    # ---- batched FFT-1024 trio: XLA's native FFT vs the four-step
+    # matmul FFT (ops.fft.fft_four_step) vs the VMEM-resident Pallas
+    # kernel (kernels.fft_pallas) — identical shapes, natural order.
     from comms_tpu.ops import fft as cfft
+    from comms_tpu.kernels import fft_pallas as FFTP
 
     rows = 1 << 14
     per_pass = rows * 1024            # one whole 16.8M-sample batch
@@ -541,14 +543,55 @@ def bench_kernels():
             return (_f32(0),), body
         return make_step
 
+    def make_fft_planar(res, ims):
+        def body(c):
+            (acc,) = c
+            yr, yi = FFTP.fft_pallas_planar(
+                res + acc * jnp.float32(1e-30), ims, 1024)
+            return (acc + _cks((yr, yi)),)
+        return (_f32(0),), body
+
     msps_x, best_x, R_x = _measure_row(make_fft(jnp.fft.fft),
                                        (qres, qims), per_pass)
     msps_m, best_m, R_m = _measure_row(make_fft(cfft.fft_four_step),
+                                       (qres, qims), per_pass)
+    msps_p, best_p, R_p = _measure_row(make_fft_planar,
                                        (qres, qims), per_pass)
     _row("kernel_fft1024_throughput", msps_x / 1e6,
          _roof(best_x, 16 * per_pass, 5 * per_pass * 10, R_x))
     _row("kernel_fft1024_fourstep_throughput", msps_m / 1e6,
          _roof(best_m, 16 * per_pass, 5 * per_pass * 10, R_m,
+               peak_tflops=_RUN_TFLOPS_BF16))
+    _row("kernel_fft1024_pallas_throughput", msps_p / 1e6,
+         _roof(best_p, 16 * per_pass, 5 * per_pass * 10, R_p,
+               peak_tflops=_RUN_TFLOPS_BF16))
+
+    # ---- Welch PSD pair (window+FFT+|.|^2+accumulate, 1024 bins, 50%
+    # overlap): XLA formulation vs the fused Pallas accumulator, same
+    # welch_psd entry point and sample count.
+    from comms_tpu.ops import spectrum
+
+    nsamp = rows * 1024
+
+    def make_welch(use_pallas):
+        def make_step(res, ims):
+            def body(c):
+                (acc,) = c
+                z = jax.lax.complex(res + acc * jnp.float32(1e-30), ims)
+                _, p = spectrum.welch_psd(z.reshape(-1), nperseg=1024,
+                                          use_pallas=use_pallas)
+                return (acc + _cks(p),)
+            return (_f32(0),), body
+        return make_step
+
+    msps_wx, best_wx, R_wx = _measure_row(make_welch(False),
+                                          (qres, qims), nsamp)
+    msps_wp, best_wp, R_wp = _measure_row(make_welch(True),
+                                          (qres, qims), nsamp)
+    _row("kernel_welch1024_throughput", msps_wx / 1e6,
+         _roof(best_wx, 8 * nsamp, 2 * 5 * nsamp * 10, R_wx))
+    _row("kernel_welch1024_pallas_throughput", msps_wp / 1e6,
+         _roof(best_wp, 8 * nsamp, 2 * 5 * nsamp * 10, R_wp,
                peak_tflops=_RUN_TFLOPS_BF16))
 
 

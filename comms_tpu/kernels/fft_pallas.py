@@ -1,0 +1,423 @@
+"""Pallas TPU kernel: VMEM-resident batched FFT (N = R1 * 128).
+
+Why: any XLA-level FFT formulation (``jnp.fft.fft`` or the four-step
+matmul form, ops/fft.py) materializes its intermediate stages in HBM —
+measured 52-65 B/sample of real traffic vs the 16 B/sample io floor,
+capping both at 22-30% of speed-of-light (docs/PERF.md "FFT bound
+argument").  This kernel keeps all stages VMEM-resident per row tile,
+so HBM traffic IS the floor: one input read + one output write.
+
+Functional parity target: the reference's ``BatchFFT``
+(``/root/reference/src/fft/mod.rs:73-96``) at its node tolerance of
+per-bin error < 1e-5 (``src/fft/fft_node.rs:242-244``).
+
+Math (four-step / Bailey, N = R1 * 128, R1 in {2,4,8,16}):
+write n = 128*a + b, k = R1*k2 + k1 (a,k1 in [0,R1), b,k2 in [0,128)):
+
+  stage 1   Y[k1][r, b]  = sum_a x[r, 128a+b] * w_R1^(a*k1)   (VPU;
+            the R1-th-root constants are folded — 0/±1 terms cost an
+            add, only irrational values multiply)
+  twiddle   Y'[k1]       = Y[k1] * exp(-2i*pi*b*k1/N)          (VPU)
+  stage 2   Z[k1]        = Y'[k1] @ F128,  F128[b,k2] = w_128^(b*k2)
+            — stacked k1-major into ONE [R1*T, 128] x [128, 128]
+            Karatsuba complex matmul (3 real MXU dots)
+  unshuffle out[r, R1*k2 + k1] = Z[k1][r, k2] — an in-kernel
+            transpose+reshape+transpose (measured ~140 Gsps-equivalent
+            on hardware, i.e. free next to the MXU stage).
+
+The PSD variant fuses window multiply + FFT + |.|^2 + bin-accumulate
+and skips the unshuffle entirely (per-bin accumulation is order-
+insensitive): output is one [R1, 128] Z-ordered accumulator, so HBM
+write traffic is ~zero and the io floor halves to the input read.
+
+Mosaic constraints honored (PERF.md "Measured lessons"): no complex
+dtype in-kernel (planar f32 re/im), no sublane-strided slices (lane-
+tile views only), all index reversals/twiddles host-precomputed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fft_pallas", "fft_pallas_planar", "psd_pallas_planar",
+           "rows_per_step", "supported"]
+
+_LANES = 128
+
+
+def supported(n: int) -> bool:
+    """True when this kernel handles n-point FFTs."""
+    return n in (256, 512, 1024, 2048)
+
+
+def rows_per_step(n: int) -> int:
+    """Row-tile size per grid step (2^18 samples per step)."""
+    return (1 << 18) // int(n)
+
+
+def _snap(v: float) -> float:
+    """Snap a root-of-unity component to exact 0/±1/±sqrt(1/2)."""
+    for t in (0.0, 1.0, -1.0, math.sqrt(0.5), -math.sqrt(0.5)):
+        if abs(v - t) < 1e-12:
+            return t
+    return v
+
+
+def _roots(r1: int):
+    """(cos, sin) of e^{-2i*pi*m/r1} for m in [0, r1), snapped."""
+    out = []
+    for m in range(r1):
+        th = -2.0 * math.pi * m / r1
+        out.append((_snap(math.cos(th)), _snap(math.sin(th))))
+    return out
+
+
+def _cmul_const(xr, xi, c: float, s: float):
+    """(xr + i*xi) * (c + i*s) with compile-time constant folding.
+    Returns (re, im) where either may be None (exact zero)."""
+    def mul(v, k):
+        if k == 0.0:
+            return None
+        if k == 1.0:
+            return v
+        if k == -1.0:
+            return -v
+        return v * jnp.float32(k)
+
+    def sub(a, b):
+        if a is None:
+            return None if b is None else -b
+        return a if b is None else a - b
+
+    def add(a, b):
+        if a is None:
+            return b
+        return a if b is None else a + b
+
+    return sub(mul(xr, c), mul(xi, s)), add(mul(xr, s), mul(xi, c))
+
+
+def _acc(acc, term):
+    if term is None:
+        return acc
+    return term if acc is None else acc + term
+
+
+def _twiddles(n: int, r1: int):
+    """Host [r1, 128] planar twiddles exp(-2i*pi*b*k1/n), exact
+    integer-mod angles in f64."""
+    k1 = np.arange(r1)[:, None]
+    b = np.arange(_LANES)[None, :]
+    w = np.exp((-2j * np.pi / n) * np.mod(k1 * b, n))
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def _dft128(split: bool):
+    """Host 128-point DFT matrix planar parts + Karatsuba sum.
+
+    ``split=False``: three f32 matrices (for HIGHEST-precision dots).
+    ``split=True``: each matrix as an exact (hi, lo) bf16 pair —
+    B = hi + lo to ~2^-16 relative — so the kernel's dots run three
+    bf16 MXU passes (hi*hi + hi*lo + lo*hi) instead of HIGHEST's six.
+    """
+    b = np.arange(_LANES)[:, None]
+    k2 = np.arange(_LANES)[None, :]
+    f = np.exp((-2j * np.pi / _LANES) * np.mod(b * k2, _LANES))
+    mats = [f.real.astype(np.float32), f.imag.astype(np.float32)]
+    mats.append(mats[0] + mats[1])
+    if not split:
+        return mats
+    out = []
+    for m in mats:
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        out += [hi, lo]
+    return out
+
+
+def _stage12(xr, xi, wr, wi, r1: int, t: int):
+    """Stages 1+2 of the four-step FFT on a [t, r1*128] planar tile.
+
+    Returns Z-ordered planes ``(zs_r, zs_i)`` of shape [r1*t, 128],
+    row = t*k1 + r, lane = k2 — bin k = r1*k2 + k1 of FFT row r.
+    """
+    roots = _roots(r1)
+    tiles = [(xr[:, _LANES * a:_LANES * (a + 1)],
+              xi[:, _LANES * a:_LANES * (a + 1)]) for a in range(r1)]
+    ys_r, ys_i = [], []
+    for k1 in range(r1):
+        yr = None
+        yi = None
+        for a in range(r1):
+            c, s = roots[(a * k1) % r1]
+            tr, ti = _cmul_const(tiles[a][0], tiles[a][1], c, s)
+            yr = _acc(yr, tr)
+            yi = _acc(yi, ti)
+        if k1:                              # k1 = 0 twiddle is 1
+            twr = wr[k1:k1 + 1, :]
+            twi = wi[k1:k1 + 1, :]
+            yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+        ys_r.append(yr)
+        ys_i.append(yi)
+    yp_r = jnp.concatenate(ys_r, axis=0)    # [r1*t, 128]
+    yp_i = jnp.concatenate(ys_i, axis=0)
+    return yp_r, yp_i
+
+
+def _cmatmul(yp_r, yp_i, consts):
+    """Karatsuba complex matmul against the 128-DFT (3 real dots).
+
+    ``consts`` is 3 f32 refs (HIGHEST mode, 6 MXU passes per dot) or
+    6 bf16 hi/lo refs (split mode, 3 passes per dot — the data operand
+    splits in-kernel, the lo*lo term ~2^-32 is dropped).
+    """
+    if len(consts) == 3:
+        hp = jax.lax.Precision.HIGHEST
+
+        def dot(a, bref):
+            return jnp.dot(a, bref[:], preferred_element_type=jnp.float32,
+                           precision=hp)
+    else:
+        def dot(a, pair):
+            bhi, blo = pair
+            ahi = a.astype(jnp.bfloat16)
+            alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(p, q):
+                return jnp.dot(p, q[:],
+                               preferred_element_type=jnp.float32)
+
+            return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+        consts = [(consts[0], consts[1]), (consts[2], consts[3]),
+                  (consts[4], consts[5])]
+    p1 = dot(yp_r, consts[0])
+    p2 = dot(yp_i, consts[1])
+    p3 = dot(yp_r + yp_i, consts[2])
+    return p1 - p2, p3 - p1 - p2
+
+
+def _fft_kernel(*refs, r1: int, t: int, nc: int):
+    xr_ref, xi_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    yr_out, yi_out = refs[4 + nc:6 + nc]
+    n = r1 * _LANES
+    yp_r, yp_i = _stage12(xr_ref[:], xi_ref[:], wr, wi, r1, t)
+    zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
+    # Natural-order unshuffle: out[r, r1*k2 + k1] = zs[t*k1 + r, k2].
+    yr_out[:] = zs_r.T.reshape(n, t).T
+    yi_out[:] = zs_i.T.reshape(n, t).T
+
+
+def _const_arrays(n: int, r1: int, precision: str):
+    if precision not in ("split_bf16", "highest"):
+        raise ValueError(f"precision must be split_bf16/highest, "
+                         f"got {precision!r}")
+    wr, wi = _twiddles(n, r1)
+    mats = _dft128(split=(precision == "split_bf16"))
+    arrays = [jnp.asarray(wr), jnp.asarray(wi)]
+    arrays += [jnp.asarray(m) for m in mats]
+    tw_spec = pl.BlockSpec((r1, _LANES), lambda g: (0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
+                          memory_space=pltpu.VMEM)
+    specs = [tw_spec, tw_spec] + [m_spec] * len(mats)
+    return arrays, specs, len(mats)
+
+
+def fft_pallas_planar(re, im, n: int = 1024,
+                      precision: str = "split_bf16",
+                      interpret: bool = False):
+    """Batched n-point FFT of planar f32 rows — the kernel's native
+    zero-relayout interface.
+
+    Args:
+      re, im: [rows, n] float32 planes (one FFT per row).
+      n: FFT size, in {256, 512, 1024, 2048}.
+      precision: "split_bf16" (3 MXU passes per dot, parity ~1e-6) or
+        "highest" (6 passes, parity ~2e-7) — both well inside the
+        reference node tolerance of 1e-5 (fft_node.rs:242-244).
+    Returns ``(yr, yi)`` [rows, n] float32, natural bin order.
+    """
+    n = int(n)
+    if not supported(n):
+        raise ValueError(f"fft_pallas supports n in 256/512/1024/2048, "
+                         f"got {n}")
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if re.ndim != 2 or re.shape[1] != n or im.shape != re.shape:
+        raise ValueError(f"expected planar [rows, {n}] f32 pair, got "
+                         f"{re.shape} / {im.shape}")
+    rows = re.shape[0]
+    t = rows_per_step(n)
+    r1 = n // _LANES
+    pad = (-rows) % t
+    if pad:
+        z = jnp.zeros((pad, n), jnp.float32)
+        re = jnp.concatenate([re, z])
+        im = jnp.concatenate([im, z])
+    steps = (rows + pad) // t
+
+    arrays, cspecs, nc = _const_arrays(n, r1, precision)
+    kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc)
+    row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[row_spec, row_spec] + cspecs,
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps * t, n), jnp.float32),
+            jax.ShapeDtypeStruct((steps * t, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=steps * t * n * (8 * _LANES + 8 * r1),
+            bytes_accessed=16 * steps * t * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(re, im, *arrays)
+    if pad:
+        yr = yr[:rows]
+        yi = yi[:rows]
+    return yr, yi
+
+
+def fft_pallas(x, n: int = 1024, precision: str = "split_bf16",
+               interpret: bool = False):
+    """Batched n-point FFT of complex rows ``x[rows, n]`` (complex64).
+
+    Natural bin order, parity vs jnp.fft well inside the reference
+    node tolerance (fft_node.rs:242-244).  Complex shim over
+    :func:`fft_pallas_planar`; plane-native callers skip it.
+    """
+    x = jnp.asarray(x)
+    yr, yi = fft_pallas_planar(
+        jnp.real(x).astype(jnp.float32),
+        jnp.imag(x).astype(jnp.float32), n=n, precision=precision,
+        interpret=interpret)
+    return jax.lax.complex(yr, yi)
+
+
+def _psd_kernel(*refs, r1: int, t: int, nc: int, demean: bool):
+    xr_ref, xi_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    win, wrow = refs[4 + nc:6 + nc]
+    acc_out = refs[6 + nc]
+    g = pl.program_id(0)
+    n = r1 * _LANES
+    w1 = win[0:1, :]
+    # Row validity weights fold into the input planes (weights are
+    # 0/1, and power is quadratic in x, so w*|FFT(x)|^2 ==
+    # |FFT(w*x)|^2 for w in {0,1}).
+    rw = wrow[:, 0:1]
+    xin_r = xr_ref[:] * rw
+    xin_i = xi_ref[:] * rw
+    xr = xin_r * w1
+    xi = xin_i * w1
+    if demean:
+        # Welch subtracts the segment mean BEFORE windowing; a
+        # windowed de-meaned segment is (x - mean(x)) * w =
+        # x*w - mean(x)*w, so fold the correction into the windowed
+        # planes (keeps one multiply per plane).
+        inv_n = jnp.float32(1.0 / n)
+        mr = jnp.sum(xin_r, axis=1, keepdims=True) * inv_n
+        mi = jnp.sum(xin_i, axis=1, keepdims=True) * inv_n
+        xr = xr - mr * w1
+        xi = xi - mi * w1
+    yp_r, yp_i = _stage12(xr, xi, wr, wi, r1, t)
+    zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
+    p = zs_r * zs_r + zs_i * zs_i            # [r1*t, 128], Z-order
+    # Reduce rows within each k1 group -> [r1, 128] partial bins.
+    part = jnp.sum(p.reshape(r1, t, _LANES), axis=1)
+
+    @pl.when(g == 0)
+    def _():
+        acc_out[:] = jnp.zeros_like(acc_out)
+
+    acc_out[:] += part
+
+
+def psd_pallas_planar(re, im, window, n: int = 1024,
+                      row_weights=None, demean: bool = True,
+                      precision: str = "split_bf16",
+                      interpret: bool = False):
+    """Fused window + FFT + |.|^2 + accumulate over segment rows.
+
+    Args:
+      re, im: [rows, n] float32 segment planes (one segment per row).
+      window: [n] host/f32 window applied per row.
+      row_weights: optional [rows] f32 validity weights (0 excludes a
+        row — used by the overlapped-Welch wrapper for padding rows).
+      demean: subtract each segment's mean before windowing (Welch
+        convention in ops/spectrum.welch_psd).
+
+    Returns ``acc[n]`` float32: sum over rows of |FFT(w*(x-mean))|^2,
+    natural bin order (the [r1, 128] Z-order accumulator is
+    unshuffled by one tiny XLA transpose on return).
+    """
+    n = int(n)
+    if not supported(n):
+        raise ValueError(f"psd_pallas supports n in 256/512/1024/2048, "
+                         f"got {n}")
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if re.ndim != 2 or re.shape[1] != n or im.shape != re.shape:
+        raise ValueError(f"expected planar [rows, {n}] f32 pair, got "
+                         f"{re.shape} / {im.shape}")
+    rows = re.shape[0]
+    t = rows_per_step(n)
+    r1 = n // _LANES
+    if row_weights is None:
+        row_weights = jnp.ones((rows,), jnp.float32)
+    else:
+        row_weights = jnp.asarray(row_weights, jnp.float32)
+        if row_weights.shape != (rows,):
+            raise ValueError("row_weights must be [rows]")
+    pad = (-rows) % t
+    if pad:
+        z = jnp.zeros((pad, n), jnp.float32)
+        re = jnp.concatenate([re, z])
+        im = jnp.concatenate([im, z])
+        row_weights = jnp.concatenate(
+            [row_weights, jnp.zeros((pad,), jnp.float32)])
+    steps = (rows + pad) // t
+
+    win = np.broadcast_to(
+        np.asarray(window, np.float32).reshape(1, n), (8, n)).copy()
+    arrays, cspecs, nc = _const_arrays(n, r1, precision)
+    kernel = functools.partial(_psd_kernel, r1=r1, t=t, nc=nc,
+                               demean=bool(demean))
+    row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    tail = [
+        pl.BlockSpec((8, n), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), lambda g: (g, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[row_spec, row_spec] + cspecs + tail,
+        out_specs=pl.BlockSpec((r1, _LANES), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r1, _LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * t * n * (8 * _LANES + 8 * r1 + 8),
+            bytes_accessed=8 * steps * t * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(re, im, *arrays, jnp.asarray(win), row_weights.reshape(-1, 1))
+    # Z-order [r1, 128] -> natural [n]: bin r1*k2 + k1 = acc[k1, k2].
+    return acc.T.reshape(n)

@@ -5,12 +5,20 @@ production serving needs live spectrum observability — channel
 occupancy, interference, SNR monitoring.  Welch's method is
 FFT-over-overlapped-windowed-segments + average: pure batched TPU FFT
 work, one jittable function.
+
+On TPU the hot path routes through the fused Pallas PSD kernel
+(:func:`comms_tpu.kernels.fft_pallas.psd_pallas_planar`): window,
+FFT, |.|^2 and the bin accumulation all run VMEM-resident, and —
+because per-bin accumulation is order-insensitive — the kernel skips
+both the segment interleave and the FFT's natural-order unshuffle
+(measured 36 vs 9 Gsps for the XLA formulation, docs/PERF.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["hann", "welch_psd", "spectrogram"]
@@ -57,13 +65,51 @@ def _segments(x, nperseg: int, noverlap: int):
     return x[idx]
 
 
+def _segment_parts(x, nperseg: int, noverlap: int):
+    """Segment rows WITHOUT the interleave stack (order-free callers
+    only, e.g. Welch accumulation): the k shifted-reshape groups are
+    returned concatenated in group order, exactly ``nseg`` rows total.
+    Returns None when the overlap pattern needs a gather instead."""
+    x = jnp.asarray(x)
+    step = nperseg - noverlap
+    if step <= 0:
+        raise ValueError(f"noverlap {noverlap} must be < nperseg {nperseg}")
+    nseg = (x.shape[0] - noverlap) // step
+    if nseg < 1:
+        raise ValueError(
+            f"signal length {x.shape[0]} shorter than one segment "
+            f"({nperseg})"
+        )
+    if nperseg % step:
+        return None
+    k = nperseg // step
+    parts = []
+    for o in range(k):
+        m = -(-(nseg - o) // k) if nseg > o else 0
+        if m:
+            parts.append(
+                x[o * step: o * step + m * nperseg].reshape(m, nperseg))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _auto_use_pallas(nperseg: int) -> bool:
+    if jax.devices()[0].platform != "tpu":
+        return False
+    from comms_tpu.kernels import fft_pallas as _FP
+
+    return _FP.supported(nperseg)
+
+
 def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
-              window=None, fs: float = 1.0, onesided: bool = False):
+              window=None, fs: float = 1.0, onesided: bool = False,
+              use_pallas=None, interpret: bool = False):
     """Welch PSD estimate of a (complex or real) sample block.
 
     Returns ``(freqs, psd)``; density normalization matches the
     standard Welch definition (window power corrected).  ``onesided``
-    folds the spectrum for real inputs.
+    folds the spectrum for real inputs.  ``use_pallas`` routes the
+    window+FFT+|.|^2+accumulate through the fused Pallas kernel
+    (``None`` auto-selects it on TPU for supported sizes).
     """
     x = jnp.asarray(x)
     nperseg = int(nperseg)
@@ -71,14 +117,36 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
     w = np.asarray(window) if window is not None else hann(nperseg)
     if w.shape[0] != nperseg:
         raise ValueError("window length must equal nperseg")
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas(nperseg)
+
+    scale = 1.0 / (fs * float(np.sum(w ** 2)))
+    if use_pallas:
+        from comms_tpu.kernels import fft_pallas as _FP
+
+        segs = _segment_parts(x, nperseg, noverlap)
+        if segs is not None:
+            nseg = segs.shape[0]
+            re = jnp.real(segs).astype(jnp.float32)
+            im = (jnp.imag(segs).astype(jnp.float32)
+                  if jnp.iscomplexobj(segs)
+                  else jnp.zeros_like(re))
+            acc = _FP.psd_pallas_planar(re, im, w, n=nperseg,
+                                        demean=True, interpret=interpret)
+            psd = acc * jnp.float32(scale / nseg)
+            return _fold(psd, nperseg, fs, onesided)
+        # gather-pattern overlaps fall through to the XLA path
 
     segs = _segments(x, nperseg, noverlap)           # [nseg, nperseg]
     segs = segs - jnp.mean(segs, axis=1, keepdims=True)
     wv = jnp.asarray(w.astype(np.float32))
     spec = jnp.fft.fft(segs * wv[None, :], axis=1)
     p = jnp.mean(jnp.abs(spec) ** 2, axis=0)
-    scale = 1.0 / (fs * float(np.sum(w ** 2)))
     psd = p * scale
+    return _fold(psd, nperseg, fs, onesided)
+
+
+def _fold(psd, nperseg: int, fs: float, onesided: bool):
     freqs = np.fft.fftfreq(nperseg, d=1.0 / fs)
     if onesided:
         half = nperseg // 2 + 1
@@ -91,12 +159,32 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
 
 
 def spectrogram(x, nperseg: int = 256, noverlap: int | None = None,
-                window=None):
-    """Short-time power spectrogram [time, freq] (fftshifted)."""
+                window=None, use_pallas=None, interpret: bool = False):
+    """Short-time power spectrogram [time, freq] (fftshifted).
+
+    ``use_pallas`` routes the batched FFT through the VMEM-resident
+    Pallas kernel (``None`` auto-selects on TPU for supported sizes);
+    the windowed segments keep their time order, so this path uses the
+    natural-order FFT kernel rather than the PSD accumulator.
+    """
     x = jnp.asarray(x)
     noverlap = nperseg // 2 if noverlap is None else int(noverlap)
     w = np.asarray(window) if window is not None else hann(nperseg)
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas(int(nperseg))
     segs = _segments(x, int(nperseg), noverlap)
     wv = jnp.asarray(w.astype(np.float32))
-    spec = jnp.fft.fft(segs * wv[None, :], axis=1)
-    return jnp.fft.fftshift(jnp.abs(spec) ** 2, axes=1)
+    xs = segs * wv[None, :]
+    if use_pallas:
+        from comms_tpu.kernels import fft_pallas as _FP
+
+        re = jnp.real(xs).astype(jnp.float32)
+        im = (jnp.imag(xs).astype(jnp.float32) if jnp.iscomplexobj(xs)
+              else jnp.zeros_like(re))
+        yr, yi = _FP.fft_pallas_planar(re, im, n=int(nperseg),
+                                       interpret=interpret)
+        p = yr * yr + yi * yi
+    else:
+        spec = jnp.fft.fft(xs, axis=1)
+        p = jnp.abs(spec) ** 2
+    return jnp.fft.fftshift(p, axes=1)
