@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import demodulation, fir, interp, mixer, taps
 
-__all__ = ["QpskRxConfig", "make_rx_fn", "decide_bits", "resolve_ambiguity"]
+__all__ = ["QpskRxConfig", "make_rx_fn", "make_rx_fn_planar",
+           "decide_bits", "resolve_ambiguity"]
 
 
 class QpskRxConfig:
@@ -68,15 +69,36 @@ def make_rx_fn(cfg: QpskRxConfig):
     TPU formulation notes (each measured on v5e, docs/PERF.md):
     derotations by the traced estimates use
     :func:`comms_tpu.ops.mixer.derotate_traced` (transcendentals on
-    N/128-sized vectors, not N); the traced-coefficient Lagrange
-    interpolator is ONE banded GEMM (device-combined one-hot bands)
-    instead of 3 full-rate rolls; the symbol pick at the max-energy
-    phase folds into the existing integer roll and a strided
-    decimating GEMM instead of a traced gather.
+    N/128-sized vectors, not N); the Lagrange interpolation, the
+    traced integer timing shift, the max-energy phase pick AND the
+    symbol downsample all fold into ONE traced-tap decimating GEMM
+    (:func:`comms_tpu.ops.fir.fir_decimate_traced`) — a traced
+    ``jnp.roll`` of the full-rate block costs ~10x that GEMM.
     """
 
     def rx(iq_pairs):
-        x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
+        return _rx_core(cfg, iq_pairs[:, 0], iq_pairs[:, 1])
+
+    return jax.jit(rx)
+
+
+def make_rx_fn_planar(cfg: QpskRxConfig):
+    """Planar twin of :func:`make_rx_fn`: ``rx(re[N], im[N])`` —
+    avoids the [N, 2] pair deinterleave, a 2/128-lane relayout that
+    measured 3.4 ms at 33M samples (~25% of the optimized receiver)
+    on v5e.  The production ingest unpacks interleaved i16 IQ into
+    planes lane-parallel (io/raw_iq), so planes are the native rx
+    input; the pairs entry point exists for reference-parity callers.
+    """
+
+    def rx(re, im):
+        return _rx_core(cfg, re, im)
+
+    return jax.jit(rx)
+
+
+def _rx_core(cfg: QpskRxConfig, re, im):
+        x = jax.lax.complex(re, im)
         n = x.shape[0]
 
         # --- coarse carrier frequency (pre-matched-filter; reference
@@ -111,8 +133,8 @@ def make_rx_fn(cfg: QpskRxConfig):
 
         # --- symbol phase: pick the max-energy phase.  Computed on
         # the unrolled yd (edge contamination is O(taps) of O(N)
-        # samples), then mapped through the roll so it matches the
-        # post-roll column argmax exactly.
+        # samples), then mapped through the shift so it matches the
+        # post-shift column argmax exactly.
         e4 = jnp.sum(
             (jnp.real(yd) ** 2 + jnp.imag(yd) ** 2)[
                 : (n // cfg.sps) * cfg.sps].reshape(-1, cfg.sps), axis=0)
@@ -120,26 +142,33 @@ def make_rx_fn(cfg: QpskRxConfig):
         p_star = jnp.mod(jnp.argmax(e4).astype(jnp.int32) + shift,
                          cfg.sps)
 
-        # Fold the integer timing shift AND the phase pick into one
-        # roll: roll(yd, shift - p_star)[sps*m] == roll(yd, shift)
-        # [sps*m + p_star].
-        shift2 = shift - p_star
-        yd = jnp.roll(yd, shift2)
-        # roll is circular: a positive shift wraps tail samples to the
-        # block head, a negative one wraps head samples (already
-        # Lagrange-contaminated above) to the tail — zero BOTH
-        # contaminated ends so they cannot masquerade as valid symbols
-        # (callers should skip the first few symbols either way).
+        # Fold the integer timing shift, the phase pick AND the
+        # Lagrange interpolation + symbol downsample into ONE traced-
+        # tap decimating GEMM:
+        #   sym[m] = yd[sps*m - shift2] = sum_j lag[j]*y[sps*m-shift2-j]
+        # i.e. a 3*sps-tap decimating FIR with lag placed at traced
+        # offset t0 = shift2 + sps (one extra leading frame via
+        # tail_zeros keeps t0 >= 0; the first output is dropped).  A
+        # traced jnp.roll of the full-rate block — the previous
+        # formulation — measured 16 ms at 33M samples on v5e, ~40% of
+        # the whole receiver (docs/PERF.md).
+        shift2 = shift - p_star          # in [-sps..2] for |delay|<~2
+        t0 = shift2 + cfg.sps
+        tt = jnp.arange(3 * cfg.sps)
+        flat = jnp.where((tt >= t0) & (tt < t0 + 4),
+                         lag[jnp.clip(tt - t0, 0, 3)], 0.0)
+        sym_all = fir.fir_decimate_traced(y, flat, cfg.sps,
+                                          tail_zeros=cfg.sps)
+        sym = sym_all[1:]
+
+        # Zero the contaminated block edges (Lagrange zero-context
+        # head, shifted-off-the-end tail) — the same lo/hi rule the
+        # full-rate mask used, applied at symbol resolution (callers
+        # should skip the first few symbols either way).
         lo = 3 + jnp.maximum(shift2, 0)
         hi = n + jnp.minimum(shift2, 0)
-        idx = jnp.arange(n)
-        yd = jnp.where((idx < lo) | (idx >= hi), 0.0 + 0.0j, yd)
-
-        # --- symbol downsample at static offset 0: a strided
-        # decimating GEMM (keeps only every sps-th sample via a
-        # host-static one-hot band — no traced gather, no [M, sps]
-        # column extraction).
-        sym = _decimate_static(yd, cfg.sps)
+        m4 = jnp.arange(sym.shape[0]) * cfg.sps
+        sym = jnp.where((m4 < lo) | (m4 >= hi), 0.0 + 0.0j, sym)
 
         # --- fine carrier frequency at symbol rate: 4th power removes
         # the QPSK modulation from the lag-1 product.
@@ -157,26 +186,6 @@ def make_rx_fn(cfg: QpskRxConfig):
                 "phase": p_est, "sym_phase": p_star}
         sym_planes = jnp.stack([jnp.real(sym), jnp.imag(sym)], axis=0)
         return sym_planes, diag
-
-    return jax.jit(rx)
-
-
-def _decimate_static(yd, sps: int):
-    """Keep every ``sps``-th sample (offset 0) via the strided banded
-    GEMM (:func:`comms_tpu.ops.fir.fir_decimate_poly` with a unit
-    tap): 128 kept samples per MXU row, no gather, no [M, sps] column
-    relayout.
-
-    ``y[m] = sum_t flat[t] * x[m*D - t]`` with ``flat = [1, 0, ...]``
-    picks ``x[m*D]``; ``decimating_branch_taps`` layout puts that unit
-    at ``C[0, D-1]``."""
-    n = yd.shape[0]
-    keep = (n // sps) * sps
-    C = np.zeros((1, sps), np.float32)
-    C[0, sps - 1] = 1.0
-    sym, _ = fir.fir_decimate_poly(yd[:keep], C,
-                                   jnp.zeros((sps - 1,), yd.dtype))
-    return sym
 
 
 def _as_complex(symbols) -> np.ndarray:

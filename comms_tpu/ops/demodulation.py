@@ -173,8 +173,13 @@ class TimingEstimator:
                               if x.dtype == jnp.complex64 else self.qfilt)
         nd = self.n * self.d
         # Delay filter = [0]*ND + [1]: pure ND-sample causal delay.
-        dout = jnp.concatenate([jnp.zeros((nd,), din.dtype), din[: -nd or None]])
-        s = jnp.sum(qout * dout)
+        # Folded into the reduction as a sliced dot (the delayed
+        # products for m < ND are zero) — materializing the shifted
+        # array via concatenate cost a full-rate write+read pass.
+        if nd:
+            s = jnp.sum(qout[nd:] * din[:-nd])
+        else:
+            s = jnp.sum(qout * din)
         return -float(self.n) * jnp.angle(s) / (2.0 * np.pi)
 
     __call__ = estimate

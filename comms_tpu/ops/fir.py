@@ -44,6 +44,7 @@ __all__ = [
     "fir_decimate_block",
     "decimating_branch_taps",
     "fir_decimate_poly",
+    "fir_decimate_traced",
     "poly_mac_frames",
 ]
 
@@ -267,14 +268,24 @@ def fir_decimate_poly(x, Hb, ctx, phases: int = _DEFAULT_PHASES,
 
     xe = jnp.concatenate([ctx.astype(x.dtype), x])   # [T_pad - 1 + N]
     new_ctx = xe[-(T_pad - 1):] if T_pad > 1 else ctx
+    y = _decimate_gemm_core(xe, B2, D, P, frames, width, precision)
+    return y, new_ctx
+
+
+def _decimate_gemm_core(xe, B2, D: int, P: int, frames: int,
+                        width: int, precision):
+    """Strided-window banded GEMM shared by the host-taps and
+    traced-taps decimators: returns ``y[frames]`` with
+    ``y[m] = sum_i xe[m*D + i] * B2_column_phase(m % P)`` (see
+    :func:`_decimating_banded_matrix` for the band layout)."""
     R = -(-frames // P)  # cdiv
     stride = P * D
     last_off = stride * ((width - 1) // stride)
     pad = last_off + R * stride - xe.shape[0]
     xpad = jnp.pad(xe, (0, max(pad, 0)))
 
-    out_dtype = jnp.result_type(x.dtype, B2.dtype)
-    if jnp.iscomplexobj(x) and not jnp.iscomplexobj(B2):
+    out_dtype = jnp.result_type(xe.dtype, B2.dtype)
+    if jnp.iscomplexobj(xe) and not jnp.iscomplexobj(B2):
         Wr = _window_rows_strided(jnp.real(xpad), R, stride, width)
         Wi = _window_rows_strided(jnp.imag(xpad), R, stride, width)
         B2r = B2.astype(Wr.dtype)
@@ -287,8 +298,59 @@ def fir_decimate_poly(x, Hb, ctx, phases: int = _DEFAULT_PHASES,
         W = _window_rows_strided(xpad, R, stride, width)
         Y = jnp.dot(W.astype(out_dtype), B2.astype(out_dtype),
                     preferred_element_type=out_dtype, precision=precision)
-    y = Y.reshape(R * P)[:frames]
-    return y, new_ctx
+    return Y.reshape(R * P)[:frames]
+
+
+def fir_decimate_traced(x, flat_taps, rate: int, tail_zeros: int = 0,
+                        phases: int = _DEFAULT_PHASES,
+                        precision=lax.Precision.HIGHEST):
+    """Polyphase decimating FIR whose taps are a TRACED device vector:
+
+        y[m] = sum_t flat_taps[t] * x[m*D - t],  m in [0, (N+Z)//D)
+
+    with ``x`` zero-extended at both ends (head: ``flat`` reaching
+    before sample 0; tail: ``tail_zeros`` extra zero samples so late
+    output frames exist).  The only traced-shape work is one tiny
+    gather building the [width, P] banded matrix from ``flat_taps``
+    (everything downstream is the same strided-window GEMM as
+    :func:`fir_decimate_poly`).
+
+    Exists for receivers whose tap vector depends on traced estimates
+    — e.g. qpsk_rx folds its cubic-Lagrange interpolator, the traced
+    integer timing shift AND the symbol-phase pick into one such
+    decimating GEMM (a traced ``jnp.roll`` of the full-rate block
+    measured 16 ms at 33M samples on v5e — ~10x the cost of this
+    formulation; docs/PERF.md).
+    """
+    x = jnp.asarray(x)
+    flat_taps = jnp.asarray(flat_taps)
+    D, P = int(rate), int(phases)
+    MD = int(flat_taps.shape[0])
+    if MD % D:
+        raise ValueError(f"flat_taps length {MD} must be a multiple of "
+                         f"rate {D}")
+    N = int(x.shape[0])
+    Z = int(tail_zeros)
+    if (N + Z) % D:
+        raise ValueError(f"block {N} + tail_zeros {Z} not a multiple "
+                         f"of rate {D}")
+    frames = (N + Z) // D
+    width = (P - 1) * D + MD
+
+    # Device banded matrix from the traced taps: B2[i, p] =
+    # flat[p*D + MD-1 - i] (0 outside the band) via one small gather
+    # against a host index matrix (out-of-band -> the appended zero).
+    i = np.arange(width)[:, None]
+    p = np.arange(P)[None, :]
+    t = p * D + MD - 1 - i
+    idx = np.where((t >= 0) & (t < MD), t, MD)
+    flat_e = jnp.concatenate(
+        [flat_taps, jnp.zeros((1,), flat_taps.dtype)])
+    B2 = flat_e[jnp.asarray(idx)]
+
+    xe = jnp.concatenate(
+        [jnp.zeros((MD - 1,), x.dtype), x])  # zero head context
+    return _decimate_gemm_core(xe, B2, D, P, frames, width, precision)
 
 
 def poly_mac_frames(x, C, ctx):

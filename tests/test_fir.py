@@ -181,3 +181,47 @@ def test_fir_block_shorter_than_taps_streams():
         parts.append(np.asarray(y))
     assert np.allclose(np.concatenate(parts), np.asarray(y_once),
                        atol=1e-12)
+
+
+def test_fir_decimate_traced_matches_oracle():
+    # y[m] = sum_t flat[t] * x[m*D - t], x zero-extended both ends.
+    rng = np.random.default_rng(11)
+    D, MD, N, Z = 4, 12, 160, 4
+    flat = rng.normal(size=MD).astype(np.float32)
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    xe = np.concatenate([x, np.zeros(Z, np.complex64)])
+    frames = (N + Z) // D
+    expected = np.zeros(frames, np.complex64)
+    for m in range(frames):
+        for t in range(MD):
+            k = m * D - t
+            if 0 <= k < N + Z:
+                expected[m] += flat[t] * xe[k]
+    y = fir.fir_decimate_traced(jnp.asarray(x), jnp.asarray(flat), D,
+                                tail_zeros=Z)
+    assert y.shape == (frames,)
+    assert np.allclose(np.asarray(y), expected, atol=1e-5)
+
+
+def test_fir_decimate_traced_under_jit_traced_taps():
+    # The taps are a traced value derived from the input — the use
+    # case qpsk_rx needs (taps depend on traced timing estimates).
+    rng = np.random.default_rng(12)
+    D, N = 5, 200
+    x = rng.normal(size=N).astype(np.float32)
+
+    @jax.jit
+    def f(x):
+        flat = jnp.asarray([x[0], 1.0, x[1], 0.5, 0.0],
+                           jnp.float32)  # MD=5=D
+        return fir.fir_decimate_traced(x, flat, D)
+
+    y = np.asarray(f(jnp.asarray(x)))
+    flat = np.array([x[0], 1.0, x[1], 0.5, 0.0], np.float32)
+    expected = np.zeros(N // D, np.float32)
+    for m in range(N // D):
+        for t in range(5):
+            k = m * D - t
+            if 0 <= k < N:
+                expected[m] += flat[t] * x[k]
+    assert np.allclose(y, expected, atol=1e-5)

@@ -96,3 +96,19 @@ def test_lagrange_interp_exact_on_polynomials():
     y = np.asarray(interp.fractional_delay(jnp.asarray(x), mu))
     expected = 0.3 * (n - 1 - mu)**3 - 2 * (n - 1 - mu)**2 + (n - 1 - mu) - 5
     assert np.allclose(y[4:], expected[4:], rtol=1e-6)
+
+
+def test_planar_rx_matches_pairs_rx():
+    # make_rx_fn_planar(re, im) is the production entry (io/raw_iq
+    # unpacks to planes); it must be bit-identical to the pairs entry.
+    x, bits = _tx()
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.004 * n + 0.3))).astype(np.complex64)
+    cfg = qpsk_rx.QpskRxConfig()
+    pairs = np.stack([xc.real, xc.imag], -1).astype(np.float32)
+    sym_p, diag_p = qpsk_rx.make_rx_fn(cfg)(jnp.asarray(pairs))
+    sym_q, diag_q = qpsk_rx.make_rx_fn_planar(cfg)(
+        jnp.asarray(xc.real), jnp.asarray(xc.imag))
+    assert np.array_equal(np.asarray(sym_p), np.asarray(sym_q))
+    for k in diag_p:
+        assert np.array_equal(np.asarray(diag_p[k]), np.asarray(diag_q[k]))
