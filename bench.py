@@ -344,6 +344,23 @@ def bench_qpsk_rx():
     msps, best, R = _measure_row(make_step, (pairs,), n)
     _row("qpsk_rx_throughput", msps / 1e6)
 
+    # Planar entry (production ingest layout: io/raw_iq unpacks
+    # interleaved i16 to planes, so the receiver never pays the
+    # [N, 2] pair deinterleave — a 2/128-lane relayout).
+    rxp = qpsk_rx.make_rx_fn_planar(cfg)
+    re_d = jnp.asarray(pairs[:, 0])
+    im_d = jnp.asarray(pairs[:, 1])
+
+    def make_step_planar(re_d, im_d):
+        def body(c):
+            (acc,) = c
+            sym, _aux = rxp(re_d + acc * jnp.float32(1e-30), im_d)
+            return (acc + _cks(sym),)
+        return (_f32(0),), body
+
+    msps, best, R = _measure_row(make_step_planar, (re_d, im_d), n)
+    _row("qpsk_rx_planar_throughput", msps / 1e6)
+
 
 def bench_channelizer_pair():
     """XLA channelizer model vs its fused-Pallas path: same scan

@@ -98,21 +98,28 @@ def make_rx_fn_planar(cfg: QpskRxConfig):
 
 
 def _rx_core(cfg: QpskRxConfig, re, im):
-        x = jax.lax.complex(re, im)
-        n = x.shape[0]
+        # The whole core is PLANAR: complex64 is never materialized
+        # (each complex op would cost extra full-rate re/im extraction
+        # passes, and complex cannot cross the jit boundary on this
+        # runtime anyway — runtime/boundary.py).
+        n = re.shape[0]
 
         # --- coarse carrier frequency (pre-matched-filter; reference
         # tolerance is 0.01 rad/sample — a fine stage follows at
         # symbol rate).
-        f_est = demodulation.frequency_offset_estimate(x)
-        x = mixer.derotate_traced(x, f_est)
+        f_est = demodulation.frequency_offset_estimate_planar(re, im)
+        xr, xi = mixer.derotate_traced_planar(re, im, f_est)
 
         # --- matched filter (real-tap planar GEMM).
-        y, _ = fir.fir_block(x, cfg.mf, fir.init_ctx(cfg.num_taps))
+        yr, yi = fir.fir_apply_planar(xr, xi, cfg.mf)
 
         # --- timing (Mengali 8.4): estimate ~ -(sampling delay);
-        # correct with a traced-mu cubic Lagrange interpolator.
-        t_est = cfg.timing.estimate(y)
+        # correct with a traced-mu cubic Lagrange interpolator.  The
+        # correlation panels are computed ONCE and shared with the
+        # symbol-phase energy pick below (both are lagged-product
+        # statistics of y; see TimingEstimator.corr_panels).
+        panels = cfg.timing.corr_panels(yr, yi)
+        t_est = cfg.timing.estimate_from_panels(panels)
         delay = -t_est
         mu = delay - jnp.floor(delay)
         d_int = jnp.floor(delay).astype(jnp.int32)
@@ -125,19 +132,44 @@ def _rx_core(cfg: QpskRxConfig, re, im):
             jnp.where(jnp.eye(4, dtype=bool),
                       1.0, pts[:, None] - pts[None, :]), axis=1)
         lag = num / den                       # [4] traced f32
-        # Lagrange as one banded GEMM: B = sum_j lag[j] * E_j.  With
-        # zero context the first 3 outputs differ from the circular
-        # rolls; both are contaminated and masked below.
-        B_lag = jnp.tensordot(lag, jnp.asarray(cfg.lag_bands), axes=1)
-        yd, _ = fir.fir_block(y, B_lag, jnp.zeros((3,), y.dtype))
 
-        # --- symbol phase: pick the max-energy phase.  Computed on
-        # the unrolled yd (edge contamination is O(taps) of O(N)
-        # samples), then mapped through the shift so it matches the
-        # post-shift column argmax exactly.
-        e4 = jnp.sum(
-            (jnp.real(yd) ** 2 + jnp.imag(yd) ** 2)[
-                : (n // cfg.sps) * cfg.sps].reshape(-1, cfg.sps), axis=0)
+        # --- symbol phase: pick the max-energy phase of the
+        # Lagrange-interpolated signal.  e4[p] = sum_m |yd[sps*m+p]|^2
+        # with yd = FIR_lag(y) expands to a quadratic form in lag over
+        # phase-restricted lagged correlations of y,
+        #     e4[p] = Re sum_{j,j'} lag[j] lag[j']
+        #                 G[(p-j) mod sps, j-j'],
+        #     G[q,u] = sum_{i = q mod sps} y[i] conj(y[i+u]),
+        # and G is a diagonal functional of the timing panels already
+        # computed — so the pick costs no full-rate work at all.  (The
+        # previous full-rate yd GEMM + [N/sps, sps]-reshape reduce not
+        # only cost a pass, its sps-lane minor layout propagated
+        # upstream through argmax: +13 ms at 33M samples on v5e.)
+        # Panel edge terms differ from the zero-context yd by
+        # O((taps+ND)/N) of the energy — irrelevant to an argmax over
+        # a modulated signal's eye.
+        lanes = demodulation.TimingEstimator.LANES
+        if 0 < cfg.sps <= lanes and lanes % cfg.sps == 0:
+            P1, _p2, _p3, P4, meta = panels
+            Er_raw = P1 - P4            # Re(V^T @ conj-windows)
+            nd_t = meta["nd"]
+            u7 = np.arange(-(cfg.sps - 1), cfg.sps)      # [2*sps-1]
+            cols = np.arange(lanes)[:, None] + nd_t + u7[None, :]
+            Gr = jnp.take_along_axis(Er_raw, jnp.asarray(cols), axis=1)
+            Gr = Gr.reshape(lanes // cfg.sps, cfg.sps, u7.size).sum(0)
+            jj = np.arange(4)
+            qh = (np.arange(cfg.sps)[:, None] - jj[None, :]) % cfg.sps
+            uh = (jj[:, None] - jj[None, :]) + cfg.sps - 1
+            Gsel = Gr[jnp.asarray(qh)[:, :, None],
+                      jnp.asarray(uh)[None, :, :]]       # [sps, 4, 4]
+            e4 = jnp.einsum("j,k,pjk->p", lag, lag, Gsel)
+        else:
+            B_lag = jnp.tensordot(lag, jnp.asarray(cfg.lag_bands), axes=1)
+            y_c = jax.lax.complex(yr, yi)
+            yd, _ = fir.fir_block(y_c, B_lag, jnp.zeros((3,), y_c.dtype))
+            keep = (n // cfg.sps) * cfg.sps
+            en = (jnp.real(yd) ** 2 + jnp.imag(yd) ** 2)[:keep]
+            e4 = jnp.sum(en.reshape(-1, cfg.sps), axis=0)
         shift = d_int + 1  # +1: interpolator basepoint
         p_star = jnp.mod(jnp.argmax(e4).astype(jnp.int32) + shift,
                          cfg.sps)
@@ -157,9 +189,9 @@ def _rx_core(cfg: QpskRxConfig, re, im):
         tt = jnp.arange(3 * cfg.sps)
         flat = jnp.where((tt >= t0) & (tt < t0 + 4),
                          lag[jnp.clip(tt - t0, 0, 3)], 0.0)
-        sym_all = fir.fir_decimate_traced(y, flat, cfg.sps,
-                                          tail_zeros=cfg.sps)
-        sym = sym_all[1:]
+        sr_all, si_all = fir.fir_decimate_traced_planar(
+            yr, yi, flat, cfg.sps, tail_zeros=cfg.sps)
+        sr, si = sr_all[1:], si_all[1:]
 
         # Zero the contaminated block edges (Lagrange zero-context
         # head, shifted-off-the-end tail) — the same lo/hi rule the
@@ -167,24 +199,35 @@ def _rx_core(cfg: QpskRxConfig, re, im):
         # should skip the first few symbols either way).
         lo = 3 + jnp.maximum(shift2, 0)
         hi = n + jnp.minimum(shift2, 0)
-        m4 = jnp.arange(sym.shape[0]) * cfg.sps
-        sym = jnp.where((m4 < lo) | (m4 >= hi), 0.0 + 0.0j, sym)
+        m4 = jnp.arange(sr.shape[0]) * cfg.sps
+        valid = (m4 >= lo) & (m4 < hi)
+        sr = jnp.where(valid, sr, 0.0)
+        si = jnp.where(valid, si, 0.0)
 
         # --- fine carrier frequency at symbol rate: 4th power removes
-        # the QPSK modulation from the lag-1 product.
-        lag1 = (sym[1:] * jnp.conj(sym[:-1])) ** 4
-        w_fine = jnp.angle(jnp.sum(lag1)) / 4.0
-        sym = mixer.derotate_traced(sym, w_fine)
+        # the QPSK modulation from the lag-1 product (planar complex
+        # squaring twice = (t^2)^2).
+        tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
+        ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
+        t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
+        t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
+        w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
+        sr, si = mixer.derotate_traced_planar(sr, si, w_fine)
 
         # --- carrier phase (Mengali 5.7.4, M=4).  The estimator
         # aligns s^4 to the real axis, leaving the constellation on
         # the axes; rotate a further pi/4 back onto +-1+-1j.
-        p_est = demodulation.psk_phase_estimate(sym, 4)
-        sym = sym * jnp.exp(1j * (jnp.pi / 4 - p_est))  # scalar phasor
+        s2r, s2i = sr * sr - si * si, 2.0 * sr * si
+        s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
+        p_est = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
+        th = jnp.pi / 4 - p_est
+        c, s = jnp.cos(th), jnp.sin(th)
+        out_r = sr * c - si * s
+        out_i = si * c + sr * s
 
         diag = {"freq": f_est, "timing": t_est, "freq_fine": w_fine,
                 "phase": p_est, "sym_phase": p_star}
-        sym_planes = jnp.stack([jnp.real(sym), jnp.imag(sym)], axis=0)
+        sym_planes = jnp.stack([out_r, out_i], axis=0)
         return sym_planes, diag
 
 

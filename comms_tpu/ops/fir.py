@@ -45,6 +45,8 @@ __all__ = [
     "decimating_branch_taps",
     "fir_decimate_poly",
     "fir_decimate_traced",
+    "fir_decimate_traced_planar",
+    "fir_apply_planar",
     "poly_mac_frames",
 ]
 
@@ -163,6 +165,34 @@ def fir_block(x, taps, ctx, phases: int = _DEFAULT_PHASES,
         )  # [R, P]
     y = Y.reshape(R * P)[:N]
     return y, new_ctx
+
+
+def fir_apply_planar(xr, xi, B, phases: int = _DEFAULT_PHASES,
+                     precision=lax.Precision.HIGHEST):
+    """Real-tap FIR on re/im PLANES with zero initial context:
+    ``(yr, yi)`` planes out, never materializing complex64.  ``B`` is
+    a real ``banded_tap_matrix`` (2-D).  The planar twin of
+    ``fir_apply`` for pipelines that keep the signal planar
+    end-to-end."""
+    B = jnp.asarray(B)
+    P = B.shape[1]
+    T = B.shape[0] - P + 1
+    N = xr.shape[0]
+    if T == 1:
+        return xr * B[0, 0], xi * B[0, 0]
+    R = -(-N // P)
+    width = T + P - 1
+    last_off = P * ((width - 1) // P)
+    pad_tail = max(last_off + R * P - (T - 1 + N), 0)
+    Br = B.astype(xr.dtype)
+    outs = []
+    for plane in (xr, xi):
+        xpad = jnp.pad(plane, (T - 1, pad_tail))
+        W = _window_rows(xpad, R, P, T)
+        Y = jnp.dot(W, Br, preferred_element_type=plane.dtype,
+                    precision=precision)
+        outs.append(Y.reshape(R * P)[:N])
+    return outs[0], outs[1]
 
 
 def fir_apply(x, taps, phases: int = _DEFAULT_PHASES):
@@ -323,23 +353,32 @@ def fir_decimate_traced(x, flat_taps, rate: int, tail_zeros: int = 0,
     formulation; docs/PERF.md).
     """
     x = jnp.asarray(x)
+    B2, D, P, frames, width = _traced_band_setup(
+        flat_taps, int(x.shape[0]), rate, tail_zeros, phases)
+    MD = int(jnp.asarray(flat_taps).shape[0])
+    xe = jnp.concatenate(
+        [jnp.zeros((MD - 1,), x.dtype), x])  # zero head context
+    return _decimate_gemm_core(xe, B2, D, P, frames, width, precision)
+
+
+def _traced_band_setup(flat_taps, N: int, rate: int, tail_zeros: int,
+                       phases: int):
+    """Shared validation + traced banded matrix for the traced-tap
+    decimators.  B2[i, p] = flat[p*D + MD-1 - i] (0 outside the band)
+    via one small gather against a host index matrix (out-of-band ->
+    the appended zero)."""
     flat_taps = jnp.asarray(flat_taps)
     D, P = int(rate), int(phases)
     MD = int(flat_taps.shape[0])
     if MD % D:
         raise ValueError(f"flat_taps length {MD} must be a multiple of "
                          f"rate {D}")
-    N = int(x.shape[0])
     Z = int(tail_zeros)
     if (N + Z) % D:
         raise ValueError(f"block {N} + tail_zeros {Z} not a multiple "
                          f"of rate {D}")
     frames = (N + Z) // D
     width = (P - 1) * D + MD
-
-    # Device banded matrix from the traced taps: B2[i, p] =
-    # flat[p*D + MD-1 - i] (0 outside the band) via one small gather
-    # against a host index matrix (out-of-band -> the appended zero).
     i = np.arange(width)[:, None]
     p = np.arange(P)[None, :]
     t = p * D + MD - 1 - i
@@ -347,10 +386,32 @@ def fir_decimate_traced(x, flat_taps, rate: int, tail_zeros: int = 0,
     flat_e = jnp.concatenate(
         [flat_taps, jnp.zeros((1,), flat_taps.dtype)])
     B2 = flat_e[jnp.asarray(idx)]
+    return B2, D, P, frames, width
 
-    xe = jnp.concatenate(
-        [jnp.zeros((MD - 1,), x.dtype), x])  # zero head context
-    return _decimate_gemm_core(xe, B2, D, P, frames, width, precision)
+
+def fir_decimate_traced_planar(xr, xi, flat_taps, rate: int,
+                               tail_zeros: int = 0,
+                               phases: int = _DEFAULT_PHASES,
+                               precision=lax.Precision.HIGHEST):
+    """Planar twin of :func:`fir_decimate_traced` (real traced taps on
+    re/im planes): returns ``(yr, yi)`` frame planes, never
+    materializing complex64."""
+    B2, D, P, frames, width = _traced_band_setup(
+        flat_taps, int(xr.shape[0]), rate, tail_zeros, phases)
+    MD = int(jnp.asarray(flat_taps).shape[0])
+    R = -(-frames // P)
+    stride = P * D
+    last_off = stride * ((width - 1) // stride)
+    pad = max(last_off + R * stride - (MD - 1 + xr.shape[0]), 0)
+    outs = []
+    for plane in (xr, xi):
+        xpad = jnp.pad(plane, (MD - 1, pad))
+        W = _window_rows_strided(xpad, R, stride, width)
+        Y = jnp.dot(W, B2.astype(plane.dtype),
+                    preferred_element_type=plane.dtype,
+                    precision=precision)
+        outs.append(Y.reshape(R * P)[:frames])
+    return outs[0], outs[1]
 
 
 def poly_mac_frames(x, C, ctx):

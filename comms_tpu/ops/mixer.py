@@ -40,6 +40,7 @@ __all__ = [
     "phase_fix_to_angle",
     "mixer_block_fix",
     "derotate_traced",
+    "derotate_traced_planar",
 ]
 
 _TWO_PI = 2.0 * np.pi
@@ -157,7 +158,16 @@ def derotate_traced(x, freq, phase0=0.0):
     compute freq*k at f32 ulp of the full product).
     """
     x = jnp.asarray(x)
-    n = x.shape[0]
+    yr, yi = derotate_traced_planar(jnp.real(x), jnp.imag(x), freq,
+                                    phase0)
+    return jax.lax.complex(yr, yi)
+
+
+def derotate_traced_planar(xr, xi, freq, phase0=0.0):
+    """Planar twin of :func:`derotate_traced`: re/im planes in,
+    ``(yr, yi)`` planes out — for pipelines that keep the signal
+    planar end-to-end (complex64 is never materialized)."""
+    n = xr.shape[0]
     R = -(-n // 128)
     pad = R * 128 - n
     freq = jnp.asarray(freq, jnp.float32)
@@ -168,11 +178,11 @@ def derotate_traced(x, freq, phase0=0.0):
     cb, sb = jnp.cos(b)[None, :], jnp.sin(b)[None, :]
     c = ca * cb - sa * sb               # cos(phase0 + freq*k)
     s = sa * cb + ca * sb               # sin(phase0 + freq*k)
-    xr = jnp.pad(jnp.real(x), (0, pad)).reshape(R, 128)
-    xi = jnp.pad(jnp.imag(x), (0, pad)).reshape(R, 128)
-    yr = xr * c + xi * s                # x * (c - j*s)
-    yi = xi * c - xr * s
-    return jax.lax.complex(yr.reshape(-1)[:n], yi.reshape(-1)[:n])
+    x2r = jnp.pad(xr, (0, pad)).reshape(R, 128)
+    x2i = jnp.pad(xi, (0, pad)).reshape(R, 128)
+    yr = x2r * c + x2i * s              # x * (c - j*s)
+    yi = x2i * c - x2r * s
+    return yr.reshape(-1)[:n], yi.reshape(-1)[:n]
 
 
 def nco_block(perr, phase, dphase: float):
