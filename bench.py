@@ -224,8 +224,15 @@ def _measure_copy_gbps():
             return c * jnp.float32(1.0000001)
         return a, body
 
-    s = _slope_seconds(make_step, (x,), 8, 32)
-    return 2 * 4 * n / s / 1e9
+    # Median of three slopes: a single slope is noisy through the
+    # tunnel (observed 647-833 GB/s run to run), and the roofline
+    # denominator must not understate the machine (a large-DMA Pallas
+    # kernel can beat XLA's copy and read >100% of a low sample).
+    # Floor at the public spec: achieving spec is always possible.
+    samples = sorted(_slope_seconds(make_step, (x,), 8, 32)
+                     for _ in range(3))
+    s = samples[1]
+    return max(2 * 4 * n / s / 1e9, SPEC_HBM_GBPS)
 
 
 def _measure_matmul_tflops(bf16):
@@ -473,22 +480,29 @@ def bench_kernels():
     fres = _device_pairs((nf,), seed=20)
     fims = _device_pairs((nf,), seed=21)
 
-    def make_fir(use_pallas):
-        def make_step(res, ims):
-            z = jax.lax.complex(res, ims)
-            def body(c):
-                ctx, acc = c         # ctx chained: pass = next block
-                if use_pallas:
-                    y, ctx = FP.fir_block_pallas(z, taps63, ctx)
-                else:
-                    y, ctx = fir.fir_block(z, B, ctx)
-                return (ctx, acc + _cks(y))
-            return (fir.init_ctx(63), _f32(0)), body
-        return make_step
+    def make_fir_xla(res, ims):
+        z = jax.lax.complex(res, ims)
 
-    msps_x, best_x, R_x = _measure_row(make_fir(False), (fres, fims),
+        def body(c):
+            ctx, acc = c             # ctx chained: pass = next block
+            y, ctx = fir.fir_block(z, B, ctx)
+            return (ctx, acc + _cks(y))
+        return (fir.init_ctx(63), _f32(0)), body
+
+    def make_fir_pallas(res, ims):
+        # planar serving path: planes + [8,128] ctx planes chained —
+        # no complex materialization anywhere (the kernel's contract).
+        def body(c):
+            cr, ci, acc = c
+            yr, yi, cr, ci = FP.fir_planar_pallas(res, ims, taps63,
+                                                  cr, ci)
+            return (cr, ci, acc + _cks((yr, yi)))
+        cr0, ci0 = FP.planar_ctx_zero()
+        return (cr0, ci0, _f32(0)), body
+
+    msps_x, best_x, R_x = _measure_row(make_fir_xla, (fres, fims),
                                        per_pass)
-    msps_p, best_p, R_p = _measure_row(make_fir(True), (fres, fims),
+    msps_p, best_p, R_p = _measure_row(make_fir_pallas, (fres, fims),
                                        per_pass)
     _row("kernel_fir63_throughput", msps_x / 1e6,
          _roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x))

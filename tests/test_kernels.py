@@ -1,11 +1,21 @@
 """Pallas kernels vs their XLA reference ops (interpreter mode on the
-CPU mesh; the same calls run compiled on TPU via bench/verify)."""
+CPU mesh; the same calls run compiled on TPU via bench/verify).
+
+The FIR kernel's default mode is bf16 split-operand (x3) GEMMs:
+~1e-5 RELATIVE error vs the f32-HIGHEST XLA path, so assertions are
+relative-scale bounds, not absolute."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from comms_tpu.kernels import fir_block_pallas
+from comms_tpu.kernels import fir_pallas as FP
 from comms_tpu.ops import fir
+
+
+def _relmax(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / np.max(np.abs(b))
 
 
 def test_fir_pallas_matches_fir_block():
@@ -20,7 +30,7 @@ def test_fir_pallas_matches_fir_block():
     y_ref, ctx_ref = fir.fir_block(jnp.asarray(x), t, jnp.asarray(ctx))
     y, new_ctx = fir_block_pallas(jnp.asarray(x), t, jnp.asarray(ctx),
                                   tile_rows=16, interpret=True)
-    assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
+    assert _relmax(y, y_ref) < 5e-5
     assert np.array_equal(np.asarray(new_ctx), np.asarray(ctx_ref))
 
 
@@ -35,12 +45,12 @@ def test_fir_pallas_ragged_length():
     y, _ = fir_block_pallas(jnp.asarray(x), t, fir.init_ctx(T),
                             tile_rows=8, interpret=True)
     assert y.shape == (5000,)
-    assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
+    assert _relmax(y, y_ref) < 5e-5
 
 
 def test_fir_pallas_rejects_long_taps():
     # the validation itself must fire (interpret mode, so the error
-    # cannot come from an unrelated backend limitation), at the NEW
+    # cannot come from an unrelated backend limitation), at the
     # 1025-tap limit.
     import pytest
     with pytest.raises(ValueError, match="1025"):
@@ -51,9 +61,7 @@ def test_fir_pallas_rejects_long_taps():
 
 
 def test_fir_pallas_long_filter_257_taps():
-    # multi-piece window: 257 taps -> 3 banded-GEMM pieces.
-    from comms_tpu.kernels import fir_pallas as FP
-
+    # multi-piece aligned band: 257 taps -> off=256, 3 K=128 pieces.
     rng = np.random.default_rng(30)
     taps = (rng.normal(size=257) + 1j * rng.normal(size=257)
             ).astype(np.complex64)
@@ -65,6 +73,69 @@ def test_fir_pallas_long_filter_257_taps():
                                interpret=True)
     y_ref, _ = fir.fir_block(jnp.asarray(x), fir.banded_tap_matrix(taps),
                              jnp.asarray(ctx))
-    ref = np.asarray(y_ref)
-    scale = np.abs(ref).max()
-    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-5 * scale
+    assert _relmax(y, y_ref) < 1e-4
+
+
+def test_fir_planar_streaming_matches_one_shot():
+    """The planar kernel's carried [8,128] context planes: chopping the
+    stream into blocks must reproduce the one-shot output exactly (same
+    mode), and both must match the XLA oracle to bf16-split error."""
+    rng = np.random.default_rng(7)
+    T = 63
+    taps = (rng.normal(size=T) + 1j * rng.normal(size=T)
+            ).astype(np.complex64)
+    N = 16 * 128 * 4
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+
+    cr, ci = FP.planar_ctx_zero()
+    yr1, yi1, _, _ = FP.fir_planar_pallas(
+        jnp.asarray(xr), jnp.asarray(xi), taps, cr, ci,
+        tile_rows=16, interpret=True)
+
+    # two blocks with carried ctx
+    h = N // 2
+    cr, ci = FP.planar_ctx_zero()
+    ya_r, ya_i, cr, ci = FP.fir_planar_pallas(
+        jnp.asarray(xr[:h]), jnp.asarray(xi[:h]), taps, cr, ci,
+        tile_rows=16, interpret=True)
+    yb_r, yb_i, _, _ = FP.fir_planar_pallas(
+        jnp.asarray(xr[h:]), jnp.asarray(xi[h:]), taps, cr, ci,
+        tile_rows=16, interpret=True)
+    got_r = np.concatenate([np.asarray(ya_r), np.asarray(yb_r)])
+    got_i = np.concatenate([np.asarray(ya_i), np.asarray(yb_i)])
+    assert np.array_equal(got_r, np.asarray(yr1))
+    assert np.array_equal(got_i, np.asarray(yi1))
+
+    z = (xr + 1j * xi).astype(np.complex64)
+    y_ref, _ = fir.fir_block(jnp.asarray(z), taps, fir.init_ctx(T))
+    got = got_r + 1j * got_i
+    assert _relmax(got, y_ref) < 5e-5
+
+
+def test_fir_planar_real_taps_fast_path():
+    """Real taps take the 2-matmul path; parity vs the XLA oracle."""
+    rng = np.random.default_rng(8)
+    taps = rng.normal(size=63).astype(np.float32)
+    N = 8 * 128 * 2
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+    cr, ci = FP.planar_ctx_zero()
+    yr, yi, _, _ = FP.fir_planar_pallas(
+        jnp.asarray(xr), jnp.asarray(xi), taps, cr, ci,
+        tile_rows=8, interpret=True)
+    z = (xr + 1j * xi).astype(np.complex64)
+    y_ref, _ = fir.fir_block(jnp.asarray(z), taps.astype(np.complex64),
+                             fir.init_ctx(63))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert _relmax(got, y_ref) < 5e-5
+
+
+def test_fir_planar_rejects_bad_n():
+    import pytest
+    with pytest.raises(ValueError, match="multiple"):
+        cr, ci = FP.planar_ctx_zero()
+        FP.fir_planar_pallas(jnp.zeros(1000, jnp.float32),
+                             jnp.zeros(1000, jnp.float32),
+                             np.ones(5, np.float32), cr, ci,
+                             tile_rows=16, interpret=True)
