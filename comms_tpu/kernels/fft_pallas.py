@@ -59,8 +59,13 @@ def supported(n: int) -> bool:
 
 
 def rows_per_step(n: int) -> int:
-    """Row-tile size per grid step (2^18 samples per step)."""
-    return (1 << 18) // int(n)
+    """Row-tile size per grid step (2^17 samples per step).
+
+    Measured on v5e at n=1024: t=128 rows/step streams 49.7 Gsps vs
+    44.9 at t=256, and t=512 overflows the 16 MB scoped-VMEM budget
+    outright — smaller tiles pipeline the in-place HBM traffic
+    better."""
+    return (1 << 17) // int(n)
 
 
 def _snap(v: float) -> float:
@@ -120,17 +125,18 @@ def _twiddles(n: int, r1: int):
     return w.real.astype(np.float32), w.imag.astype(np.float32)
 
 
-def _dft128(split: bool):
+def _dft128(split: bool, scale: float = 1.0):
     """Host 128-point DFT matrix planar parts + Karatsuba sum.
 
     ``split=False``: three f32 matrices (for HIGHEST-precision dots).
     ``split=True``: each matrix as an exact (hi, lo) bf16 pair —
     B = hi + lo to ~2^-16 relative — so the kernel's dots run three
     bf16 MXU passes (hi*hi + hi*lo + lo*hi) instead of HIGHEST's six.
+    ``scale`` multiplies the whole transform for free (folded here).
     """
     b = np.arange(_LANES)[:, None]
     k2 = np.arange(_LANES)[None, :]
-    f = np.exp((-2j * np.pi / _LANES) * np.mod(b * k2, _LANES))
+    f = scale * np.exp((-2j * np.pi / _LANES) * np.mod(b * k2, _LANES))
     mats = [f.real.astype(np.float32), f.imag.astype(np.float32)]
     mats.append(mats[0] + mats[1])
     if not split:
@@ -143,24 +149,41 @@ def _dft128(split: bool):
     return out
 
 
+def _dft_pow2(tiles, r1: int):
+    """r1-point DFT across the tile list via radix-2 DIT butterflies:
+    r1*log2(r1)/2 butterflies (const cmul + add + sub) instead of the
+    r1^2 term-sum — the stage-1 VPU cost drops ~6x at r1=8, which
+    matters because the whole kernel is VPU-bound (docs/PERF.md).
+    Constants are snapped so w in {1, -1, +-j, +-sqrt(1/2)(1 -+ j)}
+    multiplies fold to adds/negates where exact."""
+    if r1 == 1:
+        return tiles
+    ev = _dft_pow2(tiles[0::2], r1 // 2)
+    od = _dft_pow2(tiles[1::2], r1 // 2)
+    half = r1 // 2
+    out = [None] * r1
+    for k in range(half):
+        th = -2.0 * math.pi * k / r1
+        c, s = _snap(math.cos(th)), _snap(math.sin(th))
+        tr, ti = _cmul_const(od[k][0], od[k][1], c, s)
+        er, ei = ev[k]
+        out[k] = (_acc(er, tr), _acc(ei, ti))
+        out[k + half] = (er - tr if tr is not None else er,
+                         ei - ti if ti is not None else ei)
+    return out
+
+
 def _stage12(xr, xi, wr, wi, r1: int, t: int):
     """Stages 1+2 of the four-step FFT on a [t, r1*128] planar tile.
 
     Returns Z-ordered planes ``(zs_r, zs_i)`` of shape [r1*t, 128],
     row = t*k1 + r, lane = k2 — bin k = r1*k2 + k1 of FFT row r.
     """
-    roots = _roots(r1)
     tiles = [(xr[:, _LANES * a:_LANES * (a + 1)],
               xi[:, _LANES * a:_LANES * (a + 1)]) for a in range(r1)]
+    ys = _dft_pow2(tiles, r1)
     ys_r, ys_i = [], []
-    for k1 in range(r1):
-        yr = None
-        yi = None
-        for a in range(r1):
-            c, s = roots[(a * k1) % r1]
-            tr, ti = _cmul_const(tiles[a][0], tiles[a][1], c, s)
-            yr = _acc(yr, tr)
-            yi = _acc(yi, ti)
+    for k1, (yr, yi) in enumerate(ys):
         if k1:                              # k1 = 0 twiddle is 1
             twr = wr[k1:k1 + 1, :]
             twi = wi[k1:k1 + 1, :]
@@ -217,12 +240,12 @@ def _fft_kernel(*refs, r1: int, t: int, nc: int):
     yi_out[:] = zs_i.T.reshape(n, t).T
 
 
-def _const_arrays(n: int, r1: int, precision: str):
+def _const_arrays(n: int, r1: int, precision: str, scale: float = 1.0):
     if precision not in ("split_bf16", "highest"):
         raise ValueError(f"precision must be split_bf16/highest, "
                          f"got {precision!r}")
     wr, wi = _twiddles(n, r1)
-    mats = _dft128(split=(precision == "split_bf16"))
+    mats = _dft128(split=(precision == "split_bf16"), scale=scale)
     arrays = [jnp.asarray(wr), jnp.asarray(wi)]
     arrays += [jnp.asarray(m) for m in mats]
     tw_spec = pl.BlockSpec((r1, _LANES), lambda g: (0, 0),
@@ -235,6 +258,7 @@ def _const_arrays(n: int, r1: int, precision: str):
 
 def fft_pallas_planar(re, im, n: int = 1024,
                       precision: str = "split_bf16",
+                      scale: float = 1.0,
                       interpret: bool = False):
     """Batched n-point FFT of planar f32 rows — the kernel's native
     zero-relayout interface.
@@ -245,6 +269,9 @@ def fft_pallas_planar(re, im, n: int = 1024,
       precision: "split_bf16" (3 MXU passes per dot, parity ~1e-6) or
         "highest" (6 passes, parity ~2e-7) — both well inside the
         reference node tolerance of 1e-5 (fft_node.rs:242-244).
+      scale: multiplies the transform at zero cost (folded into the
+        host DFT matrices) — e.g. 1/sqrt(n) for a unitary FFT, or the
+        plane-swap inverse ``ifft(z) = swap(fft(swap(z)))/n``.
     Returns ``(yr, yi)`` [rows, n] float32, natural bin order.
     """
     n = int(n)
@@ -266,7 +293,7 @@ def fft_pallas_planar(re, im, n: int = 1024,
         im = jnp.concatenate([im, z])
     steps = (rows + pad) // t
 
-    arrays, cspecs, nc = _const_arrays(n, r1, precision)
+    arrays, cspecs, nc = _const_arrays(n, r1, precision, scale=scale)
     kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc)
     row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
@@ -279,6 +306,13 @@ def fft_pallas_planar(re, im, n: int = 1024,
             jax.ShapeDtypeStruct((steps * t, n), jnp.float32),
             jax.ShapeDtypeStruct((steps * t, n), jnp.float32),
         ],
+        # In-place: output tile g depends only on input tile g, so the
+        # planes may be transformed in their own buffers.  XLA inserts
+        # copies automatically iff the inputs are still live after the
+        # call; in streaming loops (carried planes) no copy happens —
+        # without this, a fori_loop carry costs an extra 16 B/sample
+        # of buffer copies per pass, measured 25 -> 15 Gsps.
+        input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
             flops=steps * t * n * (8 * _LANES + 8 * r1),
             bytes_accessed=16 * steps * t * n,
@@ -392,8 +426,14 @@ def psd_pallas_planar(re, im, window, n: int = 1024,
             [row_weights, jnp.zeros((pad,), jnp.float32)])
     steps = (rows + pad) // t
 
-    win = np.broadcast_to(
-        np.asarray(window, np.float32).reshape(1, n), (8, n)).copy()
+    if isinstance(window, jax.Array):
+        # traced windows are legal (tiny operand; lets callers chain
+        # an anti-CSE perturbation through the window, bench.py)
+        win = jnp.broadcast_to(
+            window.astype(jnp.float32).reshape(1, n), (8, n))
+    else:
+        win = np.broadcast_to(
+            np.asarray(window, np.float32).reshape(1, n), (8, n)).copy()
     arrays, cspecs, nc = _const_arrays(n, r1, precision)
     kernel = functools.partial(_psd_kernel, r1=r1, t=t, nc=nc,
                                demean=bool(demean))

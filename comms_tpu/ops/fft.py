@@ -71,7 +71,8 @@ def _complex_like(x):
     return jnp.result_type(x.dtype, jnp.complex64)
 
 
-def fft_four_step(x, radix=None, precision=None):
+def fft_four_step(x, radix=None, precision=None, inverse: bool = False,
+                  scale: float | None = None):
     """Batched FFT over the last axis as TWO DFT MATMULS (four-step /
     Bailey): N = R*C, a cross-block R-point DFT, exact integer-mod
     twiddles, and a C-point DFT, all MXU-resident.
@@ -87,9 +88,21 @@ def fft_four_step(x, radix=None, precision=None):
       radix: optional (R, C) with R*C = N; default picks the largest
         R <= 128 dividing N (MXU-width contraction first).
       precision: dot precision (default HIGHEST — f32-exact results).
+      inverse: conjugate-exponent transform; with the default scale
+        (1/N when inverse) this matches ``jnp.fft.ifft``.
+      scale: multiplies the result at zero cost (folded into the
+        C-point DFT matrix); default 1 forward, 1/N inverse.
     """
     x = jnp.asarray(x)
     N = x.shape[-1]
+    if scale is None:
+        scale = 1.0 / N if inverse else 1.0
+    sgn = 2j if inverse else -2j
+
+    def _fallback(z):
+        y = jnp.fft.ifft(z) * (N * scale) if inverse else \
+            jnp.fft.fft(z) * scale if scale != 1.0 else jnp.fft.fft(z)
+        return y
     if radix is None:
         R = 128
         while R > 1 and N % R:
@@ -100,7 +113,7 @@ def fft_four_step(x, radix=None, precision=None):
             # N*C-flop stage) — the four-step form targets small-to-
             # mid N; for large transforms use jnp.fft or the
             # distributed FFT (parallel/dfft.py).
-            return jnp.fft.fft(x)
+            return _fallback(x)
         radix = (R, N // R)
     R, C = map(int, radix)
     if R * C != N:
@@ -111,18 +124,18 @@ def fft_four_step(x, radix=None, precision=None):
             "impractical (memory/flops grow quadratically); refactor N "
             "or use jnp.fft / parallel.dfft")
     if R == 1 or C == 1:
-        return jnp.fft.fft(x)
+        return _fallback(x)
     prec = precision if precision is not None else lax.Precision.HIGHEST
     cdtype = _complex_like(x)
 
     p = np.arange(R)
-    d_r = np.exp((-2j * np.pi / R) * np.mod(np.outer(p, p), R)
+    d_r = np.exp((sgn * np.pi / R) * np.mod(np.outer(p, p), R)
                  ).astype(cdtype)
     j = np.arange(C)
-    tw = np.exp((-2j * np.pi / N) * np.mod(np.outer(p, j), N)
+    tw = np.exp((sgn * np.pi / N) * np.mod(np.outer(p, j), N)
                 ).astype(cdtype)
-    d_c = np.exp((-2j * np.pi / C) * np.mod(np.outer(j, j), C)
-                 ).astype(cdtype)
+    d_c = (scale * np.exp((sgn * np.pi / C) * np.mod(np.outer(j, j), C))
+           ).astype(cdtype)
 
     lead = x.shape[:-1]
     xm = x.reshape((-1, R, C))

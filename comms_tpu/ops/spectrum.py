@@ -114,13 +114,22 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
     x = jnp.asarray(x)
     nperseg = int(nperseg)
     noverlap = nperseg // 2 if noverlap is None else int(noverlap)
-    w = np.asarray(window) if window is not None else hann(nperseg)
+    # Traced windows are legal (tiny [nperseg] operand); the window
+    # power correction then computes on device.
+    traced_w = isinstance(window, jax.Array)
+    if traced_w:
+        w = window.astype(jnp.float32)
+    else:
+        w = np.asarray(window) if window is not None else hann(nperseg)
     if w.shape[0] != nperseg:
         raise ValueError("window length must equal nperseg")
     if use_pallas is None:
         use_pallas = _auto_use_pallas(nperseg)
 
-    scale = 1.0 / (fs * float(np.sum(w ** 2)))
+    if traced_w:
+        scale = 1.0 / (fs * jnp.sum(w ** 2))
+    else:
+        scale = 1.0 / (fs * float(np.sum(w ** 2)))
     if use_pallas:
         from comms_tpu.kernels import fft_pallas as _FP
 
@@ -133,16 +142,16 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
                   else jnp.zeros_like(re))
             acc = _FP.psd_pallas_planar(re, im, w, n=nperseg,
                                         demean=True, interpret=interpret)
-            psd = acc * jnp.float32(scale / nseg)
+            psd = acc * jnp.asarray(scale / nseg, jnp.float32)
             return _fold(psd, nperseg, fs, onesided)
         # gather-pattern overlaps fall through to the XLA path
 
     segs = _segments(x, nperseg, noverlap)           # [nseg, nperseg]
     segs = segs - jnp.mean(segs, axis=1, keepdims=True)
-    wv = jnp.asarray(w.astype(np.float32))
+    wv = w if traced_w else jnp.asarray(w.astype(np.float32))
     spec = jnp.fft.fft(segs * wv[None, :], axis=1)
     p = jnp.mean(jnp.abs(spec) ** 2, axis=0)
-    psd = p * scale
+    psd = p * jnp.asarray(scale, p.dtype)
     return _fold(psd, nperseg, fs, onesided)
 
 
