@@ -514,39 +514,35 @@ def bench_kernels():
     # ---- polyphase decimating FIR /5 pair (the FM chain's hot pair,
     # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes, planar
     # planes, ctx chained through the scan.
-    from comms_tpu.kernels import poly_fir_pallas as PP
+    from comms_tpu.kernels import decim_fir_pallas as DFP
     from comms_tpu.models.fm_receiver import FM_LPF_TAPS
 
-    npal = PP.step_samples(5) * 512          # one whole 21M-sample block
+    npal = 128 * 5 * 128 * 256               # one whole 21M-sample block
     per_pass = npal
     res = _device_pairs((npal,), seed=14)
     ims = _device_pairs((npal,), seed=19)
     C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
-    def make_poly(use_pallas):
-        def make_step(res, ims):
-            if use_pallas:
-                z = jnp.zeros(PP.CTX_ROWS * 5 * 128, jnp.float32)
-                c0 = (z, z)
-            else:
-                c0 = jnp.zeros(C.size - 1, jnp.complex64)
+    def make_poly_xla(res, ims):
+        def body(c):
+            ctx, acc = c             # ctx chained: pass = next block
+            y, ctx = fir.fir_decimate_poly(
+                jax.lax.complex(res, ims), C, ctx)
+            return (ctx, acc + _cks(y))
+        return (jnp.zeros(C.size - 1, jnp.complex64), _f32(0)), body
 
-            def body(c):
-                ctx, acc = c         # ctx chained: pass = next block
-                if use_pallas:
-                    cr, ci = ctx
-                    yr, yi, cr, ci = PP.poly_fir_pallas_planar(
-                        res, ims, FM_LPF_TAPS, cr, ci, 5)
-                    return ((cr, ci), acc + _cks((yr, yi)))
-                y, ctx = fir.fir_decimate_poly(
-                    jax.lax.complex(res, ims), C, ctx)
-                return (ctx, acc + _cks(y))
-            return (c0, _f32(0)), body
-        return make_step
+    def make_poly_pallas(res, ims):
+        def body(c):
+            cr, ci, acc = c          # ctx chained: pass = next block
+            yr, yi, cr, ci = DFP.fir_decimate_planar_pallas(
+                res, ims, FM_LPF_TAPS.astype(np.float32), 5, cr, ci)
+            return (cr, ci, acc + yr[0] * jnp.float32(1e-30))
+        cr0, ci0 = DFP.decim_ctx_zero(5)
+        return (cr0, ci0, _f32(0)), body
 
-    msps_x, best_x, R_x = _measure_row(make_poly(False), (res, ims),
+    msps_x, best_x, R_x = _measure_row(make_poly_xla, (res, ims),
                                        per_pass)
-    msps_p, best_p, R_p = _measure_row(make_poly(True), (res, ims),
+    msps_p, best_p, R_p = _measure_row(make_poly_pallas, (res, ims),
                                        per_pass)
     bytes_pp = 8 * per_pass + 8 * per_pass // 5
     flops_pp = 8 * 63 * per_pass // 5
