@@ -46,7 +46,8 @@ class QpskRxConfig:
         # Real taps: fir_block runs two real GEMMs on the re/im planes
         # instead of a zero-imag complex GEMM.
         t = t / np.sqrt(np.sum(np.abs(t) ** 2))
-        self.mf = fir.banded_tap_matrix(np.real(t).astype(np.float32))
+        self.mf_taps = np.real(t).astype(np.float32)
+        self.mf = fir.banded_tap_matrix(self.mf_taps)
         self.timing = demodulation.TimingEstimator(
             n=self.sps, d=self.timing_d, alpha=self.beta)
         # One-hot banded matrices for the cubic-Lagrange interpolator:
@@ -110,8 +111,25 @@ def _rx_core(cfg: QpskRxConfig, re, im):
         f_est = demodulation.frequency_offset_estimate_planar(re, im)
         xr, xi = mixer.derotate_traced_planar(re, im, f_est)
 
-        # --- matched filter (real-tap planar GEMM).
-        yr, yi = fir.fir_apply_planar(xr, xi, cfg.mf)
+        # --- matched filter.  On TPU at kernel-friendly lengths the
+        # planar Pallas FIR (88% of the io floor, 5.5x the XLA banded
+        # GEMM — docs/PERF.md) takes it; the XLA real-tap planar GEMM
+        # is the oracle/fallback.  Zero head context either way.
+        n_static = int(n)
+        kern_tr = 0
+        if jax.devices()[0].platform == "tpu":
+            tr = 1024
+            while tr >= 8 and (n_static % (tr * 128)):
+                tr //= 2
+            kern_tr = tr if tr >= 8 else 0
+        if kern_tr:
+            from comms_tpu.kernels import fir_pallas as _FP
+
+            cz_r, cz_i = _FP.planar_ctx_zero()
+            yr, yi, _, _ = _FP.fir_planar_pallas(
+                xr, xi, cfg.mf_taps, cz_r, cz_i, tile_rows=kern_tr)
+        else:
+            yr, yi = fir.fir_apply_planar(xr, xi, cfg.mf)
 
         # --- timing (Mengali 8.4): estimate ~ -(sampling delay);
         # correct with a traced-mu cubic Lagrange interpolator.  The
