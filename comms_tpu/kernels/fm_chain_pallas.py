@@ -228,56 +228,70 @@ def _kernel(re_hbm, im_hbm, ctx_re, ctx_im, dctx, corr, prev_mid,
             audio_out,
             stage_re, stage_im, slab_re, slab_im, d640, carry, sem):
     g = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(g, jnp.int32(2))
 
     # ---- carry the input/demod halo zones forward (VMEM copies,
-    # tile-aligned), then start this step's aligned DMAs.
+    # tile-aligned).
     @pl.when(g > 0)
     def _():
         slab_re[0:_XHALO, :] = slab_re[_ROWS:_ROWS + _XHALO, :]
         slab_im[0:_XHALO, :] = slab_im[_ROWS:_ROWS + _XHALO, :]
         d640[0:_DHALO, :] = d640[_AROWS:_AROWS + _DHALO, :]
 
-    cp_r = pltpu.make_async_copy(
-        re_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
-        stage_re.at[pl.ds(0, _ROWS), :], sem.at[0])
-    cp_i = pltpu.make_async_copy(
-        im_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
-        stage_im.at[pl.ds(0, _ROWS), :], sem.at[1])
-    cp_r.start()
-    cp_i.start()
+    # ---- double-buffered input staging: step g's planes were
+    # prefetched during step g-1 (slot g%2); step g+1's DMA is issued
+    # as soon as this step's is drained, so it overlaps ALL of this
+    # step's compute.  (The serial start-then-wait form this replaced
+    # left the DMA engine idle during compute; the u8 ingest is small
+    # enough that this measured only ~+1.5% at 26M-sample dispatches,
+    # but it removes the per-step DMA latency from the critical path.)
+    def issue(j, s, op):
+        getattr(pltpu.make_async_copy(
+            re_hbm.at[pl.ds(j * _ROWS, _ROWS), :],
+            stage_re.at[s], sem.at[s, 0]), op)()
+        getattr(pltpu.make_async_copy(
+            im_hbm.at[pl.ds(j * _ROWS, _ROWS), :],
+            stage_im.at[s], sem.at[s, 1]), op)()
 
     @pl.when(g == 0)
     def _():
+        issue(0, 0, "start")
         # block context enters pre-rounded to s8 (offset binary
         # removed by the wrapper); the rounding residual arrives via
         # ``corr`` (see module docstring).
         c0 = pltpu.make_async_copy(ctx_re.at[pl.ds(0, _XHALO), :],
                                    slab_re.at[pl.ds(0, _XHALO), :],
-                                   sem.at[2])
+                                   sem.at[2, 0])
         c1 = pltpu.make_async_copy(ctx_im.at[pl.ds(0, _XHALO), :],
                                    slab_im.at[pl.ds(0, _XHALO), :],
-                                   sem.at[3])
+                                   sem.at[2, 1])
         c0.start()
         c1.start()
         c0.wait()
         c1.wait()
         c2 = pltpu.make_async_copy(dctx.at[pl.ds(0, _DHALO), :],
-                                   d640.at[pl.ds(0, _DHALO), :], sem.at[2])
+                                   d640.at[pl.ds(0, _DHALO), :],
+                                   sem.at[2, 0])
         c2.start()
         c2.wait()
         carry[0] = prev_mid[0]
         carry[1] = prev_mid[1]
 
-    cp_r.wait()
-    cp_i.wait()
+    issue(g, slot, "wait")
+
+    @pl.when(g + 1 < n)
+    def _():
+        issue(g + 1, 1 - slot, "start")
+
     # Offset-binary removal on packed words (x ^ 0x80 == x - 128),
     # then a value bitcast hands the bytes to the MXU as s8 — no
     # byte-unpack ever runs on the VPU.
     xor = jnp.int32(_XOR80)
     slab_re[_XHALO:, :] = pltpu.bitcast(
-        stage_re.bitcast(jnp.int32)[:] ^ xor, jnp.int8)
+        stage_re.bitcast(jnp.int32)[slot] ^ xor, jnp.int8)
     slab_im[_XHALO:, :] = pltpu.bitcast(
-        stage_im.bitcast(jnp.int32)[:] ^ xor, jnp.int8)
+        stage_im.bitcast(jnp.int32)[slot] ^ xor, jnp.int8)
 
     dc1 = consts[0]     # -0.5 * sum(q) / (S * 127.5)
     ca = consts[1]      # 65536 / (S * 127.5)
@@ -391,13 +405,13 @@ def fm_chain_fused(re_u8, im_u8, ctx, taps1, taps2, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((steps * _AROWS, _LANES),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_ROWS, _ROWW), jnp.uint8),      # DMA staging
-            pltpu.VMEM((_ROWS, _ROWW), jnp.uint8),
+            pltpu.VMEM((2, _ROWS, _ROWW), jnp.uint8),   # staging x2 slots
+            pltpu.VMEM((2, _ROWS, _ROWW), jnp.uint8),
             pltpu.VMEM((_ROWS + _XHALO, _ROWW), jnp.int8),
             pltpu.VMEM((_ROWS + _XHALO, _ROWW), jnp.int8),
             pltpu.VMEM((_AROWS + _DHALO, _ROWW), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 2 * steps * _MROWS * _LANES * (_LANES + _ROWW),
