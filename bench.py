@@ -625,25 +625,38 @@ def bench_kernels():
     # input perturbation pass: welch has no output to chain (it
     # reduces to bins), and perturbing the 16.8M-sample input costs
     # 16 B/sample — 2x the PSD path's entire 8 B/sample io floor.
+    # The Pallas row drives the plane-native serving entry
+    # (welch_psd_planar -> segment-free streaming accumulator); the
+    # XLA row keeps the complex welch_psd formulation.
     wbase = jnp.asarray(spectrum.hann(1024).astype(np.float32))
 
-    def make_welch(use_pallas):
-        def make_step(res, ims):
-            z = jax.lax.complex(res, ims).reshape(-1)
+    def make_welch_xla(res, ims):
+        z = jax.lax.complex(res, ims).reshape(-1)
 
-            def body(c):
-                (acc,) = c
-                _, p = spectrum.welch_psd(z, nperseg=1024,
-                                          window=wbase
-                                          + acc * jnp.float32(1e-30),
-                                          use_pallas=use_pallas)
-                return (acc + _cks(p),)
-            return (_f32(0),), body
-        return make_step
+        def body(c):
+            (acc,) = c
+            _, p = spectrum.welch_psd(z, nperseg=1024,
+                                      window=wbase
+                                      + acc * jnp.float32(1e-30),
+                                      use_pallas=False)
+            return (acc + _cks(p),)
+        return (_f32(0),), body
 
-    msps_wx, best_wx, R_wx = _measure_row(make_welch(False),
+    def make_welch_pallas(res, ims):
+        re = res.reshape(-1)
+        im = ims.reshape(-1)
+
+        def body(c):
+            (acc,) = c
+            _, p = spectrum.welch_psd_planar(
+                re, im, nperseg=1024,
+                window=wbase + acc * jnp.float32(1e-30))
+            return (acc + _cks(p),)
+        return (_f32(0),), body
+
+    msps_wx, best_wx, R_wx = _measure_row(make_welch_xla,
                                           (qres, qims), nsamp)
-    msps_wp, best_wp, R_wp = _measure_row(make_welch(True),
+    msps_wp, best_wp, R_wp = _measure_row(make_welch_pallas,
                                           (qres, qims), nsamp)
     _row("kernel_welch1024_throughput", msps_wx / 1e6,
          _roof(best_wx, 8 * nsamp, 2 * 5 * nsamp * 10, R_wx))

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fft_pallas", "fft_pallas_planar", "psd_pallas_planar",
-           "rows_per_step", "supported"]
+           "psd_stream_pallas_planar", "rows_per_step", "supported"]
 
 _LANES = 128
 
@@ -342,20 +342,14 @@ def fft_pallas(x, n: int = 1024, precision: str = "split_bf16",
     return jax.lax.complex(yr, yi)
 
 
-def _psd_kernel(*refs, r1: int, t: int, nc: int, demean: bool):
-    xr_ref, xi_ref, wr, wi = refs[:4]
-    consts = refs[4:4 + nc]
-    win, wrow = refs[4 + nc:6 + nc]
-    acc_out = refs[6 + nc]
-    g = pl.program_id(0)
+def _psd_tile(xin_r, xin_i, w1, wr, wi, consts, r1: int, t: int,
+              demean: bool):
+    """Window (+demean) + FFT + |.|^2 + row-reduce of one [t, n]
+    segment tile -> [r1, 128] Z-order partial bins.  Row validity
+    weights are folded into the input planes by the caller (weights
+    are 0/1, and power is quadratic in x, so w*|FFT(x)|^2 ==
+    |FFT(w*x)|^2 for w in {0,1})."""
     n = r1 * _LANES
-    w1 = win[0:1, :]
-    # Row validity weights fold into the input planes (weights are
-    # 0/1, and power is quadratic in x, so w*|FFT(x)|^2 ==
-    # |FFT(w*x)|^2 for w in {0,1}).
-    rw = wrow[:, 0:1]
-    xin_r = xr_ref[:] * rw
-    xin_i = xi_ref[:] * rw
     xr = xin_r * w1
     xi = xin_i * w1
     if demean:
@@ -372,7 +366,19 @@ def _psd_kernel(*refs, r1: int, t: int, nc: int, demean: bool):
     zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
     p = zs_r * zs_r + zs_i * zs_i            # [r1*t, 128], Z-order
     # Reduce rows within each k1 group -> [r1, 128] partial bins.
-    part = jnp.sum(p.reshape(r1, t, _LANES), axis=1)
+    return jnp.sum(p.reshape(r1, t, _LANES), axis=1)
+
+
+def _psd_kernel(*refs, r1: int, t: int, nc: int, demean: bool):
+    xr_ref, xi_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    win, wrow = refs[4 + nc:6 + nc]
+    acc_out = refs[6 + nc]
+    g = pl.program_id(0)
+    w1 = win[0:1, :]
+    rw = wrow[:, 0:1]
+    part = _psd_tile(xr_ref[:] * rw, xi_ref[:] * rw, w1, wr, wi,
+                     consts, r1, t, demean)
 
     @pl.when(g == 0)
     def _():
@@ -460,4 +466,154 @@ def psd_pallas_planar(re, im, window, n: int = 1024,
         interpret=interpret,
     )(re, im, *arrays, jnp.asarray(win), row_weights.reshape(-1, 1))
     # Z-order [r1, 128] -> natural [n]: bin r1*k2 + k1 = acc[k1, k2].
+    return acc.T.reshape(n)
+
+
+def _psd_stream_kernel(xr_hbm, xi_hbm, wr, wi, *rest, r1: int, t: int,
+                       nc: int, demean: bool, m: int):
+    consts = rest[:nc]
+    win = rest[nc]
+    acc_out = rest[nc + 1]
+    slab_r, slab_i, odd_scr_r, odd_scr_i, sem = rest[nc + 2:nc + 7]
+    g = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    n = r1 * _LANES
+    half = n // 2
+    slot = jax.lax.rem(g, jnp.int32(2))
+
+    def issue(j, s, op):
+        def full():
+            getattr(pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(j * t, t + 8), :],
+                slab_r.at[s], sem.at[s, 0]), op)()
+            getattr(pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(j * t, t + 8), :],
+                slab_i.at[s], sem.at[s, 1]), op)()
+
+        def short():
+            # final tile: only t rows exist; rows [t, t+8) are zeroed
+            # after the wait (their one consumer, the last odd
+            # segment, is weight-zeroed anyway).
+            getattr(pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(j * t, t), :],
+                slab_r.at[s, pl.ds(0, t), :], sem.at[s, 0]), op)()
+            getattr(pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(j * t, t), :],
+                slab_i.at[s, pl.ds(0, t), :], sem.at[s, 1]), op)()
+
+        if n_steps == 1:
+            short()
+        else:
+            jax.lax.cond(j == n_steps - 1, short, full)
+
+    @pl.when(g == 0)
+    def _():
+        issue(0, 0, "start")
+
+    issue(g, slot, "wait")
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        issue(g + 1, 1 - slot, "start")
+
+    @pl.when(g == n_steps - 1)
+    def _():
+        slab_r[slot, pl.ds(t, 8), :] = jnp.zeros((8, n), jnp.float32)
+        slab_i[slot, pl.ds(t, 8), :] = jnp.zeros((8, n), jnp.float32)
+
+    w1 = win[0:1, :]
+    # even segments 2k: x row k, all valid.
+    part = _psd_tile(slab_r[slot, 0:t, :], slab_i[slot, 0:t, :],
+                     w1, wr, wi, consts, r1, t, demean)
+    # odd segments 2k+1: [row k lanes half:, row k+1 lanes :half],
+    # staged through a scratch buffer by two stores (Mosaic cannot
+    # concat slices whose sublane offsets differ); global row g*t + r
+    # must be < m - 1 (the last x row has no successor) — fold the
+    # 0/1 validity into the planes.
+    odd_scr_r[:, :half] = slab_r[slot, 0:t, half:]
+    odd_scr_r[:, half:] = slab_r[slot, 1:t + 1, :half]
+    odd_scr_i[:, :half] = slab_i[slot, 0:t, half:]
+    odd_scr_i[:, half:] = slab_i[slot, 1:t + 1, :half]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) + g * t
+    ow = (rows < m - 1).astype(jnp.float32)
+    part = part + _psd_tile(odd_scr_r[:] * ow, odd_scr_i[:] * ow,
+                            w1, wr, wi, consts, r1, t, demean)
+
+    @pl.when(g == 0)
+    def _():
+        acc_out[:] = jnp.zeros_like(acc_out)
+
+    acc_out[:] += part
+
+
+def psd_stream_pallas_planar(re, im, window, n: int = 1024,
+                             demean: bool = True,
+                             precision: str = "split_bf16",
+                             interpret: bool = False):
+    """Welch PSD accumulator over RAW planar streams at 50% overlap —
+    segments are formed IN VMEM (even segments are slab rows, odd
+    segments two aligned half-row slices), so each input sample is
+    read from HBM exactly once: 8 B/sample of traffic versus the
+    40 B/sample of materialize-segments-then-accumulate (x read +
+    2x-expanded segment write + read).
+
+    Args:
+      re, im: [N] float32 planes, N % (rows_per_step(n) * n) == 0.
+      window: [n] host/f32/traced window.
+    Returns ``acc[n]`` float32: sum over the 2*(N/n) - 1 standard
+    Welch segments (start stride n/2) of |FFT(w*(x-mean))|^2, natural
+    bin order.
+    """
+    n = int(n)
+    if not supported(n):
+        raise ValueError(f"psd_stream supports n in 256/512/1024/2048, "
+                         f"got {n}")
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    t = rows_per_step(n)
+    N = int(re.shape[0])
+    if re.ndim != 1 or im.shape != re.shape:
+        raise ValueError("expected flat [N] f32 planes")
+    if N % (t * n):
+        raise ValueError(f"N={N} must be a multiple of "
+                         f"rows_per_step*n={t * n} (use psd_pallas_planar "
+                         f"with explicit segments otherwise)")
+    m = N // n
+    steps = m // t
+    r1 = n // _LANES
+
+    if isinstance(window, jax.Array):
+        win = jnp.broadcast_to(
+            window.astype(jnp.float32).reshape(1, n), (8, n))
+    else:
+        win = np.broadcast_to(
+            np.asarray(window, np.float32).reshape(1, n), (8, n)).copy()
+    arrays, cspecs, nc = _const_arrays(n, r1, precision)
+    kernel = functools.partial(_psd_stream_kernel, r1=r1, t=t, nc=nc,
+                               demean=bool(demean), m=m)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+                 + cspecs
+                 + [pl.BlockSpec((8, n), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((r1, _LANES), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r1, _LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, t + 8, n), jnp.float32),
+            pltpu.VMEM((2, t + 8, n), jnp.float32),
+            pltpu.VMEM((t, n), jnp.float32),
+            pltpu.VMEM((t, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * t * n * (8 * _LANES + 8 * r1 + 8),
+            bytes_accessed=8 * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(re.reshape(m, n), im.reshape(m, n), *arrays, jnp.asarray(win))
     return acc.T.reshape(n)

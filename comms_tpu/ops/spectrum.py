@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hann", "welch_psd", "spectrogram"]
+__all__ = ["hann", "welch_psd", "welch_psd_planar", "spectrogram"]
 
 
 def hann(n: int) -> np.ndarray:
@@ -98,6 +98,37 @@ def _auto_use_pallas(nperseg: int) -> bool:
     from comms_tpu.kernels import fft_pallas as _FP
 
     return _FP.supported(nperseg)
+
+
+def welch_psd_planar(re, im, nperseg: int = 1024, window=None,
+                     fs: float = 1.0, onesided: bool = False,
+                     interpret: bool = False):
+    """Plane-native Welch PSD at the standard 50% overlap — the
+    serving path: raw f32 re/im planes go straight into the
+    segment-free Pallas accumulator (no complex materialization, no
+    segment expansion).  Requires TPU-supported nperseg and block
+    length a multiple of ``rows_per_step(nperseg) * nperseg``;
+    ``welch_psd`` is the general entry."""
+    from comms_tpu.kernels import fft_pallas as _FP
+
+    nperseg = int(nperseg)
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if window is None:
+        w = hann(nperseg)
+        wpow = float(np.sum(w ** 2))
+        scale = 1.0 / (fs * wpow)
+    elif isinstance(window, jax.Array):
+        w = window.astype(jnp.float32)
+        scale = 1.0 / (fs * jnp.sum(w ** 2))
+    else:
+        w = np.asarray(window)
+        scale = 1.0 / (fs * float(np.sum(w ** 2)))
+    nseg = 2 * (int(re.shape[0]) // nperseg) - 1
+    acc = _FP.psd_stream_pallas_planar(re, im, w, n=nperseg,
+                                       demean=True, interpret=interpret)
+    psd = acc * jnp.asarray(scale / nseg, jnp.float32)
+    return _fold(psd, nperseg, fs, onesided)
 
 
 def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
