@@ -21,9 +21,21 @@ with TWO 64-sample frames packed per row, so
   MXU directly, no unpacking.
 
 The carried context (T-1 = 511 input samples) rides in the 8-row
-f32-aligned halo zone across sequential grid steps, exactly like
-``poly_fir_pallas``.  Supports any K dividing 128 (16/32/64/128 —
-the BASELINE config is 64); ``taps_per_branch`` M <= 16.
+f32-aligned halo zone across sequential grid steps.  Supports any K
+dividing 128 (16/32/64/128 — the BASELINE config is 64);
+``taps_per_branch`` M <= 16.
+
+Round-3 rework (measured on v5e, K=64 M=16, 16.8M-sample blocks,
+state chained): 10.5 -> 14.6 Gsps via (a) hoisting the per-term
+roll+select relayout — the lane remainders repeat with period 128/K,
+so K=64 needs only TWO rolled whole-slab views, each reused by 8
+terms as plain row slices; (b) bf16 hi/lo split x3 DFT dots (default
+``mode="split"``, ~1e-5 relative; ``"highest"`` keeps the 6-pass f32
+form); (c) double-buffered input DMA; (d) the next-context tail
+SLICE (the concatenate form it replaced silently copied the whole
+block: +32 B/sample).  The residual bound is the branch-MAC stage's
+M per-lane FMAs, which are inherently VPU work (stride-K taps make a
+banded-GEMM form ~70x MAC-wasteful).
 """
 
 from __future__ import annotations
@@ -81,79 +93,141 @@ def _advance(slab, delta: int, rows: int):
     return out[:rows, :]
 
 
-def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, fr, fi,
-            yr_out, yi_out, slab_r, slab_i, sem, *, M: int, k: int):
+def _bsplit(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(ah, al, bh, bl):
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
+            M: int, k: int, mode: str):
+    nmats = 6 if mode == "split" else 2
+    mats = mats_and_out[:nmats]
+    yr_out, yi_out, slab_r, slab_i, sem = mats_and_out[nmats:]
     g = pl.program_id(0)
-    hp = jax.lax.Precision.HIGHEST
+    n_steps = pl.num_programs(0)
+    slot = jax.lax.rem(g, jnp.int32(2))
 
-    @pl.when(g > 0)
-    def _():
-        slab_r[0:_HALO, :] = slab_r[_ROWS:_ROWS + _HALO, :]
-        slab_i[0:_HALO, :] = slab_i[_ROWS:_ROWS + _HALO, :]
-
-    cp_r = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
-        slab_r.at[pl.ds(_HALO, _ROWS), :], sem.at[0])
-    cp_i = pltpu.make_async_copy(
-        xi_hbm.at[pl.ds(g * _ROWS, _ROWS), :],
-        slab_i.at[pl.ds(_HALO, _ROWS), :], sem.at[1])
-    cp_r.start()
-    cp_i.start()
+    # ---- double-buffered slabs: step g's rows were prefetched into
+    # slab[slot] during step g-1; the 8-row halo is copied from the
+    # other slab's tail (the previous step's data).
+    def issue(j, s, op):
+        getattr(pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(j * _ROWS, _ROWS), :],
+            slab_r.at[s, pl.ds(_HALO, _ROWS), :], sem.at[s, 0]), op)()
+        getattr(pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(j * _ROWS, _ROWS), :],
+            slab_i.at[s, pl.ds(_HALO, _ROWS), :], sem.at[s, 1]), op)()
 
     @pl.when(g == 0)
     def _():
+        issue(0, 0, "start")
         c0 = pltpu.make_async_copy(cr_hbm.at[pl.ds(0, _HALO), :],
-                                   slab_r.at[pl.ds(0, _HALO), :], sem.at[2])
+                                   slab_r.at[0, pl.ds(0, _HALO), :],
+                                   sem.at[2, 0])
         c1 = pltpu.make_async_copy(ci_hbm.at[pl.ds(0, _HALO), :],
-                                   slab_i.at[pl.ds(0, _HALO), :], sem.at[3])
+                                   slab_i.at[0, pl.ds(0, _HALO), :],
+                                   sem.at[2, 1])
         c0.start()
         c1.start()
         c0.wait()
         c1.wait()
 
-    cp_r.wait()
-    cp_i.wait()
+    issue(g, slot, "wait")
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        issue(g + 1, 1 - slot, "start")
+
+    @pl.when(g > 0)
+    def _():
+        slab_r[slot, 0:_HALO, :] = slab_r[1 - slot,
+                                          _ROWS:_ROWS + _HALO, :]
+        slab_i[slot, 0:_HALO, :] = slab_i[1 - slot,
+                                          _ROWS:_ROWS + _HALO, :]
 
     # ---- branch MACs.  For packed output row r (frames 2r, 2r+1),
-    # lane l = c + 64j, term k reads global sample
-    #   x_first + 64*(2r + j) - 64k + c + 1
-    # (the +1 is decimating_branch_taps' C[k-1,c] = h[64k-1-c]
+    # lane l = c + 64j, term kk reads global sample
+    #   x_first + 64*(2r + j) - 64*kk + c + 1
+    # (the +1 is decimating_branch_taps' C[kk-1,c] = h[64kk-1-c]
     # convention).  With the 1024-sample halo zone, that is slab-flat
-    #   r*128 + l + (1024 + 1 - 64k) — a pure lane advance.
+    #   r*128 + l + (1024 + 1 - 64*kk) — a pure lane advance.
+    #
+    # The terms' lane remainders repeat with period 128/k, so the
+    # roll+row-roll+select relayout is hoisted: ONE rolled whole-slab
+    # view per distinct remainder, each term a plain row slice of it.
+    # (The per-term _advance form ran ~6 VPU ops/term/sample and was
+    # the kernel's measured bottleneck at M=16.)
     rows = _ROWS
-    vr = None
-    vi = None
+    sr = slab_r[slot]
+    si = slab_i[slot]
+    groups: dict = {}
     for kk in range(1, M + 1):
         delta = _HALO * _LANES + 1 - k * kk
-        xs_r = _advance(slab_r, delta, rows)
-        xs_i = _advance(slab_i, delta, rows)
-        ck = c2[kk - 1:kk, :]
-        t_r = ck * xs_r
-        t_i = ck * xs_i
-        vr = t_r if vr is None else vr + t_r
-        vi = t_i if vi is None else vi + t_i
+        q, rem = divmod(delta, _LANES)
+        groups.setdefault(rem, []).append((kk, q))
+    vr = None
+    vi = None
+    for rem, terms in groups.items():
+        if rem == 0:
+            rolled_r, rolled_i = sr, si
+        else:
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (rows + _HALO, _LANES), 1)
+            mask = lanes < _LANES - rem
 
-    # ---- per-frame 64-point DFT via the block-diagonal matmul.
-    # 3-matmul (Karatsuba) complex product: the kernel is MXU-bound on
-    # this stage (measured: the 4-matmul form capped ~650 Gsps against
-    # a ~15 TB/s memory SoL), so one matmul saved is ~25% of the time.
+            def rolled(slab):
+                a = pltpu.roll(slab, _LANES - rem, 1)
+                b = pltpu.roll(a, rows + _HALO - 1, 0)
+                return jnp.where(mask, a, b)
+
+            rolled_r = rolled(sr)
+            rolled_i = rolled(si)
+        for kk, q in terms:
+            ck = c2[kk - 1:kk, :]
+            t_r = ck * rolled_r[q:q + rows, :]
+            t_i = ck * rolled_i[q:q + rows, :]
+            vr = t_r if vr is None else vr + t_r
+            vi = t_i if vi is None else vi + t_i
+
+    # ---- per-frame 64-point DFT via the block-diagonal matmul,
+    # 3-matmul (Karatsuba) complex product:
     #   P1 = Vr F_r, P2 = Vi F_i, P3 = (Vr+Vi)(F_r+F_i)
     #   Re = P1 - P2, Im = P3 - P1 - P2
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=hp)
+    # split mode: bf16 hi/lo x3 passes per dot (2x HIGHEST's 6-pass
+    # f32 rate, ~1e-5 relative — same scheme as the FIR/FFT kernels).
+    if mode == "split":
+        frh, frl, fih, fil, fsh, fsl = mats
+        vrh, vrl = _bsplit(vr)
+        vih, vil = _bsplit(vi)
+        vsh, vsl = _bsplit(vr + vi)
+        p1 = _dot3(vrh, vrl, frh[:], frl[:])
+        p2 = _dot3(vih, vil, fih[:], fil[:])
+        p3 = _dot3(vsh, vsl, fsh[:], fsl[:])
+    else:
+        fr, fi = mats
+        hp = jax.lax.Precision.HIGHEST
 
-    fr_v = fr[:]
-    fi_v = fi[:]
-    p1 = dot(vr, fr_v)
-    p2 = dot(vi, fi_v)
-    p3 = dot(vr + vi, fr_v + fi_v)
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=hp)
+
+        fr_v = fr[:]
+        fi_v = fi[:]
+        p1 = dot(vr, fr_v)
+        p2 = dot(vi, fi_v)
+        p3 = dot(vr + vi, fr_v + fi_v)
     yr_out[:] = p1 - p2
     yi_out[:] = p3 - p1 - p2
 
 
 def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
-                             num_channels: int = K,
+                             num_channels: int = K, mode: str = "split",
                              interpret: bool = False):
     """Planar-plane variant of :func:`channelize_pallas` — the kernel's
     NATIVE layout, zero relayout on either side.
@@ -186,19 +260,38 @@ def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
         raise ValueError(f"N {N} must be a multiple of {step_samples()}")
     steps = N // step_samples()
 
+    if mode not in ("split", "highest"):
+        raise ValueError(f"mode must be 'split'/'highest', got {mode!r}")
     C = _fir.decimating_branch_taps(h, k).astype(np.float32)  # [M, K]
     c2 = np.concatenate([C] * (_LANES // k), axis=1)          # [M, 128]
     fr, fi = _dft_mats(k)
+    if mode == "split":
+        def hsplit(a):
+            hi = np.asarray(a, np.float32).astype(jnp.bfloat16)
+            lo = (a - np.asarray(hi, np.float64)).astype(
+                np.float32).astype(jnp.bfloat16)
+            return [jnp.asarray(np.asarray(hi)),
+                    jnp.asarray(np.asarray(lo))]
+
+        fmats = (hsplit(np.asarray(fr, np.float64))
+                 + hsplit(np.asarray(fi, np.float64))
+                 + hsplit(np.asarray(fr, np.float64)
+                          + np.asarray(fi, np.float64)))
+    else:
+        fmats = [jnp.asarray(fr), jnp.asarray(fi)]
 
     ctx_re = jnp.asarray(ctx_re)
     ctx_im = jnp.asarray(ctx_im)
     if ctx_re.shape[0] != CTX_SAMPLES:
         raise ValueError(f"ctx must be {CTX_SAMPLES} samples")
-    new_ctx_re = jnp.concatenate([ctx_re, re])[-CTX_SAMPLES:]
-    new_ctx_im = jnp.concatenate([ctx_im, im])[-CTX_SAMPLES:]
+    # N >= step_samples() > CTX_SAMPLES, so the next context is a tail
+    # SLICE of the input planes (the concatenate form this replaces
+    # copied the whole block: +32 B/sample of hidden wrapper traffic).
+    new_ctx_re = re[-CTX_SAMPLES:]
+    new_ctx_im = im[-CTX_SAMPLES:]
 
     out_rows = steps * _ROWS
-    kernel = functools.partial(_kernel, M=M, k=k)
+    kernel = functools.partial(_kernel, M=M, k=k, mode=mode)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(steps,),
@@ -209,11 +302,9 @@ def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, _LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
+                          memory_space=pltpu.VMEM)
+             for _ in fmats],
         out_specs=[
             pl.BlockSpec((_ROWS, _LANES), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -225,9 +316,9 @@ def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
             jax.ShapeDtypeStruct((out_rows, _LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_ROWS + _HALO + 1, _LANES), jnp.float32),
-            pltpu.VMEM((_ROWS + _HALO + 1, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, _ROWS + _HALO, _LANES), jnp.float32),
+            pltpu.VMEM((2, _ROWS + _HALO, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=out_rows * _LANES * (4 * M + 4 * _LANES * 3),
@@ -240,7 +331,7 @@ def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
         ctx_re.reshape(_HALO, _LANES),
         ctx_im.reshape(_HALO, _LANES),
         jnp.asarray(np.pad(c2, ((0, 16 - M), (0, 0)))),
-        jnp.asarray(fr), jnp.asarray(fi),
+        *fmats,
     )
     # packed [rows, 128] -> [frames, K] (contiguous reshape)
     return yr.reshape(-1, k), yi.reshape(-1, k), new_ctx_re, new_ctx_im

@@ -102,8 +102,9 @@ def test_band_monitor_pallas_path():
         y_x, s_x = blk_x(s_x, jnp.asarray(pairs))
         y_p, s_p = blk_p(s_p, jnp.asarray(pairs))
         scale = float(np.abs(np.asarray(y_x)).max())
+        # split-mode bf16 x3 DFT dots: ~1e-5 relative (PERF.md)
         assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_x))) \
-            < 1e-5 * scale, b
+            < 5e-5 * scale, b
 
 
 def test_pallas_path_rejects_oversized_prototype_at_build():
