@@ -132,3 +132,87 @@ def test_spectrogram_pallas_matches_xla():
                                           interpret=True))
     assert s_x.shape == s_p.shape
     assert _rel(s_p, s_x) < 1e-4
+
+
+def test_fft_pallas_folded_scale():
+    """``scale`` folds into the host DFT matrices at zero cost and
+    must match a post-multiplied jnp.fft exactly at kernel precision."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    z = (rng.standard_normal((8, 1024)) +
+         1j * rng.standard_normal((8, 1024))).astype(np.complex64)
+    s = 1.0 / 32.0
+    yr, yi = FP.fft_pallas_planar(
+        jnp.asarray(z.real.astype(np.float32)),
+        jnp.asarray(z.imag.astype(np.float32)), 1024, scale=s,
+        interpret=True)
+    ref = np.fft.fft(z, axis=1) * s
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert _rel(got, ref) < 1e-5
+
+
+def test_fft_plane_swap_involution():
+    """The bench's in-place chaining identity: with unitary scale
+    s = 1/sqrt(n), step(z) = swap(s*fft(swap(z))) applied twice is an
+    exact bin reversal — magnitudes (and L2 norm) are preserved
+    forever, which is what makes the chained streaming row stable."""
+    rng = np.random.default_rng(9)
+    n = 1024
+    z = (rng.standard_normal((4, n)) +
+         1j * rng.standard_normal((4, n))).astype(np.complex64)
+    s = 1.0 / np.sqrt(n)
+    re = jnp.asarray(z.real.astype(np.float32))
+    im = jnp.asarray(z.imag.astype(np.float32))
+    # step(z): call on swapped planes, swap the outputs back
+    ur, ui = FP.fft_pallas_planar(im, re, n, scale=s, interpret=True)
+    r1, i1 = ui, ur
+    ur2, ui2 = FP.fft_pallas_planar(jnp.asarray(i1), jnp.asarray(r1),
+                                    n, scale=s, interpret=True)
+    got = np.asarray(ui2) + 1j * np.asarray(ur2)
+    rev = z[:, np.mod(-np.arange(n), n)]
+    assert _rel(got, rev) < 1e-4
+    assert abs(np.linalg.norm(got) / np.linalg.norm(z) - 1.0) < 1e-5
+
+
+def _welch_oracle(x, n, w):
+    ref = np.zeros(n)
+    for s0 in np.arange(0, len(x) - n + 1, n // 2):
+        seg = x[s0:s0 + n].astype(np.complex128)
+        seg = seg - seg.mean()
+        ref += np.abs(np.fft.fft(seg * w)) ** 2
+    return ref
+
+
+def test_psd_stream_matches_welch_oracle():
+    """Segment-free streaming accumulator == materialized-segments
+    Welch, including the zero-weighted final odd segment and the
+    multi-grid-step path."""
+    rng = np.random.default_rng(10)
+    n = 1024
+    t = FP.rows_per_step(n)
+    w = spectrum.hann(n).astype(np.float32)
+    for steps in (1, 3):
+        N = t * n * steps
+        x = (rng.standard_normal(N) +
+             1j * rng.standard_normal(N)).astype(np.complex64)
+        acc = FP.psd_stream_pallas_planar(
+            jnp.asarray(x.real.astype(np.float32)),
+            jnp.asarray(x.imag.astype(np.float32)), w, n=n,
+            interpret=True)
+        ref = _welch_oracle(x, n, w)
+        assert _rel(np.asarray(acc, np.float64), ref) < 1e-4, steps
+
+
+def test_welch_psd_planar_matches_complex_entry():
+    rng = np.random.default_rng(11)
+    n = 1024
+    N = FP.rows_per_step(n) * n
+    x = (rng.standard_normal(N) +
+         1j * rng.standard_normal(N)).astype(np.complex64)
+    _, p_ref = spectrum.welch_psd(x, nperseg=n, use_pallas=False)
+    _, p_got = spectrum.welch_psd_planar(
+        jnp.asarray(x.real.astype(np.float32)),
+        jnp.asarray(x.imag.astype(np.float32)), nperseg=n,
+        interpret=True)
+    assert _rel(np.asarray(p_got), np.asarray(p_ref)) < 1e-4
