@@ -325,3 +325,98 @@ def test_sharded_psd_large_2pow20_local_radix():
     _, ref = spectrum.welch_psd(jnp.asarray(x), nperseg=F, noverlap=0)
     ref = np.asarray(ref)
     assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-5
+
+
+def test_sharded_planar_fir_kernel_matches_single_device():
+    """The round-3 planar FIR Pallas kernel composes with time-block
+    sharding: each shard runs the kernel on its planes (interpret mode
+    on the CPU mesh), with its [8,128] context planes delivered by one
+    ring ppermute of the left neighbor's 1024-sample tail — the same
+    overlap-save halo the XLA ops use.  Sharded == single-device
+    EXACTLY (identical kernel arithmetic, identical context values)."""
+    from comms_tpu.kernels import fir_pallas as FP
+
+    rng = np.random.default_rng(42)
+    n_dev = len(jax.devices())
+    per = 16 * 128            # one 16-row tile per shard
+    N = n_dev * per
+    taps = (rng.normal(size=63) + 1j * rng.normal(size=63)
+            ).astype(np.complex64)
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+
+    cz_r, cz_i = FP.planar_ctx_zero()
+    yr1, yi1, _, _ = FP.fir_planar_pallas(
+        jnp.asarray(xr), jnp.asarray(xi), taps, cz_r, cz_i,
+        tile_rows=16, interpret=True)
+
+    mesh = sh.time_mesh(n_dev)
+
+    def local(xr_l, xi_l):
+        # left neighbor's last 1024 samples -> my context planes
+        # (zeros arrive on shard 0, the stream start).
+        tail_r = xr_l[-FP._HALO_ROWS * 128:]
+        tail_i = xi_l[-FP._HALO_ROWS * 128:]
+        recv_r = lax.ppermute(
+            tail_r, "time",
+            [(i, i + 1) for i in range(n_dev - 1)])
+        recv_i = lax.ppermute(
+            tail_i, "time",
+            [(i, i + 1) for i in range(n_dev - 1)])
+        yr, yi, _, _ = FP.fir_planar_pallas(
+            xr_l, xi_l, taps,
+            recv_r.reshape(FP._HALO_ROWS, 128),
+            recv_i.reshape(FP._HALO_ROWS, 128),
+            tile_rows=16, interpret=True)
+        return yr, yi
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P("time"), P("time")),
+                           out_specs=(P("time"), P("time")),
+                           check_vma=False))   # pallas_call inside
+    yr8, yi8 = fn(jnp.asarray(xr), jnp.asarray(xi))
+    assert np.array_equal(np.asarray(yr8), np.asarray(yr1))
+    assert np.array_equal(np.asarray(yi8), np.asarray(yi1))
+
+
+def test_sharded_decim_kernel_matches_single_device():
+    """Same composition for the decimating kernel: the carried context
+    is one dec*128-sample wide row, so the halo is one ppermute of the
+    left neighbor's tail wide-row."""
+    from comms_tpu.kernels import decim_fir_pallas as DF
+
+    rng = np.random.default_rng(43)
+    n_dev = len(jax.devices())
+    D = 5
+    per = 8 * D * 128         # one 8-row tile per shard
+    N = n_dev * per
+    taps = rng.normal(size=63).astype(np.float32)
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+
+    cz_r, cz_i = DF.decim_ctx_zero(D)
+    yr1, yi1, _, _ = DF.fir_decimate_planar_pallas(
+        jnp.asarray(xr), jnp.asarray(xi), taps, D, cz_r, cz_i,
+        tile_rows=8, interpret=True)
+
+    mesh = sh.time_mesh(n_dev)
+    W = D * 128
+
+    def local(xr_l, xi_l):
+        recv_r = lax.ppermute(xr_l[-W:], "time",
+                              [(i, i + 1) for i in range(n_dev - 1)])
+        recv_i = lax.ppermute(xi_l[-W:], "time",
+                              [(i, i + 1) for i in range(n_dev - 1)])
+        yr, yi, _, _ = DF.fir_decimate_planar_pallas(
+            xr_l, xi_l, taps, D,
+            recv_r.reshape(1, W), recv_i.reshape(1, W),
+            tile_rows=8, interpret=True)
+        return yr, yi
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P("time"), P("time")),
+                           out_specs=(P("time"), P("time")),
+                           check_vma=False))   # pallas_call inside
+    yr8, yi8 = fn(jnp.asarray(xr), jnp.asarray(xi))
+    assert np.array_equal(np.asarray(yr8), np.asarray(yr1))
+    assert np.array_equal(np.asarray(yi8), np.asarray(yi1))
