@@ -480,13 +480,24 @@ def bench_kernels():
     fres = _device_pairs((nf,), seed=20)
     fims = _device_pairs((nf,), seed=21)
 
+    # Anti-CSE: the returned ctx is a SLICE OF THE INPUT (loop-
+    # invariant), so chaining it alone leaves the body invariant after
+    # iteration 1 and legally hoistable.  Fold the carried scalar
+    # checksum into the ctx: every pass's operands then depend on the
+    # previous pass's OUTPUT[0], so no CSE/hoist is possible, and the
+    # measured rate is UNCHANGED vs the (hoistable) input-slice form —
+    # evidence the recorded numbers were real execution all along.
+    # Chaining the output TAIL instead was tried and over-serializes
+    # (tail is the last thing computed, so the next pass's DMA cannot
+    # prefetch): 44.6 -> 28.6 Gsps Pallas, 22.5 -> 10.1 XLA poly.
     def make_fir_xla(res, ims):
         z = jax.lax.complex(res, ims)
 
         def body(c):
-            ctx, acc = c             # ctx chained: pass = next block
+            ctx, acc = c
             y, ctx = fir.fir_block(z, B, ctx)
-            return (ctx, acc + _cks(y))
+            s = acc + _cks(y)
+            return (ctx + s * jnp.complex64(1e-30), s)
         return (fir.init_ctx(63), _f32(0)), body
 
     def make_fir_pallas(res, ims):
@@ -496,9 +507,10 @@ def bench_kernels():
             cr, ci, acc = c
             yr, yi, cr, ci = FP.fir_planar_pallas(res, ims, taps63,
                                                   cr, ci)
-            # scalar checksum: ctx chaining is the dependency; an
-            # in-loop _cks gather measurably serializes Pallas rows
-            return (cr, ci, acc + yr[0] * jnp.float32(1e-30))
+            # scalar checksum: an in-loop _cks gather measurably
+            # serializes Pallas rows
+            s = acc + yr[0] * jnp.float32(1e-30)
+            return (cr + s * jnp.float32(1e-30), ci, s)
         cr0, ci0 = FP.planar_ctx_zero()
         return (cr0, ci0, _f32(0)), body
 
@@ -523,20 +535,24 @@ def bench_kernels():
     ims = _device_pairs((npal,), seed=19)
     C = fir.decimating_branch_taps(FM_LPF_TAPS.astype(np.float32), 5)
 
+    # Anti-CSE via the carried scalar folded into the ctx (the
+    # returned ctx alone is an input slice — see the dense FIR pair).
     def make_poly_xla(res, ims):
         def body(c):
-            ctx, acc = c             # ctx chained: pass = next block
+            ctx, acc = c
             y, ctx = fir.fir_decimate_poly(
                 jax.lax.complex(res, ims), C, ctx)
-            return (ctx, acc + _cks(y))
+            s = acc + _cks(y)
+            return (ctx + s * jnp.complex64(1e-30), s)
         return (jnp.zeros(C.size - 1, jnp.complex64), _f32(0)), body
 
     def make_poly_pallas(res, ims):
         def body(c):
-            cr, ci, acc = c          # ctx chained: pass = next block
+            cr, ci, acc = c
             yr, yi, cr, ci = DFP.fir_decimate_planar_pallas(
                 res, ims, FM_LPF_TAPS.astype(np.float32), 5, cr, ci)
-            return (cr, ci, acc + yr[0] * jnp.float32(1e-30))
+            s = acc + yr[0] * jnp.float32(1e-30)
+            return (cr + s * jnp.float32(1e-30), ci, s)
         cr0, ci0 = DFP.decim_ctx_zero(5)
         return (cr0, ci0, _f32(0)), body
 

@@ -78,30 +78,11 @@ def _dft_mats(k: int):
     return blk.real.astype(np.float32), blk.imag.astype(np.float32)
 
 
-def _advance(slab, delta: int, rows: int):
-    """[rows, 128] view advanced ``delta`` flat lanes into the slab:
-    result[r, l] = slab-flat[r*128 + l + delta].  Lane remainders use
-    the roll + row-roll + lane-select trick (no sublane re-slicing)."""
-    q, rem = divmod(int(delta), _LANES)
-    if rem == 0:
-        return slab[q:q + rows, :]
-    w = slab[q:q + rows + 1, :]
-    a = pltpu.roll(w, _LANES - rem, 1)   # a[r, l] = w[r, (l+rem)%128]
-    b = pltpu.roll(a, w.shape[0] - 1, 0)  # b[r, l] = w[r+1, ...]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    out = jnp.where(lanes < _LANES - rem, a, b)
-    return out[:rows, :]
-
-
-def _bsplit(a):
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _dot3(ah, al, bh, bl):
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+from comms_tpu.kernels._bf16 import (  # noqa: E402  (shared x3 split)
+    device_split as _bsplit,
+    dot3 as _dot3,
+    host_split as _hsplit,
+)
 
 
 def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
@@ -140,16 +121,21 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
 
     issue(g, slot, "wait")
 
-    @pl.when(g + 1 < n_steps)
-    def _():
-        issue(g + 1, 1 - slot, "start")
-
+    # Halo copy BEFORE issuing step g+1's prefetch: the prefetch
+    # writes slab[1-slot] rows [8, 136) and the halo reads rows
+    # [128, 136) of the same slab — starting the DMA first would race
+    # the read (caught in review; interpret mode serializes DMAs and
+    # cannot see it).
     @pl.when(g > 0)
     def _():
         slab_r[slot, 0:_HALO, :] = slab_r[1 - slot,
                                           _ROWS:_ROWS + _HALO, :]
         slab_i[slot, 0:_HALO, :] = slab_i[1 - slot,
                                           _ROWS:_ROWS + _HALO, :]
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        issue(g + 1, 1 - slot, "start")
 
     # ---- branch MACs.  For packed output row r (frames 2r, 2r+1),
     # lane l = c + 64j, term kk reads global sample
@@ -266,17 +252,10 @@ def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,
     c2 = np.concatenate([C] * (_LANES // k), axis=1)          # [M, 128]
     fr, fi = _dft_mats(k)
     if mode == "split":
-        def hsplit(a):
-            hi = np.asarray(a, np.float32).astype(jnp.bfloat16)
-            lo = (a - np.asarray(hi, np.float64)).astype(
-                np.float32).astype(jnp.bfloat16)
-            return [jnp.asarray(np.asarray(hi)),
-                    jnp.asarray(np.asarray(lo))]
-
-        fmats = (hsplit(np.asarray(fr, np.float64))
-                 + hsplit(np.asarray(fi, np.float64))
-                 + hsplit(np.asarray(fr, np.float64)
-                          + np.asarray(fi, np.float64)))
+        fmats = (list(_hsplit(np.asarray(fr, np.float64)))
+                 + list(_hsplit(np.asarray(fi, np.float64)))
+                 + list(_hsplit(np.asarray(fr, np.float64)
+                                + np.asarray(fi, np.float64))))
     else:
         fmats = [jnp.asarray(fr), jnp.asarray(fi)]
 

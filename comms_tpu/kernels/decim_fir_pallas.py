@@ -58,9 +58,12 @@ _F32 = jnp.float32
 
 
 def max_taps(dec: int) -> int:
-    """Largest supported tap count for decimation ``dec`` (the halo is
-    one wide row of ``dec*128`` samples)."""
-    return dec * _LANES + 1
+    """Largest supported tap count for decimation ``dec``: the carried
+    context is one wide row of ``W = dec*128`` samples and the taps
+    round up to a multiple of dec, so MD - 1 = dec*ceil(T/dec) - 1
+    must fit in W — i.e. T <= W, plus one for dec = 1 (MD = T there).
+    """
+    return _LANES + 1 if dec == 1 else dec * _LANES
 
 
 def decim_ctx_zero(dec: int, dtype=jnp.float32):
@@ -71,21 +74,11 @@ def decim_ctx_zero(dec: int, dtype=jnp.float32):
     return z, z
 
 
-def _split(a):
-    hi = a.astype(_BF)
-    lo = (a - hi.astype(_F32)).astype(_BF)
-    return hi, lo
-
-
-def _dot3(ah, al, bh, bl):
-    d = functools.partial(jnp.dot, preferred_element_type=_F32)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
-
-
-def _hsplit(a64):
-    hi = a64.astype(np.float32).astype(_BF)
-    lo = (a64 - np.asarray(hi, np.float64)).astype(np.float32).astype(_BF)
-    return jnp.asarray(np.asarray(hi)), jnp.asarray(np.asarray(lo))
+from comms_tpu.kernels._bf16 import (  # noqa: E402  (shared x3 split)
+    device_split as _split,
+    dot3 as _dot3,
+    host_split as _hsplit,
+)
 
 
 def _band(taps, dec: int):

@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from comms_tpu.kernels import _bf16
+
 __all__ = ["fft_pallas", "fft_pallas_planar", "psd_pallas_planar",
            "psd_stream_pallas_planar", "rows_per_step", "supported"]
 
@@ -143,9 +145,8 @@ def _dft128(split: bool, scale: float = 1.0):
         return mats
     out = []
     for m in mats:
-        hi = m.astype(jnp.bfloat16)
-        lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-        out += [hi, lo]
+        hi, lo = _bf16.host_split(m)
+        out += [np.asarray(hi), np.asarray(lo)]
     return out
 
 
@@ -211,14 +212,8 @@ def _cmatmul(yp_r, yp_i, consts):
     else:
         def dot(a, pair):
             bhi, blo = pair
-            ahi = a.astype(jnp.bfloat16)
-            alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def d(p, q):
-                return jnp.dot(p, q[:],
-                               preferred_element_type=jnp.float32)
-
-            return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+            ahi, alo = _bf16.device_split(a)
+            return _bf16.dot3(ahi, alo, bhi[:], blo[:])
 
         consts = [(consts[0], consts[1]), (consts[2], consts[3]),
                   (consts[4], consts[5])]

@@ -75,16 +75,11 @@ def planar_ctx_from_tail(xr, xi):
             xi[-_HALO_ROWS * _LANES:].reshape(_HALO_ROWS, _LANES))
 
 
-def _split(a):
-    hi = a.astype(_BF)
-    lo = (a - hi.astype(_F32)).astype(_BF)
-    return hi, lo
-
-
-def _dot3(ah, al, bh, bl):
-    """f32-grade a@b via 3 bf16 MXU passes (hi*hi + hi*lo + lo*hi)."""
-    d = functools.partial(jnp.dot, preferred_element_type=_F32)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+from comms_tpu.kernels._bf16 import (  # noqa: E402  (shared x3 split)
+    device_split as _split,
+    dot3 as _dot3,
+    host_split as _hsplit_shared,
+)
 
 
 def _kernel(xr_hbm, xi_hbm, cr, ci, *band_and_out, tile_rows: int,
@@ -96,7 +91,10 @@ def _kernel(xr_hbm, xi_hbm, cr, ci, *band_and_out, tile_rows: int,
          slab_r, slab_i, sem) = band_and_out
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    hrows = -(-(num_taps - 1) // _LANES)      # halo rows the band spans
+    # halo rows the band spans — MUST match _aligned_band's offset
+    # (off = 128 even for T = 1; deriving ceil((T-1)/128) = 0 there
+    # silently read the band's zero rows and returned zeros)
+    hrows = max(-(-(num_taps - 1) // _LANES), 1)
     npieces = hrows + 1                        # each piece K = 128
     slot = lax.rem(i, jnp.int32(2))  # literal stays i32 under x64 tests
     H = _HALO_ROWS
@@ -204,12 +202,7 @@ def _aligned_band(taps):
     return np.where((tt >= 0) & (tt < T), tp[np.clip(tt, 0, T - 1)], 0.0)
 
 
-def _hsplit(a64):
-    """Host-side hi/lo bf16 split of an f64 array (lo catches the full
-    f32-grade residual, computed in f64)."""
-    hi = a64.astype(np.float32).astype(_BF)
-    lo = (a64 - np.asarray(hi, np.float64)).astype(np.float32).astype(_BF)
-    return jnp.asarray(np.asarray(hi)), jnp.asarray(np.asarray(lo))
+_hsplit = _hsplit_shared
 
 
 def fir_planar_pallas(xr, xi, taps, ctx_r, ctx_i, tile_rows: int = 1024,

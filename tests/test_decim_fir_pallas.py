@@ -95,3 +95,21 @@ def test_validation_errors():
             jnp.zeros(1000, jnp.float32), jnp.zeros(1000, jnp.float32),
             np.ones(5, np.float32), 5, cr, ci, tile_rows=16,
             interpret=True)
+
+
+def test_max_taps_boundary_works():
+    """Regression: the advertised max_taps must actually trace and
+    match the oracle (dec*128 for dec>1 — the former dec*128+1 bound
+    produced an opaque empty-contraction error at trace time)."""
+    for dec in (1, 2, 5):
+        T = DF.max_taps(dec)
+        rng = np.random.default_rng(T)
+        N = 16 * dec * 128
+        x = (rng.normal(size=N) + 1j * rng.normal(size=N)
+             ).astype(np.complex64)
+        taps = rng.normal(size=T).astype(np.float32)
+        got = _run(x, taps, dec)
+        ref = _oracle(x, taps, dec)
+        assert np.max(np.abs(got - ref)) < 1e-4 * np.max(np.abs(ref)), dec
+        with pytest.raises(ValueError, match="taps"):
+            _run(x, np.ones(T + 1, np.float32), dec)

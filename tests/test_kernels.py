@@ -139,3 +139,18 @@ def test_fir_planar_rejects_bad_n():
                              jnp.zeros(1000, jnp.float32),
                              np.ones(5, np.float32), cr, ci,
                              tile_rows=16, interpret=True)
+
+
+def test_fir_planar_single_tap_gain():
+    """Regression: T=1 (pure gain) must not return zeros — the kernel's
+    halo-row count must match the band's minimum 128-lane offset."""
+    rng = np.random.default_rng(12)
+    N = 8 * 128
+    xr = rng.normal(size=N).astype(np.float32)
+    xi = rng.normal(size=N).astype(np.float32)
+    cr, ci = FP.planar_ctx_zero()
+    yr, yi, _, _ = FP.fir_planar_pallas(
+        jnp.asarray(xr), jnp.asarray(xi), np.array([2.0], np.float32),
+        cr, ci, tile_rows=8, interpret=True)
+    assert np.allclose(np.asarray(yr), 2.0 * xr, atol=1e-2)
+    assert np.allclose(np.asarray(yi), 2.0 * xi, atol=1e-2)
