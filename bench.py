@@ -140,6 +140,26 @@ def _cks(y):
     return tot
 
 
+def _chain(state, s):
+    """Fold the carried scalar checksum into every float leaf of a
+    model state (x + s*1e-30): makes each pass's operands depend on
+    the previous pass's OUTPUT, so no part of the body is
+    syntactically loop-invariant and hoistable — several model states
+    are otherwise pure input slices after the first pass (the FIR
+    rows measured real rates either way, but hoisting would be LEGAL
+    and a compiler upgrade must not be able to fake a record)."""
+    import jax
+    import jax.numpy as jnp
+
+    def leaf(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a + (s * jnp.float32(1e-30)).astype(a.dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.complexfloating):
+            return a + (s * jnp.float32(1e-30)).astype(a.dtype)
+        return a
+    return jax.tree_util.tree_map(leaf, state)
+
+
 def _row(metric, msps, extra=None):
     r = {"metric": metric, "value": round(msps, 2), "unit": "Msamples/s",
          "vs_baseline": round(msps / BASELINE_MSPS, 1)}
@@ -390,7 +410,8 @@ def bench_channelizer_pair():
             def body(c):
                 st, acc = c          # state chained: pass = next block
                 y, st = blk(st, res, ims)
-                return (st, acc + _cks(y))
+                s = acc + _cks(y)
+                return (_chain(st, s), s)
             return (state, _f32(0)), body
         return make_step
 
@@ -424,7 +445,8 @@ def bench_band_monitor():
         def body(c):
             st, acc = c              # state chained: pass = next block
             y, st = blk(st, block)
-            return (st, acc + _cks(y))
+            s = acc + _cks(y)
+            return (_chain(st, s), s)
         return (state, _f32(0)), body
 
     msps, best, R = _measure_row(
@@ -718,21 +740,24 @@ def bench_fm_receiver():
         def body(c):
             st, acc = c
             y, st = blk(st, iq)
-            return (st, acc + _cks(y))
+            s = acc + _cks(y)
+            return (_chain(st, s), s)
         return (state, _f32(0)), body
 
     def make_pipe(state, iq):
         def body(c):
             st, acc = c
             ys, st = pipe.step(st, iq)
-            return (st, acc + _cks(ys))
+            s = acc + _cks(ys)
+            return (_chain(st, s), s)
         return (state, _f32(0)), body
 
     def make_fused(state, re8, im8):
         def body(c):
             st, acc = c
             y, st = fblk(st, re8, im8)
-            return (st, acc + _cks(y))
+            s = acc + _cks(y)
+            return (_chain(st, s), s)
         return (state, _f32(0)), body
 
     msps_x, best_x, R_x = _measure_row(

@@ -41,8 +41,13 @@ def host_split(a64):
     """Host-side hi/lo bf16 split of an f64 array — the lo term
     captures the full f32-grade residual (computed in f64), so
     hi + lo reproduces the f64 value to ~2^-16 relative and the
-    split itself adds no device work."""
+    split itself adds no device work.
+
+    Returns NUMPY arrays (ml_dtypes bf16): a ``jnp.asarray`` here
+    would yield tracers when the caller runs under an outer trace
+    (e.g. a bench fori_loop body), and callers that np-convert or
+    cache the result would then blow up (`_dft128` did)."""
     a64 = np.asarray(a64, np.float64)
     hi = a64.astype(np.float32).astype(_BF)
     lo = (a64 - np.asarray(hi, np.float64)).astype(np.float32).astype(_BF)
-    return jnp.asarray(np.asarray(hi)), jnp.asarray(np.asarray(lo))
+    return np.asarray(hi), np.asarray(lo)
