@@ -468,18 +468,30 @@ def bench_wideband_psd():
 
     F, B = 1 << 20, 32
     mesh = sh.time_mesh(1)
-    psd = wideband.make_sharded_psd(F, mesh)
+    # historical row: the dfft/jnp.fft formulation (use_pallas=False —
+    # the default would auto-pick the four-step Pallas kernel here)
+    psd_x = wideband.make_sharded_psd(F, mesh, use_pallas=False)
+    psd_p = wideband.make_sharded_psd(F, mesh, use_pallas=True)
     pairs = _device_pairs((B, F, 2), seed=24)
 
-    def make_step(pairs):
-        def body(c):
-            (acc,) = c
-            y = psd(pairs + acc * jnp.float32(1e-30))
-            return (acc + _cks(y),)
-        return (_f32(0),), body
+    def make_maker(psd):
+        def make_step(pairs):
+            def body(c):
+                (acc,) = c
+                y = psd(pairs + acc * jnp.float32(1e-30))
+                return (acc + _cks(y),)
+            return (_f32(0),), body
+        return make_step
 
-    msps, best, R = _measure_row(make_step, (pairs,), B * F)
+    msps, best, R = _measure_row(make_maker(psd_x), (pairs,), B * F)
     _row("wideband_psd_2pow20_throughput", msps / 1e6)
+    # Pallas pair row: same shapes/semantics through the tiled
+    # four-step PSD kernel (stage A 8+8+4 B/sample, stage B 8 + the
+    # VMEM-resident bin-grid accumulator)
+    msps, best, R = _measure_row(make_maker(psd_p), (pairs,), B * F)
+    _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
+         _roof(best, 36 * B * F, 2200 * B * F, R,
+               peak_tflops=_RUN_TFLOPS_BF16))
 
 
 def bench_kernels():

@@ -1,0 +1,331 @@
+"""Pallas TPU kernels: large-N FFT / Welch PSD via a tiled four-step.
+
+Why: the VMEM-resident FFT kernel (:mod:`fft_pallas`) tops out at
+N = 2048 — one row tile must hold whole transforms.  Larger spectra
+(the wideband monitor's 2^20-bin PSD, `parallel/wideband.py`) fall
+back to `jnp.fft`, which stages every pass through HBM: the recorded
+row ran at 2.3 Gsps, ~25x below the chip's io floor.
+
+This module decomposes N = N1 * N2 (both in fft_pallas's supported
+set, so 2^16..2^22) into two batched-1024-class Pallas stages that
+reuse fft_pallas's VPU-radix + MXU-DFT machinery:
+
+  view      x[n] -> A[n1, n2],  n = n1*N2 + n2   (row-major reshape)
+  stage A   D[n2, k1]  = sum_n1 A[n1, n2] W_N1(n1 k1)   per n2-tile:
+            DMA a [N1, ct] column slab, transpose in VMEM, row-FFT
+            (fft_pallas._stage12 + Karatsuba MXU matmul), then the
+            four-step twiddle W_N(n2 k1) — built in-register from two
+            host tables via the angle-addition identity, never
+            streamed — and one contiguous [ct, N1] write.
+  stage B   X[k1 + N1 k2] = sum_n2 D'[n2, k1] W_N2(n2 k2)  per
+            k1-tile: DMA a [N2, ct] column slab of D', transpose,
+            row-FFT.  The PSD variant squares and accumulates into a
+            VMEM-resident [N1, N2] bin grid across segments (output
+            revisiting with the segment axis innermost), so segment
+            spectra never exist in HBM.
+
+HBM traffic per sample: 8 (A in) + 4 (window) + 8 (A out) + 8 (B in)
+= 28 B vs jnp.fft's measured ~140 B; the [N1, ct] column slabs are
+512-byte-row strided DMAs (ct = 128 lanes of f32).
+
+Functional parity target: the reference's SampleFFT + Welch use
+(``/root/reference/src/fft/mod.rs:73-96``) at the node tolerance of
+per-bin error < 1e-5 (``src/fft/fft_node.rs:242-244``); consumer
+semantics match ``ops/spectrum.welch_psd`` (demean, window, |.|^2,
+segment mean) as used by ``parallel/wideband.make_sharded_psd``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from comms_tpu.kernels import fft_pallas as _FP
+
+__all__ = ["psd_big_pallas_planar", "fft_big_pallas_planar",
+           "factorize", "supported_big"]
+
+_LANES = 128
+_CT = 128          # column-tile width (n2 lanes per stage-A step)
+
+
+def factorize(n: int):
+    """Pick (N1, N2) with N1*N2 == n, both in fft_pallas's supported
+    set, as square as possible.  Returns None if no pair exists."""
+    best = None
+    for n1 in (2048, 1024, 512, 256):
+        if n % n1:
+            continue
+        n2 = n // n1
+        if not _FP.supported(n2):
+            continue
+        if best is None or abs(n1 - n2) < abs(best[0] - best[1]):
+            best = (n1, n2)
+    return best
+
+
+def supported_big(n: int) -> bool:
+    return factorize(int(n)) is not None
+
+
+def _angle_tables(n: int, n1: int, ct: int, c_steps: int):
+    """Host planar tables for the four-step twiddle W_N(n2*k1),
+    n2 = c*ct + r: V[r, k1] = W_N(r*k1), U[c, k1] = W_N(c*ct*k1) —
+    exact integer-mod angles in f64, combined in-kernel by one complex
+    multiply (angle addition) so the [N2, N1] twiddle matrix is never
+    materialized or streamed."""
+    k1 = np.arange(n1)[None, :].astype(np.int64)
+    r = np.arange(ct)[:, None].astype(np.int64)
+    c = np.arange(c_steps)[:, None].astype(np.int64)
+    v = np.exp((-2j * np.pi / n) * np.mod(r * k1, n))
+    u = np.exp((-2j * np.pi / n) * np.mod(c * ct * k1, n))
+    return (v.real.astype(np.float32), v.imag.astype(np.float32),
+            u.real.astype(np.float32), u.imag.astype(np.float32))
+
+
+def _const2(n: int, r1: int, precision: str):
+    """fft_pallas._const_arrays with 2-D-grid index maps (its specs
+    are built for 1-D grids)."""
+    arrays, _, nmats = _FP._const_arrays(n, r1, precision)
+    zero = lambda s, c: (0, 0)
+    specs = ([pl.BlockSpec((r1, _LANES), zero,
+                           memory_space=pltpu.VMEM)] * 2
+             + [pl.BlockSpec((_LANES, _LANES), zero,
+                             memory_space=pltpu.VMEM)] * nmats)
+    return arrays, specs, nmats
+
+
+def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
+                   demean: bool):
+    """One (segment, n2-tile) step: transpose, demean+window, N1-FFT,
+    four-step twiddle, contiguous write."""
+    xr_ref, xi_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    i = 4 + nc
+    vr, vi, ur, ui = refs[i:i + 4]
+    i += 4
+    if windowed:
+        wt = refs[i]
+        i += 1
+    if demean:
+        means = refs[i]
+        i += 1
+    dr_out, di_out = refs[i:i + 2]
+
+    xr = xr_ref[0].T                     # [N1, ct] -> [ct, N1]
+    xi = xi_ref[0].T
+    if demean:
+        s = pl.program_id(0)
+        xr = xr - means[s, 0]            # SMEM scalars
+        xi = xi - means[s, 1]
+    if windowed:
+        w = wt[:]
+        xr = xr * w
+        xi = xi * w
+    yp_r, yp_i = _FP._stage12(xr, xi, wr, wi, r1, ct)
+    zs_r, zs_i = _FP._cmatmul(yp_r, yp_i, consts)
+    n1 = r1 * _LANES
+    # natural-order unshuffle: d[r, r1*k2 + k1] = zs[ct*k1 + r, k2]
+    d_r = zs_r.T.reshape(n1, ct).T
+    d_i = zs_i.T.reshape(n1, ct).T
+    # four-step twiddle W_N(n2*k1) = U[c] * V[r]  (angle addition)
+    u_r, u_i = ur[0, 0:1, :], ui[0, 0:1, :]       # [1, N1]
+    tw_r = u_r * vr[:] - u_i * vi[:]     # [ct, N1]
+    tw_i = u_r * vi[:] + u_i * vr[:]
+    dr_out[0] = d_r * tw_r - d_i * tw_i
+    di_out[0] = d_r * tw_i + d_i * tw_r
+
+
+def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int):
+    """One (k1-tile, segment) step: transpose, N2-FFT, |.|^2,
+    accumulate into the resident [ct, N2] bin-grid tile."""
+    dr_ref, di_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    acc_out = refs[4 + nc]
+    s = pl.program_id(1)
+    xr = dr_ref[0].T                     # [N2, ct] -> [ct, N2]
+    xi = di_ref[0].T
+    yp_r, yp_i = _FP._stage12(xr, xi, wr, wi, r1, ct)
+    zs_r, zs_i = _FP._cmatmul(yp_r, yp_i, consts)
+    n2 = r1 * _LANES
+    x_r = zs_r.T.reshape(n2, ct).T       # [ct, N2] natural k2 order
+    x_i = zs_i.T.reshape(n2, ct).T
+    part = x_r * x_r + x_i * x_i
+
+    @pl.when(s == 0)
+    def _():
+        acc_out[:] = jnp.zeros_like(acc_out)
+
+    acc_out[:] += part
+
+
+def _stageB_fft_kernel(*refs, r1: int, ct: int, nc: int):
+    dr_ref, di_ref, wr, wi = refs[:4]
+    consts = refs[4:4 + nc]
+    yr_out, yi_out = refs[4 + nc:6 + nc]
+    xr = dr_ref[0].T
+    xi = di_ref[0].T
+    yp_r, yp_i = _FP._stage12(xr, xi, wr, wi, r1, ct)
+    zs_r, zs_i = _FP._cmatmul(yp_r, yp_i, consts)
+    n2 = r1 * _LANES
+    yr_out[0] = zs_r.T.reshape(n2, ct).T
+    yi_out[0] = zs_i.T.reshape(n2, ct).T
+
+
+def _prep(re, im, n1: int, n2: int):
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if re.ndim != 2 or im.shape != re.shape:
+        raise ValueError("expected [segments, N] planar f32 pair, got "
+                         f"{re.shape} / {im.shape}")
+    if re.shape[1] != n1 * n2:
+        raise ValueError(f"N = {re.shape[1]} != n1*n2 = {n1 * n2}")
+    if not (_FP.supported(n1) and _FP.supported(n2)):
+        raise ValueError(f"n1={n1}, n2={n2} must both be in "
+                         "fft_pallas's supported set (256..2048)")
+    if n2 % _CT:
+        raise ValueError(f"n2={n2} must divide by the column tile {_CT}")
+    b = re.shape[0]
+    return (re.reshape(b, n1, n2).astype(jnp.float32),
+            im.reshape(b, n1, n2).astype(jnp.float32), b)
+
+
+def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret):
+    r1 = n1 // _LANES
+    csteps = n2 // _CT
+    windowed = window is not None
+    demean = means is not None
+    arrays, cspecs, nc = _const2(n1, r1, precision)
+    vr, vi, ur, ui = _angle_tables(n1 * n2, n1, _CT, csteps)
+    kernel = functools.partial(_stageA_kernel, r1=r1, ct=_CT, nc=nc,
+                               windowed=windowed, demean=demean)
+    in_specs = (
+        [pl.BlockSpec((1, n1, _CT), lambda s, c: (s, 0, c),
+                      memory_space=pltpu.VMEM)] * 2
+        + cspecs
+        + [pl.BlockSpec((_CT, n1), lambda s, c: (0, 0),
+                        memory_space=pltpu.VMEM)] * 2     # V
+        # U rows, 8-sublane broadcast to satisfy the (8, 128) block
+        # tiling floor (the kernel reads sublane 0 only)
+        + [pl.BlockSpec((1, 8, n1), lambda s, c: (c, 0, 0),
+                        memory_space=pltpu.VMEM)] * 2
+    )
+    ub = lambda a: jnp.broadcast_to(
+        jnp.asarray(a)[:, None, :], (csteps, 8, n1))
+    operands = [re3, im3] + arrays + [jnp.asarray(vr), jnp.asarray(vi),
+                                      ub(ur), ub(ui)]
+    if windowed:
+        wt = np.ascontiguousarray(
+            np.asarray(window, np.float32).reshape(n1, n2).T)
+        in_specs.append(pl.BlockSpec((_CT, n1), lambda s, c: (c, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(wt))
+    if demean:
+        # whole [B, 2] array in SMEM; the kernel indexes by segment id
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(means, jnp.float32))
+    out_spec = pl.BlockSpec((1, _CT, n1), lambda s, c: (s, c, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, csteps),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=b * n1 * n2 * (8 * _LANES + 8 * r1 + 16),
+            bytes_accessed=(16 + (4 if windowed else 0)) * b * n1 * n2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
+                          means=None, precision: str = "split_bf16",
+                          interpret: bool = False):
+    """Sum over segments of |FFT_N((x - mean) * w)|^2, N = n1*n2.
+
+    Args:
+      re, im: [segments, N] float32 planes, one N-point segment per
+        row (N = n1 * n2, both factors in fft_pallas's 256..2048 set).
+      window: optional host [N] f32 window (applied per segment).
+      means: optional [segments, 2] f32 per-segment (re, im) means,
+        subtracted before windowing — Welch's demean convention; the
+        caller computes them (one XLA reduction) because stage A's
+        first tile cannot see the whole segment.
+    Returns ``acc[N]`` float32, natural bin order: the un-normalized
+    Welch numerator (divide by segments * sum(w^2) for the density).
+    """
+    n1, n2 = int(n1), int(n2)
+    re3, im3, b = _prep(re, im, n1, n2)
+    dr, di = _stageA(re3, im3, b, n1, n2, window, means, precision,
+                     interpret)
+    r1b = n2 // _LANES
+    arrays, cspecs, nc = _const2(n2, r1b, precision)
+    kernel = functools.partial(_stageB_psd_kernel, r1=r1b, ct=_CT,
+                               nc=nc)
+    in_spec = pl.BlockSpec((1, n2, _CT), lambda c, s: (s, 0, c),
+                           memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n1 // _CT, b),             # segment axis innermost:
+        in_specs=[in_spec, in_spec] + cspecs,
+        out_specs=pl.BlockSpec((_CT, n2), lambda c, s: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n1 * n2 * (8 * _LANES + 8 * r1b + 8),
+            bytes_accessed=8 * b * n1 * n2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dr, di, *arrays)
+    # acc[k1, k2] -> natural bin k = k1 + n1*k2.
+    return acc.T.reshape(n1 * n2)
+
+
+def fft_big_pallas_planar(re, im, n1: int, n2: int,
+                          precision: str = "split_bf16",
+                          interpret: bool = False):
+    """Batched N-point FFT (N = n1*n2) of planar f32 rows.
+
+    Returns ``(yr, yi)`` [segments, N] float32, natural bin order.
+    Same machinery as :func:`psd_big_pallas_planar` without the
+    squared-accumulate (stage B writes spectra instead).
+    """
+    n1, n2 = int(n1), int(n2)
+    re3, im3, b = _prep(re, im, n1, n2)
+    dr, di = _stageA(re3, im3, b, n1, n2, None, None, precision,
+                     interpret)
+    r1b = n2 // _LANES
+    arrays, cspecs, nc = _const2(n2, r1b, precision)
+    kernel = functools.partial(_stageB_fft_kernel, r1=r1b, ct=_CT,
+                               nc=nc)
+    in_spec = pl.BlockSpec((1, n2, _CT), lambda s, c: (s, 0, c),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, _CT, n2), lambda s, c: (s, c, 0),
+                            memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(b, n1 // _CT),
+        in_specs=[in_spec, in_spec] + cspecs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=b * n1 * n2 * (8 * _LANES + 8 * r1b),
+            bytes_accessed=24 * b * n1 * n2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dr, di, *arrays)
+    # y[k1, k2] -> natural k = k1 + n1*k2 per segment.
+    n = n1 * n2
+    return (jnp.swapaxes(yr, 1, 2).reshape(b, n),
+            jnp.swapaxes(yi, 1, 2).reshape(b, n))

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["fft_block", "ifft_block", "fft_reblock",
-           "fft_four_step"]
+           "fft_four_step", "fft_large"]
 
 
 def fft_block(x, fft_size: int):
@@ -69,6 +69,37 @@ def fft_reblock(samples, fft_size: int):
 
 def _complex_like(x):
     return jnp.result_type(x.dtype, jnp.complex64)
+
+
+def fft_large(x, use_pallas=None, interpret: bool = False):
+    """Batched large-N FFT over the last axis (N in 2^16..2^22 with a
+    two-factor decomposition into 256..2048-point stages).
+
+    Routes through the tiled four-step Pallas kernel
+    (:mod:`comms_tpu.kernels.fft_big_pallas` — segment-tile VMEM
+    stages, measured ~8x jnp.fft at 2^20) when supported; falls back
+    to ``jnp.fft.fft`` otherwise.  Complex-in/complex-out shim; the
+    plane-native kernel entry is ``fft_big_pallas_planar``.
+    """
+    import jax
+
+    from comms_tpu.kernels import fft_big_pallas as _FB
+
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
+    if use_pallas is None:
+        use_pallas = (_FB.supported_big(n)
+                      and jax.devices()[0].platform == "tpu")
+    if not use_pallas:
+        return jnp.fft.fft(x, axis=-1).astype(_complex_like(x))
+    n1, n2 = _FB.factorize(n)
+    lead = x.shape[:-1]
+    rows = x.reshape(-1, n)
+    yr, yi = _FB.fft_big_pallas_planar(
+        jnp.real(rows).astype(jnp.float32),
+        jnp.imag(rows).astype(jnp.float32), n1, n2,
+        interpret=interpret)
+    return lax.complex(yr, yi).reshape(*lead, n)
 
 
 def fft_four_step(x, radix=None, precision=None, inverse: bool = False,

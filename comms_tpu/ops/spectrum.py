@@ -95,9 +95,10 @@ def _segment_parts(x, nperseg: int, noverlap: int):
 def _auto_use_pallas(nperseg: int) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
+    from comms_tpu.kernels import fft_big_pallas as _FB
     from comms_tpu.kernels import fft_pallas as _FP
 
-    return _FP.supported(nperseg)
+    return _FP.supported(nperseg) or _FB.supported_big(nperseg)
 
 
 def welch_psd_planar(re, im, nperseg: int = 1024, window=None,
@@ -162,17 +163,30 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
     else:
         scale = 1.0 / (fs * float(np.sum(w ** 2)))
     if use_pallas:
+        from comms_tpu.kernels import fft_big_pallas as _FB
         from comms_tpu.kernels import fft_pallas as _FP
 
+        small = _FP.supported(nperseg)
         segs = _segment_parts(x, nperseg, noverlap)
-        if segs is not None:
+        # the big-N kernel's transposed window is a host constant, so
+        # traced windows fall through to XLA there
+        if segs is not None and (small or not traced_w):
             nseg = segs.shape[0]
             re = jnp.real(segs).astype(jnp.float32)
             im = (jnp.imag(segs).astype(jnp.float32)
                   if jnp.iscomplexobj(segs)
                   else jnp.zeros_like(re))
-            acc = _FP.psd_pallas_planar(re, im, w, n=nperseg,
-                                        demean=True, interpret=interpret)
+            if small:
+                acc = _FP.psd_pallas_planar(
+                    re, im, w, n=nperseg, demean=True,
+                    interpret=interpret)
+            else:
+                n1f, n2f = _FB.factorize(nperseg)
+                means = jnp.stack([jnp.mean(re, axis=1),
+                                   jnp.mean(im, axis=1)], -1)
+                acc = _FB.psd_big_pallas_planar(
+                    re, im, n1f, n2f, window=w, means=means,
+                    interpret=interpret)
             psd = acc * jnp.asarray(scale / nseg, jnp.float32)
             return _fold(psd, nperseg, fs, onesided)
         # gather-pattern overlaps fall through to the XLA path

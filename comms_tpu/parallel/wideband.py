@@ -127,7 +127,8 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
 
 
 def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
-                     window=None, local_radix=None):
+                     window=None, local_radix=None, use_pallas=None,
+                     interpret: bool = False):
     """Wideband spectral monitor on a sharded stream: a Welch-averaged
     PSD whose FFT is the distributed transposed FFT
     (:mod:`comms_tpu.parallel.dfft` inlined per shard — the dfft's
@@ -140,19 +141,52 @@ def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
     segments are averaged.  Window defaults to periodic Hann;
     normalization matches :func:`comms_tpu.ops.spectrum.welch_psd`
     (fs = 1, density, window power corrected).
+
+    ``use_pallas``: on a trivial (1-shard) mesh with ``fft_size``
+    factorizable into two supported stage lengths, route the whole
+    Welch numerator through the tiled four-step Pallas kernel
+    (:func:`comms_tpu.kernels.fft_big_pallas.psd_big_pallas_planar` —
+    segment spectra never exist in HBM; measured ~8x the jnp.fft
+    formulation at 2^20).  ``None`` auto-selects it on TPU; the
+    multi-shard path always uses the distributed FFT.
     """
     from comms_tpu.ops import spectrum
     from comms_tpu.parallel import dfft as dfft_mod
 
-    d = dfft_mod.make_dfft(fft_size, mesh, axis, local_radix=local_radix)
     n = mesh.shape[axis]
-    local_f = fft_size // n
     w = np.asarray(window if window is not None
                    else spectrum.hann(fft_size), np.float64)
     if w.shape[0] != fft_size:
         raise ValueError("window length must equal fft_size")
     scale = 1.0 / float(np.sum(w ** 2))
     w32 = w.astype(np.float32)
+
+    from comms_tpu.kernels import fft_big_pallas as _FB
+
+    if use_pallas is None:
+        use_pallas = (n == 1 and _FB.supported_big(fft_size)
+                      and jax.devices()[0].platform == "tpu")
+    if use_pallas:
+        if n != 1:
+            raise ValueError("use_pallas PSD path needs a 1-shard mesh "
+                             "(the multi-shard path is the dfft)")
+        n1f, n2f = _FB.factorize(fft_size)
+
+        @jax.jit
+        def fast(pairs):                         # [B, F, 2]
+            re = pairs[..., 0]
+            im = pairs[..., 1]
+            means = jnp.stack([jnp.mean(re, axis=1),
+                               jnp.mean(im, axis=1)], -1)
+            acc = _FB.psd_big_pallas_planar(
+                re, im, n1f, n2f, window=w32, means=means,
+                interpret=interpret)
+            return acc * (scale / pairs.shape[0])
+
+        return fast
+
+    d = dfft_mod.make_dfft(fft_size, mesh, axis, local_radix=local_radix)
+    local_f = fft_size // n
 
     def local(pairs_l):                          # [B, F/n, 2]
         x = lax.complex(pairs_l[..., 0], pairs_l[..., 1])

@@ -1,0 +1,143 @@
+"""Tiled four-step large-N FFT / Welch PSD kernels (interpret mode on
+CPU; the same calls run compiled on TPU via bench/verify).
+
+Parity bound: each stage is a split-bf16 batched FFT at ~1e-6
+relative, so the cascaded transform is held to the reference node
+tolerance of 1e-5 (fft_node.rs:242-244) at relative scale.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comms_tpu.kernels import fft_big_pallas as FB
+
+
+def _relmax(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / np.max(np.abs(b))
+
+
+def test_factorize():
+    assert FB.factorize(1 << 20) == (1024, 1024)
+    assert FB.factorize(1 << 18) == (512, 512)
+    n1, n2 = FB.factorize(1 << 19)
+    assert n1 * n2 == 1 << 19 and {n1, n2} == {512, 1024}
+    assert FB.supported_big(1 << 16)
+    assert FB.supported_big(1 << 22)
+    assert not FB.supported_big(1 << 23)    # 2048*4096: no pair
+    assert not FB.supported_big(3 * (1 << 16))
+
+
+def test_fft_big_matches_numpy():
+    rng = np.random.default_rng(0)
+    n1, n2 = 256, 512
+    N = n1 * n2
+    x = (rng.normal(size=(2, N)) + 1j * rng.normal(size=(2, N))
+         ).astype(np.complex64)
+    yr, yi = FB.fft_big_pallas_planar(
+        x.real.copy(), x.imag.copy(), n1, n2, interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=1)
+    assert _relmax(got, ref) < 1e-5
+
+
+def test_psd_big_matches_numpy_welch_numerator():
+    rng = np.random.default_rng(1)
+    n1, n2 = 256, 256
+    N = n1 * n2
+    B = 3
+    x = (rng.normal(size=(B, N)) + 1j * rng.normal(size=(B, N))
+         ).astype(np.complex64)
+    w = np.hanning(N).astype(np.float32)
+    means = np.stack([x.real.mean(1), x.imag.mean(1)], -1
+                     ).astype(np.float32)
+    acc = FB.psd_big_pallas_planar(
+        x.real.copy(), x.imag.copy(), n1, n2, window=w, means=means,
+        interpret=True)
+    xm = x - x.mean(axis=1, keepdims=True)
+    ref = (np.abs(np.fft.fft(xm * w[None, :], axis=1)) ** 2).sum(0)
+    assert np.max(np.abs(np.asarray(acc) - ref)) / ref.max() < 1e-5
+
+
+def test_psd_big_no_window_no_demean():
+    rng = np.random.default_rng(2)
+    n1, n2 = 256, 256
+    N = n1 * n2
+    x = (rng.normal(size=(1, N)) + 1j * rng.normal(size=(1, N))
+         ).astype(np.complex64)
+    acc = FB.psd_big_pallas_planar(
+        x.real.copy(), x.imag.copy(), n1, n2, interpret=True)
+    ref = (np.abs(np.fft.fft(x, axis=1)) ** 2).sum(0)
+    assert np.max(np.abs(np.asarray(acc) - ref)) / ref.max() < 1e-5
+
+
+def test_validation_errors():
+    z = np.zeros((1, 256 * 256), np.float32)
+    with pytest.raises(ValueError, match="n1\\*n2"):
+        FB.psd_big_pallas_planar(z, z, 256, 512, interpret=True)
+    with pytest.raises(ValueError, match="supported"):
+        FB.fft_big_pallas_planar(
+            np.zeros((1, 128 * 512), np.float32),
+            np.zeros((1, 128 * 512), np.float32), 128, 512,
+            interpret=True)
+    with pytest.raises(ValueError, match="planar"):
+        FB.fft_big_pallas_planar(z.reshape(-1), z.reshape(-1), 256, 256,
+                                 interpret=True)
+
+
+def test_wideband_psd_pallas_path_matches_welch_oracle():
+    # the consumer: make_sharded_psd's 1-shard fast path == the Welch
+    # oracle (same window, demean, density normalization)
+    from comms_tpu.ops import spectrum
+    from comms_tpu.parallel import sharding as sh
+    from comms_tpu.parallel import wideband
+
+    rng = np.random.default_rng(3)
+    F, B = 1 << 16, 2                       # 256 x 256 factorization
+    x = (rng.normal(size=B * F) + 1j * rng.normal(size=B * F)
+         ).astype(np.complex64)
+    mesh = sh.time_mesh(1)
+    psd_fn = wideband.make_sharded_psd(F, mesh, use_pallas=True,
+                                       interpret=True)
+    pairs = np.stack([x.real, x.imag], -1).reshape(B, F, 2)
+    got = np.asarray(psd_fn(jnp.asarray(pairs)))
+
+    _, ref = spectrum.welch_psd(jnp.asarray(x), nperseg=F, noverlap=0)
+    ref = np.asarray(ref)
+    assert got.shape == ref.shape
+    # 2e-5: |.|^2 doubles the cascaded transform's ~1e-5 relative
+    # error (the raw-spectrum tests above hold the 1e-5 line)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-5
+
+
+def test_welch_psd_big_route_matches_xla():
+    # the general API: welch_psd with a big nperseg routed through the
+    # kernel equals its own XLA path (50% overlap -> two reshape
+    # calls through _segment_parts)
+    from comms_tpu.ops import spectrum
+
+    rng = np.random.default_rng(4)
+    F = 1 << 16
+    x = (rng.normal(size=2 * F) + 1j * rng.normal(size=2 * F)
+         ).astype(np.complex64)
+    _, ref = spectrum.welch_psd(jnp.asarray(x), nperseg=F,
+                                use_pallas=False)
+    _, got = spectrum.welch_psd(jnp.asarray(x), nperseg=F,
+                                use_pallas=True, interpret=True)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-5
+
+
+def test_fft_large_matches_jnp():
+    from comms_tpu.ops import fft as fft_ops
+
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+         ).astype(np.complex64)
+    got = np.asarray(fft_ops.fft_large(jnp.asarray(x), use_pallas=True,
+                                       interpret=True))
+    ref = np.fft.fft(x, axis=1)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
