@@ -23,9 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from comms_tpu.ops import channelizer as chan
+from comms_tpu.ops import demodulation as demod
 from comms_tpu.ops import fir
 
-__all__ = ["BandMonitorConfig", "make_block_fn", "init_state"]
+__all__ = ["BandMonitorConfig", "make_block_fn",
+           "make_planar_block_fn", "init_state"]
 
 
 class BandMonitorConfig:
@@ -67,23 +69,10 @@ def init_state(cfg: BandMonitorConfig):
     )
 
 
-def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
-                  interpret: bool = False):
-    """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``.
-
-    ``use_pallas`` routes the channelization stage through the fused
-    Pallas kernel (K | 128, taps_per_branch <= 16,
-    block % 16384 == 0); the per-channel demod + audio FIR stay XLA.
-    ``None`` (default) auto-selects the kernel on TPU when those
-    constraints hold (2.2x the XLA channelization stage with
-    completion-synced timing), the XLA path otherwise.
-    """
-    if use_pallas is None:
-        from comms_tpu.models.channelizer import _auto_use_pallas
-
-        use_pallas = _auto_use_pallas(cfg)
-    Hb = cfg.Hb
-    audio_C = cfg.audio_C
+def _make_planar_channelize(cfg: BandMonitorConfig, use_pallas,
+                            interpret: bool):
+    """(re[N], im[N], ctx_re[T-1], ctx_im[T-1]) ->
+    (yr[frames, K], yi[frames, K], ctx_re', ctx_im')."""
     if use_pallas:
         from comms_tpu.kernels import channelizer_pallas as _CP
 
@@ -101,42 +90,103 @@ def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
                 f"context samples; prototype length {T} (K="
                 f"{cfg.num_channels} x M={cfg.taps_per_branch}) exceeds "
                 "it — reduce taps_per_branch or use the XLA path")
+        pad = _CP.CTX_SAMPLES - (T - 1)
 
-        def channelize(x, ctx):
-            pad = _CP.CTX_SAMPLES - (T - 1)
-            kctx = jnp.concatenate([jnp.zeros((pad,), x.dtype), ctx])
-            y, _ = _CP.channelize_pallas(
-                x, proto, kctx, num_channels=cfg.num_channels,
-                interpret=interpret)
-            new_ctx = jnp.concatenate([ctx, x])[-(T - 1):]
-            return y, new_ctx
+        def channelize(re, im, cre, cim):
+            kre = jnp.concatenate([jnp.zeros((pad,), re.dtype), cre])
+            kim = jnp.concatenate([jnp.zeros((pad,), im.dtype), cim])
+            yr, yi, _, _ = _CP.channelize_pallas_planar(
+                re, im, proto, kre, kim,
+                num_channels=cfg.num_channels, interpret=interpret)
+            nre = jnp.concatenate([cre, re])[-(T - 1):]
+            nim = jnp.concatenate([cim, im])[-(T - 1):]
+            return yr, yi, nre, nim
     else:
-        def channelize(x, ctx):
-            return chan.channelize_block(x, Hb, ctx)
+        Hb = cfg.Hb
 
-    def per_channel(y_ch, prev_pair, actx):
-        # y_ch: [frames] complex for one channel.
-        prev = jax.lax.complex(prev_pair[0], prev_pair[1])
-        shifted = jnp.concatenate([prev[None], y_ch[:-1]])
-        d = jnp.angle(y_ch * jnp.conj(shifted)).astype(jnp.float32)
-        audio, actx2 = fir.fir_decimate_poly(d, audio_C, actx)
-        new_prev = jnp.stack([jnp.real(y_ch[-1]), jnp.imag(y_ch[-1])])
-        return audio, new_prev, actx2
+        def channelize(re, im, cre, cim):
+            x = jax.lax.complex(re, im)
+            ctx = jax.lax.complex(cre, cim)
+            y, ctx2 = chan.channelize_block(x, Hb, ctx)
+            return (jnp.real(y), jnp.imag(y),
+                    jnp.real(ctx2), jnp.imag(ctx2))
+    return channelize
 
-    @jax.jit
-    def block(state, iq_pairs):
+
+def _planar_core(cfg: BandMonitorConfig, channelize):
+    """The shared block body on planes."""
+    audio_C = cfg.audio_C
+
+    def core(state, re, im):
         ctx_pairs, prev_pairs, actxs = state
-        x = jax.lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
-        ctx = jax.lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
-        y, ctx2 = channelize(x, ctx)                 # [frames, K]
-        audio, new_prev, new_actx = jax.vmap(
-            per_channel, in_axes=(1, 0, 0), out_axes=(0, 0, 0)
-        )(y, prev_pairs, actxs)
+        yr, yi, nre, nim = channelize(re, im,
+                                      ctx_pairs[:, 0], ctx_pairs[:, 1])
+        # Per-channel stage in CHANNEL-MAJOR PLANES: [frames, K] has a
+        # K-lane minor dimension, so elementwise demod ran on K/128
+        # lanes (measured ~85% of the block at K=16).  Transpose the
+        # f32 planes once, demod via offset VIEWS of the same buffers
+        # (no shifted-copy materialization), and use the polynomial
+        # fast_atan2 (XLA's atan2 alone measured 2.1 Gsps standalone;
+        # the polynomial runs 9.3 — ops/demodulation.fast_atan2).
+        rt = yr.T                                    # [K, frames]
+        it = yi.T
+        a, b = rt[:, 1:], rt[:, :-1]
+        c, d_ = it[:, 1:], it[:, :-1]
+        d_int = demod.fast_atan2(c * b - a * d_, a * b + c * d_)
+        d0 = demod.fast_atan2(
+            it[:, 0] * prev_pairs[:, 0] - rt[:, 0] * prev_pairs[:, 1],
+            rt[:, 0] * prev_pairs[:, 0] + it[:, 0] * prev_pairs[:, 1])
+        d = jnp.concatenate([d0[:, None], d_int], axis=1)
+        audio, new_actx = jax.vmap(
+            lambda dk, ak: fir.fir_decimate_poly(dk, audio_C, ak)
+        )(d, actxs)
+        new_prev = jnp.stack([rt[:, -1], it[:, -1]], axis=-1)
         new_state = (
-            jnp.stack([jnp.real(ctx2), jnp.imag(ctx2)], axis=-1),
+            jnp.stack([nre, nim], axis=-1),
             new_prev,
             new_actx,
         )
         return audio, new_state
 
+    return core
+
+
+def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
+                  interpret: bool = False):
+    """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``.
+
+    ``use_pallas`` routes the channelization stage through the fused
+    Pallas kernel (K | 128, taps_per_branch <= 16,
+    block % 16384 == 0); the per-channel demod + audio FIR stay XLA.
+    ``None`` (default) auto-selects the kernel on TPU when those
+    constraints hold, the XLA path otherwise.
+    """
+    if use_pallas is None:
+        from comms_tpu.models.channelizer import _auto_use_pallas
+
+        use_pallas = _auto_use_pallas(cfg)
+    core = _planar_core(
+        cfg, _make_planar_channelize(cfg, use_pallas, interpret))
+
+    @jax.jit
+    def block(state, iq_pairs):
+        return core(state, iq_pairs[:, 0], iq_pairs[:, 1])
+
     return block
+
+
+def make_planar_block_fn(cfg: BandMonitorConfig, use_pallas=None,
+                         interpret: bool = False):
+    """Plane-native variant: jitted ``(state, re[N], im[N]) ->
+    (audio[K, M], state)`` — the serving-ingest layout (io/raw_iq
+    unpacks interleaved files to planes), with zero relayout anywhere:
+    the planar channelizer kernel consumes/produces planes natively.
+    State is interchangeable with :func:`make_block_fn` mid-stream.
+    """
+    if use_pallas is None:
+        from comms_tpu.models.channelizer import _auto_use_pallas
+
+        use_pallas = _auto_use_pallas(cfg)
+    core = _planar_core(
+        cfg, _make_planar_channelize(cfg, use_pallas, interpret))
+    return jax.jit(core)

@@ -147,7 +147,9 @@ def make_block_fn(cfg: FmReceiverConfig):
             y = y[:: cfg.dec1]
 
         prev = jax.lax.complex(prev_pair[0], prev_pair[1])
-        d, prev = demodulation.fm_demod_block(y, prev)
+        # polynomial atan2 (5e-7 rad vs the chain's 2e-4 oracle
+        # budget): exact jnp.angle alone was ~40% of this chain's time
+        d, prev = demodulation.fm_demod_block(y, prev, fast=True)
 
         if cfg.polyphase:
             audio, actx = fir.fir_decimate_poly(d, F2, actx)
@@ -188,7 +190,7 @@ def make_pipeline(cfg: Optional[FmReceiverConfig] = None):
     return Pipeline([
         Lambda(convert, result_dtype=jnp.complex64),
         FirDecimate.make(FM_LPF_TAPS.astype(np.complex64), cfg.dec1),
-        FmDemod(),
+        FmDemod(fast=True),       # matches make_block_fn's demod
         FirDecimate.make(FM_LPF_TAPS.astype(np.float32), cfg.dec2),
     ])
 

@@ -33,6 +33,8 @@ from comms_tpu.ops import fir as _fir
 from comms_tpu.ops import taps as _taps
 
 __all__ = [
+    "fast_atan2",
+    "fast_angle",
     "fm_demod_init",
     "fm_demod_block",
     "frequency_offset_estimate",
@@ -44,17 +46,67 @@ __all__ = [
 ]
 
 
+def fast_atan2(y, x):
+    """Octant-reduced degree-15 odd-polynomial atan2, 8.8e-8 rad max
+    error — the XLA-level twin of the fused FM kernel's in-Mosaic
+    atan2 (kernels/fm_chain_pallas.py:_atan2, same coefficients).
+
+    Why: ``jnp.angle``/``lax.atan2`` lowers to XLA's full-precision
+    expansion, measured 2.0 Gsps standalone on v5e — the single
+    largest stage of every per-sample demod chain.  This polynomial
+    is ~4x faster at ~1e-7 rad, far inside the reference chains'
+    1e-3-rad parity budgets (analog.rs:22-34 uses f32::atan2 whose
+    own error is ~1e-7).  IEEE signed-zero faithful on the x<0 branch
+    cuts (atan2(+-0, -0) = +-pi) like the reference's f32::atan2.
+    Estimator ops that feed tolerance-1e-6 oracles keep jnp.angle.
+    """
+    y = jnp.asarray(y, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(ax, ay)
+    r = num / (den + jnp.float32(1e-30))
+    r2 = r * r
+    p = jnp.float32(-4.831168387e-03)
+    p = p * r2 + jnp.float32(2.475678069e-02)
+    p = p * r2 + jnp.float32(-6.021912799e-02)
+    p = p * r2 + jnp.float32(9.967923619e-02)
+    p = p * r2 + jnp.float32(-1.404013889e-01)
+    p = p * r2 + jnp.float32(1.997368136e-01)
+    p = p * r2 + jnp.float32(-3.333230283e-01)
+    p = p * r2 + jnp.float32(9.999999582e-01)
+    a = p * r
+    a = jnp.where(swap, jnp.float32(np.pi / 2) - a, a)
+    neg_x = (jnp.float32(1.0) / x) < 0     # catches -0.0
+    neg_y = (jnp.float32(1.0) / y) < 0
+    a = jnp.where(neg_x, jnp.float32(np.pi) - a, a)
+    return jnp.where(neg_y, -a, a)
+
+
+def fast_angle(z):
+    """:func:`fast_atan2` of a complex array's (im, re)."""
+    return fast_atan2(jnp.imag(z), jnp.real(z))
+
+
 def fm_demod_init(dtype=jnp.complex64):
     """Carried ``prev`` sample, zero-initialized (analog.rs:44-47)."""
     return jnp.zeros((), dtype=dtype)
 
 
-def fm_demod_block(x, prev):
+def fm_demod_block(x, prev, fast: bool = False):
     """Quadrature FM demod of one block.  Returns ``(y, new_prev)``;
-    y is real with the dtype of ``x.real``."""
+    y is real with the dtype of ``x.real``.
+
+    ``fast``: use :func:`fast_atan2` (f32, 5e-7 rad) instead of the
+    exact ``jnp.angle`` — XLA's atan2 alone runs ~2.1 Gsps on v5e and
+    dominates the demod stage.  The default stays exact (this op is
+    the reference-parity surface, oracle atol 1e-9 in f64)."""
     x = jnp.asarray(x)
     shifted = jnp.concatenate([prev[None].astype(x.dtype), x[:-1]])
-    y = jnp.angle(x * jnp.conj(shifted))
+    z = x * jnp.conj(shifted)
+    y = fast_angle(z) if fast else jnp.angle(z)
     return y.astype(x.real.dtype), x[-1]
 
 

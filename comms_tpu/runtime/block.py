@@ -361,7 +361,11 @@ class Nco(BlockOp):
 @dataclasses.dataclass(frozen=True)
 class FmDemod(BlockOp):
     """Quadrature FM demod (reference FMDemodNode,
-    modulation/analog_node.rs:18-52).  Complex in, real out."""
+    modulation/analog_node.rs:18-52).  Complex in, real out.
+    ``fast`` selects the polynomial atan2 (5e-7 rad, ~4x the VPU
+    rate); default exact."""
+
+    fast: bool = False
 
     @property
     def halo(self) -> int:
@@ -371,7 +375,7 @@ class FmDemod(BlockOp):
         return _demod.fm_demod_init(dtype=dtype)
 
     def apply(self, state, x):
-        return _demod.fm_demod_block(x, state)
+        return _demod.fm_demod_block(x, state, fast=self.fast)
 
     def state_to_halo(self, state):
         return state[None]

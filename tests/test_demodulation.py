@@ -95,3 +95,23 @@ def test_timing_estimator_reference_setup():
     est = demod.TimingEstimator(n=sps, d=5, alpha=alpha)
     e = float(est.estimate(jnp.asarray(samples[truth:])))
     assert abs(truth + e) < 0.01
+
+
+def test_fast_atan2_matches_numpy():
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=20000).astype(np.float32)
+    x = rng.normal(size=20000).astype(np.float32)
+    got = np.asarray(demod.fast_atan2(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_fast_atan2_branch_cuts_and_zeros():
+    # IEEE signed-zero semantics on the x<0 cut, like f32::atan2
+    ys = np.array([0.0, -0.0, 0.0, -0.0, 1.0, -1.0, 0.0],
+                  dtype=np.float32)
+    xs = np.array([-1.0, -1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+                  dtype=np.float32)
+    got = np.asarray(demod.fast_atan2(jnp.asarray(ys), jnp.asarray(xs)))
+    ref = np.arctan2(ys, xs)
+    assert np.abs(got - ref).max() < 1e-6

@@ -391,3 +391,22 @@ def test_qpsk_tx_pipeline_matches_block_fn():
         iq_pipe, s_pipe = pipe.step(s_pipe)
         np.testing.assert_array_equal(np.asarray(iq_pipe),
                                       np.asarray(iq_ref)), b
+
+
+def test_fm_band_monitor_planar_matches_pairs():
+    from comms_tpu.models import fm_band_monitor as fbm
+    K = 8
+    cfg = fbm.BandMonitorConfig(num_channels=K, block=K * 1024,
+                                audio_dec=4)
+    blk = fbm.make_block_fn(cfg)
+    blkp = fbm.make_planar_block_fn(cfg)
+    rng = np.random.default_rng(7)
+    pairs = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+
+    s1 = fbm.init_state(cfg)
+    s2 = fbm.init_state(cfg)
+    for _ in range(2):                  # streaming: state carried
+        a1, s1 = blk(s1, jnp.asarray(pairs))
+        a2, s2 = blkp(s2, jnp.asarray(pairs[:, 0]),
+                      jnp.asarray(pairs[:, 1]))
+        assert np.array_equal(np.asarray(a1), np.asarray(a2))
