@@ -468,27 +468,30 @@ def bench_wideband_psd():
 
     F, B = 1 << 20, 32
     mesh = sh.time_mesh(1)
-    # historical row: the dfft/jnp.fft formulation (use_pallas=False —
-    # the default would auto-pick the four-step Pallas kernel here)
-    psd_x = wideband.make_sharded_psd(F, mesh, use_pallas=False)
-    psd_p = wideband.make_sharded_psd(F, mesh, use_pallas=True)
-    pairs = _device_pairs((B, F, 2), seed=24)
+    # Both rows now feed PLANES (the serving-ingest layout): plane
+    # extraction from [B, F, 2] pairs is a 2-lane-minor strided copy
+    # measured at 227 GB/s (~3.5 ms/block — comparable to the whole
+    # Pallas PSD), so a pairs-fed row measures relayout, not the PSD.
+    psd_x = wideband.make_sharded_psd_planar(F, mesh, use_pallas=False)
+    psd_p = wideband.make_sharded_psd_planar(F, mesh, use_pallas=True)
+    res = _device_pairs((B, F), seed=24)
+    ims = _device_pairs((B, F), seed=25)
 
     def make_maker(psd):
-        def make_step(pairs):
+        def make_step(res, ims):
             def body(c):
                 (acc,) = c
-                y = psd(pairs + acc * jnp.float32(1e-30))
+                y = psd(res + acc * jnp.float32(1e-30), ims)
                 return (acc + _cks(y),)
             return (_f32(0),), body
         return make_step
 
-    msps, best, R = _measure_row(make_maker(psd_x), (pairs,), B * F)
+    msps, best, R = _measure_row(make_maker(psd_x), (res, ims), B * F)
     _row("wideband_psd_2pow20_throughput", msps / 1e6)
-    # Pallas pair row: same shapes/semantics through the tiled
-    # four-step PSD kernel (stage A 8+8+4 B/sample, stage B 8 + the
+    # Pallas row: same shapes/semantics through the tiled four-step
+    # PSD kernel (means pass 8 + stage A 8+8+4 + stage B 8 B/sample,
     # VMEM-resident bin-grid accumulator)
-    msps, best, R = _measure_row(make_maker(psd_p), (pairs,), B * F)
+    msps, best, R = _measure_row(make_maker(psd_p), (res, ims), B * F)
     _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
          _roof(best, 36 * B * F, 2200 * B * F, R,
                peak_tflops=_RUN_TFLOPS_BF16))

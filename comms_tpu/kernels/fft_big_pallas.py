@@ -102,9 +102,11 @@ def _const2(n: int, r1: int, precision: str):
 
 
 def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
-                   demean: bool):
+                   demean: bool, emit_sums: bool):
     """One (segment, n2-tile) step: transpose, demean+window, N1-FFT,
-    four-step twiddle, contiguous write."""
+    four-step twiddle, contiguous write.  ``emit_sums`` writes the
+    tile's raw (pre-window) plane sums — the sparse-demean path's
+    mean numerator, so no separate XLA reduction pass reads x."""
     xr_ref, xi_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
     i = 4 + nc
@@ -117,9 +119,17 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
         means = refs[i]
         i += 1
     dr_out, di_out = refs[i:i + 2]
+    i += 2
+    if emit_sums:
+        sums_out = refs[i]
 
     xr = xr_ref[0].T                     # [N1, ct] -> [ct, N1]
     xi = xi_ref[0].T
+    if emit_sums:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        sums_out[0, 0] = jnp.where(
+            lanes == 0, jnp.sum(xr),
+            jnp.where(lanes == 1, jnp.sum(xi), jnp.float32(0)))
     if demean:
         s = pl.program_id(0)
         xr = xr - means[s, 0]            # SMEM scalars
@@ -142,12 +152,25 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
     di_out[0] = d_r * tw_i + d_i * tw_r
 
 
-def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int):
+def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int, last: int,
+                       sparse: bool):
     """One (k1-tile, segment) step: transpose, N2-FFT, |.|^2,
-    accumulate into the resident [ct, N2] bin-grid tile."""
+    accumulate into the resident [ct, N2] bin-grid tile.
+
+    ``sparse``: demean by FFT linearity — |FFT(w(x-m))|^2 =
+    |FFT(wx) - m*W|^2 with W = FFT(w) nonzero on a few bins near DC /
+    Nyquist only (periodic Hann: 3).  The m*W term arrives as host
+    mask planes (nonzero only at W's bins, slotted per affected tile)
+    times the per-segment mean from SMEM — an FMA pass on two of the
+    k1-tiles instead of a whole-input XLA demean pre-pass."""
     dr_ref, di_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
-    acc_out = refs[4 + nc]
+    i = 4 + nc
+    if sparse:
+        mwr, mwi, means = refs[i:i + 3]
+        i += 3
+    acc_out = refs[i]
+    c2 = pl.program_id(0)
     s = pl.program_id(1)
     xr = dr_ref[0].T                     # [N2, ct] -> [ct, N2]
     xi = di_ref[0].T
@@ -156,6 +179,17 @@ def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int):
     n2 = r1 * _LANES
     x_r = zs_r.T.reshape(n2, ct).T       # [ct, N2] natural k2 order
     x_i = zs_i.T.reshape(n2, ct).T
+    if sparse:
+        # middle tiles fetch slot 0 but multiply by 0 (their bins are
+        # all zero in W); tiles 0 / last apply their slot's m*W
+        ind = jnp.where((c2 == 0) | (c2 == last),
+                        jnp.float32(1), jnp.float32(0))
+        mr = means[s, 0]
+        mi = means[s, 1]
+        a = (mr * mwr[0] - mi * mwi[0]) * ind     # Re(m*W) at W's bins
+        b = (mr * mwi[0] + mi * mwr[0]) * ind     # Im(m*W)
+        x_r = x_r - a
+        x_i = x_i - b
     part = x_r * x_r + x_i * x_i
 
     @pl.when(s == 0)
@@ -196,7 +230,8 @@ def _prep(re, im, n1: int, n2: int):
             im.reshape(b, n1, n2).astype(jnp.float32), b)
 
 
-def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret):
+def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
+            emit_sums: bool = False):
     r1 = n1 // _LANES
     csteps = n2 // _CT
     windowed = window is not None
@@ -204,7 +239,8 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret):
     arrays, cspecs, nc = _const2(n1, r1, precision)
     vr, vi, ur, ui = _angle_tables(n1 * n2, n1, _CT, csteps)
     kernel = functools.partial(_stageA_kernel, r1=r1, ct=_CT, nc=nc,
-                               windowed=windowed, demean=demean)
+                               windowed=windowed, demean=demean,
+                               emit_sums=emit_sums)
     in_specs = (
         [pl.BlockSpec((1, n1, _CT), lambda s, c: (s, 0, c),
                       memory_space=pltpu.VMEM)] * 2
@@ -232,12 +268,20 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret):
         operands.append(jnp.asarray(means, jnp.float32))
     out_spec = pl.BlockSpec((1, _CT, n1), lambda s, c: (s, c, 0),
                             memory_space=pltpu.VMEM)
+    out_specs = [out_spec, out_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
+    if emit_sums:
+        out_specs.append(pl.BlockSpec((1, 1, 8, _LANES),
+                                      lambda s, c: (s, c, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, csteps, 8, _LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(b, csteps),
         in_specs=in_specs,
-        out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=b * n1 * n2 * (8 * _LANES + 8 * r1 + 16),
             bytes_accessed=(16 + (4 if windowed else 0)) * b * n1 * n2,
@@ -247,8 +291,44 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret):
     )(*operands)
 
 
+def sparse_window_bins(window, n1: int, n2: int, rel_tol: float = 1e-7):
+    """FFT the window on the host and return its significant bins as
+    ``(ks, Wvals)`` if they all fall in the FIRST or LAST k1-tile (the
+    near-DC/near-Nyquist support of every smooth periodic window:
+    periodic Hann = 3 bins, Hamming = 3, Blackman = 5), else None."""
+    n = n1 * n2
+    Wf = np.fft.fft(np.asarray(window, np.float64))
+    mag = np.abs(Wf)
+    ks = np.nonzero(mag > rel_tol * mag.max())[0]
+    if len(ks) > 16:
+        return None
+    last = n1 // _CT - 1
+    for k in ks:
+        tile = (int(k) % n1) // _CT
+        if tile not in (0, last):
+            return None
+    return ks, Wf[ks]
+
+
+def _sparse_masks(ks, Wvals, n1: int, n2: int):
+    """Host mask planes [2, ct, n2]: slot 0 = first k1-tile's m*W
+    coefficients, slot 1 = last tile's, zero elsewhere."""
+    last = n1 // _CT - 1
+    mr = np.zeros((2, _CT, n2), np.float32)
+    mi = np.zeros((2, _CT, n2), np.float32)
+    for k, wv in zip(ks, Wvals):
+        k1, k2 = int(k) % n1, int(k) // n1
+        slot = 0 if k1 // _CT == 0 else 1
+        if k1 // _CT not in (0, last):
+            raise ValueError("sparse window bin outside edge tiles")
+        mr[slot, k1 % _CT, k2] = wv.real
+        mi[slot, k1 % _CT, k2] = wv.imag
+    return mr, mi
+
+
 def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
-                          means=None, precision: str = "split_bf16",
+                          means=None, sparse_demean: bool = False,
+                          precision: str = "split_bf16",
                           interpret: bool = False):
     """Sum over segments of |FFT_N((x - mean) * w)|^2, N = n1*n2.
 
@@ -260,23 +340,71 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
         subtracted before windowing — Welch's demean convention; the
         caller computes them (one XLA reduction) because stage A's
         first tile cannot see the whole segment.
+      sparse_demean: demean WITHOUT the means input or its whole-input
+        XLA reduction pass (~30% of the runtime at 2^20x32): by FFT
+        linearity |FFT(w(x-m))|^2 = |FFT(wx) - m*W|^2, and W = FFT(w)
+        of a smooth periodic window is nonzero on a few edge bins
+        (periodic Hann: 3) — stage A emits per-tile raw sums (the mean
+        numerator, no extra pass), stage B subtracts m*W via host mask
+        planes on the two edge k1-tiles.  Requires ``window`` with
+        edge-sparse spectrum (:func:`sparse_window_bins`).
+
+        Exact in exact arithmetic, but NOT the default: the transform
+        runs on the un-demeaned signal, so a large DC offset inflates
+        the stage intermediates and their bf16-split rounding smears
+        ~2e-6 * |m|*N energy across ALL bins (measured: a 5-sigma
+        offset costs 1.4e-4 relative-to-max vs the means path's 8e-6;
+        zero-mean streams measure identically).  Opt in for
+        DC-blocked streams; ``means=`` is the robust default.
     Returns ``acc[N]`` float32, natural bin order: the un-normalized
     Welch numerator (divide by segments * sum(w^2) for the density).
     """
     n1, n2 = int(n1), int(n2)
+    if sparse_demean and means is not None:
+        raise ValueError("pass either means or sparse_demean, not both")
+    sb = None
+    if sparse_demean:
+        if window is None:
+            raise ValueError("sparse_demean requires a window")
+        sb = sparse_window_bins(window, n1, n2)
+        if sb is None:
+            raise ValueError(
+                "window spectrum is not edge-sparse; pass means= "
+                "instead (see sparse_window_bins)")
     re3, im3, b = _prep(re, im, n1, n2)
-    dr, di = _stageA(re3, im3, b, n1, n2, window, means, precision,
-                     interpret)
+    outs = _stageA(re3, im3, b, n1, n2, window, means, precision,
+                   interpret, emit_sums=sparse_demean)
+    if sparse_demean:
+        dr, di, sums = outs
+        inv_n = jnp.float32(1.0 / (n1 * n2))
+        means_dev = jnp.sum(sums[:, :, 0, 0:2], axis=1) * inv_n
+    else:
+        dr, di = outs
     r1b = n2 // _LANES
+    last = n1 // _CT - 1
     arrays, cspecs, nc = _const2(n2, r1b, precision)
     kernel = functools.partial(_stageB_psd_kernel, r1=r1b, ct=_CT,
-                               nc=nc)
+                               nc=nc, last=last,
+                               sparse=sparse_demean)
     in_spec = pl.BlockSpec((1, n2, _CT), lambda c, s: (s, 0, c),
                            memory_space=pltpu.VMEM)
+    in_specs = [in_spec, in_spec] + cspecs
+    operands = [dr, di] + arrays
+    if sparse_demean:
+        mr, mi = _sparse_masks(*sb, n1, n2)
+        # mask slot by tile: first tile -> 0, last -> 1 (middle tiles
+        # fetch slot 0 and zero it in-kernel)
+        slot_spec = pl.BlockSpec(
+            (1, _CT, n2),
+            lambda c, s: (jnp.where(c == last, 1, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs += [slot_spec, slot_spec,
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]
+        operands += [jnp.asarray(mr), jnp.asarray(mi), means_dev]
     acc = pl.pallas_call(
         kernel,
         grid=(n1 // _CT, b),             # segment axis innermost:
-        in_specs=[in_spec, in_spec] + cspecs,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_CT, n2), lambda c, s: (c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.float32),
@@ -286,7 +414,7 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dr, di, *arrays)
+    )(*operands)
     # acc[k1, k2] -> natural bin k = k1 + n1*k2.
     return acc.T.reshape(n1 * n2)
 

@@ -269,3 +269,56 @@ def make_sharded_psd_segments(fft_size: int, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_psd_planar(fft_size: int, mesh: Mesh,
+                            axis: str = "time", window=None,
+                            local_radix=None, use_pallas=None,
+                            interpret: bool = False):
+    """Plane-native variant of :func:`make_sharded_psd`: jitted
+    ``(re[B, fft_size], im[B, fft_size]) -> psd[fft_size]``.
+
+    The serving-ingest layout (io/raw_iq unpacks interleaved files to
+    planes): extracting planes from ``[B, F, 2]`` pairs is a 2-lane-
+    minor strided copy measured at 227 GB/s — ~3.5 ms of pure relayout
+    per 32x2^20 block, comparable to the whole PSD kernel.  Window,
+    demean, and density normalization match :func:`make_sharded_psd`.
+    """
+    from comms_tpu.kernels import fft_big_pallas as _FB
+    from comms_tpu.ops import spectrum
+
+    n = mesh.shape[axis]
+    w = np.asarray(window if window is not None
+                   else spectrum.hann(fft_size), np.float64)
+    if w.shape[0] != fft_size:
+        raise ValueError("window length must equal fft_size")
+    scale = 1.0 / float(np.sum(w ** 2))
+    w32 = w.astype(np.float32)
+    if use_pallas is None:
+        use_pallas = (n == 1 and _FB.supported_big(fft_size)
+                      and jax.devices()[0].platform == "tpu")
+    if use_pallas:
+        if n != 1:
+            raise ValueError("use_pallas PSD path needs a 1-shard mesh")
+        n1f, n2f = _FB.factorize(fft_size)
+
+        @jax.jit
+        def fast(re, im):                        # [B, F] planes
+            means = jnp.stack([jnp.mean(re, axis=1),
+                               jnp.mean(im, axis=1)], -1)
+            acc = _FB.psd_big_pallas_planar(
+                re, im, n1f, n2f, window=w32, means=means,
+                interpret=interpret)
+            return acc * (scale / re.shape[0])
+
+        return fast
+
+    pair_fn = make_sharded_psd(fft_size, mesh, axis, window=window,
+                               local_radix=local_radix,
+                               use_pallas=False)
+
+    @jax.jit
+    def planar(re, im):
+        return pair_fn(jnp.stack([re, im], axis=-1))
+
+    return planar
