@@ -45,8 +45,9 @@ class BandMonitorConfig:
         self.Hb = chan.branch_taps(h.astype(np.float32), self.num_channels)
         at = (np.asarray(audio_taps) if audio_taps is not None
               else chan.design_prototype(self.audio_dec, 8))
+        self.audio_taps = at.astype(np.float32)
         self.audio_C = fir.decimating_branch_taps(
-            at.astype(np.float32), self.audio_dec)
+            self.audio_taps, self.audio_dec)
 
     @property
     def frames_per_block(self) -> int:
@@ -113,9 +114,58 @@ def _make_planar_channelize(cfg: BandMonitorConfig, use_pallas,
     return channelize
 
 
-def _planar_core(cfg: BandMonitorConfig, channelize):
-    """The shared block body on planes."""
+def _audio_tile_rows(cfg: BandMonitorConfig):
+    """Largest kernel tile (<= 128 rows, multiple of 8) dividing the
+    per-channel frame count, or 0 when the Pallas audio path can't
+    take this config (odd K, indivisible frames, too many taps)."""
+    from comms_tpu.kernels import decim_fir_pallas as _DF
+
+    if cfg.num_channels % 2:
+        return 0
+    if cfg.audio_taps.shape[0] > _DF.max_taps(cfg.audio_dec):
+        return 0
+    frames = cfg.frames_per_block
+    tr = 128
+    while tr >= 8 and frames % (tr * cfg.audio_dec * 128):
+        tr //= 2
+    return tr if tr >= 8 else 0
+
+
+def _planar_core(cfg: BandMonitorConfig, channelize,
+                 audio_tile_rows: int = 0, interpret: bool = False):
+    """The shared block body on planes.  ``audio_tile_rows`` > 0
+    routes the per-channel audio FIR through the decimating Pallas
+    kernel, channels packed PAIRWISE as re/im planes (real taps
+    filter the planes independently, so two channels ride one call
+    with zero waste)."""
     audio_C = cfg.audio_C
+    K = cfg.num_channels
+
+    if audio_tile_rows:
+        from comms_tpu.kernels import decim_fir_pallas as _DF
+
+        W = cfg.audio_dec * 128
+        Tm1 = cfg.audio_taps.shape[0] - 1
+
+        def audio_fir(d, actxs):
+            rows = []
+            for k in range(0, K, 2):
+                kr = jnp.zeros((1, W), jnp.float32
+                               ).at[0, W - Tm1:].set(actxs[k])
+                ki = jnp.zeros((1, W), jnp.float32
+                               ).at[0, W - Tm1:].set(actxs[k + 1])
+                yr, yi, _, _ = _DF.fir_decimate_planar_pallas(
+                    d[k], d[k + 1], cfg.audio_taps, cfg.audio_dec,
+                    kr, ki, tile_rows=audio_tile_rows,
+                    interpret=interpret)
+                rows += [yr, yi]
+            return jnp.stack(rows), d[:, -Tm1:]
+    else:
+        def audio_fir(d, actxs):
+            audio, new_actx = jax.vmap(
+                lambda dk, ak: fir.fir_decimate_poly(dk, audio_C, ak)
+            )(d, actxs)
+            return audio, new_actx
 
     def core(state, re, im):
         ctx_pairs, prev_pairs, actxs = state
@@ -137,9 +187,7 @@ def _planar_core(cfg: BandMonitorConfig, channelize):
             it[:, 0] * prev_pairs[:, 0] - rt[:, 0] * prev_pairs[:, 1],
             rt[:, 0] * prev_pairs[:, 0] + it[:, 0] * prev_pairs[:, 1])
         d = jnp.concatenate([d0[:, None], d_int], axis=1)
-        audio, new_actx = jax.vmap(
-            lambda dk, ak: fir.fir_decimate_poly(dk, audio_C, ak)
-        )(d, actxs)
+        audio, new_actx = audio_fir(d, actxs)
         new_prev = jnp.stack([rt[:, -1], it[:, -1]], axis=-1)
         new_state = (
             jnp.stack([nre, nim], axis=-1),
@@ -166,7 +214,9 @@ def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
 
         use_pallas = _auto_use_pallas(cfg)
     core = _planar_core(
-        cfg, _make_planar_channelize(cfg, use_pallas, interpret))
+        cfg, _make_planar_channelize(cfg, use_pallas, interpret),
+        audio_tile_rows=_audio_tile_rows(cfg) if use_pallas else 0,
+        interpret=interpret)
 
     @jax.jit
     def block(state, iq_pairs):
@@ -188,5 +238,7 @@ def make_planar_block_fn(cfg: BandMonitorConfig, use_pallas=None,
 
         use_pallas = _auto_use_pallas(cfg)
     core = _planar_core(
-        cfg, _make_planar_channelize(cfg, use_pallas, interpret))
+        cfg, _make_planar_channelize(cfg, use_pallas, interpret),
+        audio_tile_rows=_audio_tile_rows(cfg) if use_pallas else 0,
+        interpret=interpret)
     return jax.jit(core)

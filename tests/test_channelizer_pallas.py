@@ -125,3 +125,24 @@ def test_pallas_path_rejects_oversized_prototype_at_build():
                                      block=CP.step_samples())
     with pytest.raises(ValueError, match="context"):
         monitor.make_block_fn(mcfg, use_pallas=True, interpret=True)
+
+
+def test_band_monitor_pallas_audio_fir_path():
+    # config where the decimating-FIR Pallas path engages for the
+    # audio stage (pairwise channel packing): parity vs the XLA path
+    from comms_tpu.models import fm_band_monitor as fbm
+
+    cfg = fbm.BandMonitorConfig(num_channels=2, taps_per_branch=8,
+                                block=2 * 16384, audio_dec=4)
+    assert fbm._audio_tile_rows(cfg) == 32
+    blk_p = fbm.make_block_fn(cfg, use_pallas=True, interpret=True)
+    blk_x = fbm.make_block_fn(cfg, use_pallas=False)
+
+    rng = np.random.default_rng(21)
+    pairs = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+    sp, sx = fbm.init_state(cfg), fbm.init_state(cfg)
+    for _ in range(2):                   # streaming: ctx carried
+        ap, sp = blk_p(sp, jnp.asarray(pairs))
+        ax, sx = blk_x(sx, jnp.asarray(pairs))
+        scale = np.abs(np.asarray(ax)).max()
+        assert np.abs(np.asarray(ap) - np.asarray(ax)).max() < 2e-5 * max(scale, 1.0)
