@@ -419,6 +419,30 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
     return acc.T.reshape(n1 * n2)
 
 
+def welch_numerator(re, im, window, interpret: bool = False):
+    """The one shared Welch-numerator entry over this kernel: factor
+    N, compute per-segment means (one fused XLA reduction over the
+    planes), and return the accumulated |FFT(w(x-mean))|^2.
+
+    Raises ValueError for N without a two-factor decomposition —
+    callers gate with :func:`supported_big` or catch.  Every consumer
+    (wideband's three PSD makers, ops.spectrum.welch_psd) goes
+    through here so the demean/normalization convention has exactly
+    one definition.
+    """
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    n = int(re.shape[-1])
+    fac = factorize(n)
+    if fac is None:
+        raise ValueError(
+            f"N={n} has no two-factor decomposition into 256..2048-"
+            "point stages (see supported_big)")
+    means = jnp.stack([jnp.mean(re, axis=1), jnp.mean(im, axis=1)], -1)
+    return psd_big_pallas_planar(re, im, fac[0], fac[1], window=window,
+                                 means=means, interpret=interpret)
+
+
 def fft_big_pallas_planar(re, im, n1: int, n2: int,
                           precision: str = "split_bf16",
                           interpret: bool = False):

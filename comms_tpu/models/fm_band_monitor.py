@@ -132,20 +132,27 @@ def _audio_tile_rows(cfg: BandMonitorConfig):
 
 
 def _planar_core(cfg: BandMonitorConfig, channelize,
-                 audio_tile_rows: int = 0, interpret: bool = False):
+                 audio_tile_rows: int = 0, interpret: bool = False,
+                 fast_demod: bool = True):
     """The shared block body on planes.  ``audio_tile_rows`` > 0
     routes the per-channel audio FIR through the decimating Pallas
     kernel, channels packed PAIRWISE as re/im planes (real taps
     filter the planes independently, so two channels ride one call
-    with zero waste)."""
+    with zero waste).  ``fast_demod`` selects the polynomial atan2
+    (5e-7 rad, ~4x the VPU rate of the exact one)."""
     audio_C = cfg.audio_C
     K = cfg.num_channels
+    at2 = demod.fast_atan2 if fast_demod else jnp.arctan2
 
     if audio_tile_rows:
         from comms_tpu.kernels import decim_fir_pallas as _DF
 
         W = cfg.audio_dec * 128
-        Tm1 = cfg.audio_taps.shape[0] - 1
+        # carried context length: the polyphase convention's M*D - 1
+        # (= audio_C.size - 1, NOT taps - 1 — they differ whenever
+        # taps % dec != 0), matching init_state and the kernel's
+        # "trailing MD-1 samples matter" contract
+        Tm1 = cfg.audio_C.size - 1
 
         def audio_fir(d, actxs):
             rows = []
@@ -182,8 +189,8 @@ def _planar_core(cfg: BandMonitorConfig, channelize,
         it = yi.T
         a, b = rt[:, 1:], rt[:, :-1]
         c, d_ = it[:, 1:], it[:, :-1]
-        d_int = demod.fast_atan2(c * b - a * d_, a * b + c * d_)
-        d0 = demod.fast_atan2(
+        d_int = at2(c * b - a * d_, a * b + c * d_)
+        d0 = at2(
             it[:, 0] * prev_pairs[:, 0] - rt[:, 0] * prev_pairs[:, 1],
             rt[:, 0] * prev_pairs[:, 0] + it[:, 0] * prev_pairs[:, 1])
         d = jnp.concatenate([d0[:, None], d_int], axis=1)
@@ -200,14 +207,20 @@ def _planar_core(cfg: BandMonitorConfig, channelize,
 
 
 def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
-                  interpret: bool = False):
+                  interpret: bool = False, fast_demod: bool = True):
     """jitted ``(state, iq_pairs[N, 2]) -> (audio[K, M], state)``.
 
     ``use_pallas`` routes the channelization stage through the fused
-    Pallas kernel (K | 128, taps_per_branch <= 16,
-    block % 16384 == 0); the per-channel demod + audio FIR stay XLA.
-    ``None`` (default) auto-selects the kernel on TPU when those
+    Pallas channelizer kernel (K | 128, taps_per_branch <= 16,
+    block % 16384 == 0) AND, when the per-channel frame count divides
+    a kernel tile (:func:`_audio_tile_rows`), the audio FIRs through
+    the decimating Pallas kernel with channels packed pairwise as
+    re/im planes.  ``None`` (default) auto-selects on TPU when the
     constraints hold, the XLA path otherwise.
+
+    ``fast_demod`` (default True) demodulates with the polynomial
+    :func:`comms_tpu.ops.demodulation.fast_atan2` — 5e-7 rad vs the
+    exact atan2, ~4x its VPU rate; pass False for the exact op.
     """
     if use_pallas is None:
         from comms_tpu.models.channelizer import _auto_use_pallas
@@ -216,7 +229,7 @@ def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
     core = _planar_core(
         cfg, _make_planar_channelize(cfg, use_pallas, interpret),
         audio_tile_rows=_audio_tile_rows(cfg) if use_pallas else 0,
-        interpret=interpret)
+        interpret=interpret, fast_demod=fast_demod)
 
     @jax.jit
     def block(state, iq_pairs):
@@ -226,12 +239,14 @@ def make_block_fn(cfg: BandMonitorConfig, use_pallas=None,
 
 
 def make_planar_block_fn(cfg: BandMonitorConfig, use_pallas=None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         fast_demod: bool = True):
     """Plane-native variant: jitted ``(state, re[N], im[N]) ->
     (audio[K, M], state)`` — the serving-ingest layout (io/raw_iq
     unpacks interleaved files to planes), with zero relayout anywhere:
     the planar channelizer kernel consumes/produces planes natively.
-    State is interchangeable with :func:`make_block_fn` mid-stream.
+    State is interchangeable with :func:`make_block_fn` mid-stream;
+    ``use_pallas`` / ``fast_demod`` as there.
     """
     if use_pallas is None:
         from comms_tpu.models.channelizer import _auto_use_pallas
@@ -240,5 +255,5 @@ def make_planar_block_fn(cfg: BandMonitorConfig, use_pallas=None,
     core = _planar_core(
         cfg, _make_planar_channelize(cfg, use_pallas, interpret),
         audio_tile_rows=_audio_tile_rows(cfg) if use_pallas else 0,
-        interpret=interpret)
+        interpret=interpret, fast_demod=fast_demod)
     return jax.jit(core)

@@ -79,8 +79,12 @@ def fast_atan2(y, x):
     p = p * r2 + jnp.float32(9.999999582e-01)
     a = p * r
     a = jnp.where(swap, jnp.float32(np.pi / 2) - a, a)
-    neg_x = (jnp.float32(1.0) / x) < 0     # catches -0.0
-    neg_y = (jnp.float32(1.0) / y) < 0
+    # signbit is exact for -0.0 AND for +-inf / |x| > 8.5e37, where
+    # the Mosaic kernel's 1/x trick fails (1/x flushes subnormal to
+    # -0.0 on TPU, losing the sign -> a pi-radian error); it is also
+    # cheaper than a division.
+    neg_x = jnp.signbit(x)
+    neg_y = jnp.signbit(y)
     a = jnp.where(neg_x, jnp.float32(np.pi) - a, a)
     return jnp.where(neg_y, -a, a)
 

@@ -92,6 +92,10 @@ def fft_large(x, use_pallas=None, interpret: bool = False):
                       and jax.devices()[0].platform == "tpu")
     if not use_pallas:
         return jnp.fft.fft(x, axis=-1).astype(_complex_like(x))
+    if not _FB.supported_big(n):
+        raise ValueError(
+            f"N={n} has no two-factor decomposition into 256..2048-"
+            "point stages; use use_pallas=False (jnp.fft fallback)")
     n1, n2 = _FB.factorize(n)
     lead = x.shape[:-1]
     rows = x.reshape(-1, n)

@@ -92,13 +92,16 @@ def _segment_parts(x, nperseg: int, noverlap: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _auto_use_pallas(nperseg: int) -> bool:
+def _auto_use_pallas(nperseg: int, big: bool = False) -> bool:
+    """``big=True`` additionally admits the tiled four-step kernel's
+    sizes (2^16..2^22) — only welch_psd has that route; spectrogram's
+    pallas branch is the small per-segment kernel alone."""
     if jax.devices()[0].platform != "tpu":
         return False
     from comms_tpu.kernels import fft_big_pallas as _FB
     from comms_tpu.kernels import fft_pallas as _FP
 
-    return _FP.supported(nperseg) or _FB.supported_big(nperseg)
+    return _FP.supported(nperseg) or (big and _FB.supported_big(nperseg))
 
 
 def welch_psd_planar(re, im, nperseg: int = 1024, window=None,
@@ -156,7 +159,7 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
     if w.shape[0] != nperseg:
         raise ValueError("window length must equal nperseg")
     if use_pallas is None:
-        use_pallas = _auto_use_pallas(nperseg)
+        use_pallas = _auto_use_pallas(nperseg, big=True)
 
     if traced_w:
         scale = 1.0 / (fs * jnp.sum(w ** 2))
@@ -181,12 +184,8 @@ def welch_psd(x, nperseg: int = 1024, noverlap: int | None = None,
                     re, im, w, n=nperseg, demean=True,
                     interpret=interpret)
             else:
-                n1f, n2f = _FB.factorize(nperseg)
-                means = jnp.stack([jnp.mean(re, axis=1),
-                                   jnp.mean(im, axis=1)], -1)
-                acc = _FB.psd_big_pallas_planar(
-                    re, im, n1f, n2f, window=w, means=means,
-                    interpret=interpret)
+                acc = _FB.welch_numerator(re, im, w,
+                                          interpret=interpret)
             psd = acc * jnp.asarray(scale / nseg, jnp.float32)
             return _fold(psd, nperseg, fs, onesided)
         # gather-pattern overlaps fall through to the XLA path

@@ -129,6 +129,17 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
     return jax.jit(fn)
 
 
+def _welch_window(fft_size: int, window):
+    """Shared window/scale preamble of the three PSD makers."""
+    from comms_tpu.ops import spectrum
+
+    w = np.asarray(window if window is not None
+                   else spectrum.hann(fft_size), np.float64)
+    if w.shape[0] != fft_size:
+        raise ValueError("window length must equal fft_size")
+    return w.astype(np.float32), 1.0 / float(np.sum(w ** 2))
+
+
 def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
                      window=None, local_radix=None, use_pallas=None,
                      interpret: bool = False):
@@ -153,18 +164,11 @@ def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
     formulation at 2^20).  ``None`` auto-selects it on TPU; the
     multi-shard path always uses the distributed FFT.
     """
-    from comms_tpu.ops import spectrum
+    from comms_tpu.kernels import fft_big_pallas as _FB
     from comms_tpu.parallel import dfft as dfft_mod
 
     n = mesh.shape[axis]
-    w = np.asarray(window if window is not None
-                   else spectrum.hann(fft_size), np.float64)
-    if w.shape[0] != fft_size:
-        raise ValueError("window length must equal fft_size")
-    scale = 1.0 / float(np.sum(w ** 2))
-    w32 = w.astype(np.float32)
-
-    from comms_tpu.kernels import fft_big_pallas as _FB
+    w32, scale = _welch_window(fft_size, window)
 
     if use_pallas is None:
         use_pallas = (n == 1 and _FB.supported_big(fft_size)
@@ -173,17 +177,11 @@ def make_sharded_psd(fft_size: int, mesh: Mesh, axis: str = "time",
         if n != 1:
             raise ValueError("use_pallas PSD path needs a 1-shard mesh "
                              "(the multi-shard path is the dfft)")
-        n1f, n2f = _FB.factorize(fft_size)
 
         @jax.jit
         def fast(pairs):                         # [B, F, 2]
-            re = pairs[..., 0]
-            im = pairs[..., 1]
-            means = jnp.stack([jnp.mean(re, axis=1),
-                               jnp.mean(im, axis=1)], -1)
-            acc = _FB.psd_big_pallas_planar(
-                re, im, n1f, n2f, window=w32, means=means,
-                interpret=interpret)
+            acc = _FB.welch_numerator(pairs[..., 0], pairs[..., 1],
+                                      w32, interpret=interpret)
             return acc * (scale / pairs.shape[0])
 
         return fast
@@ -227,32 +225,21 @@ def make_sharded_psd_segments(fft_size: int, mesh: Mesh,
     :func:`make_sharded_psd` exactly.
     """
     from comms_tpu.kernels import fft_big_pallas as _FB
-    from comms_tpu.ops import spectrum
 
     n = mesh.shape[axis]
-    w = np.asarray(window if window is not None
-                   else spectrum.hann(fft_size), np.float64)
-    if w.shape[0] != fft_size:
-        raise ValueError("window length must equal fft_size")
-    scale = 1.0 / float(np.sum(w ** 2))
-    w32 = w.astype(np.float32)
+    w32, scale = _welch_window(fft_size, window)
     if use_pallas is None:
         use_pallas = (_FB.supported_big(fft_size)
                       and jax.devices()[0].platform == "tpu")
     if use_pallas and not _FB.supported_big(fft_size):
         raise ValueError(f"fft_size {fft_size} has no two-factor "
                          "decomposition into 256..2048-point stages")
-    fac = _FB.factorize(fft_size) if use_pallas else None
 
     def local(pairs_l):                          # [B/n, F, 2]
         re = pairs_l[..., 0]
         im = pairs_l[..., 1]
         if use_pallas:
-            means = jnp.stack([jnp.mean(re, axis=1),
-                               jnp.mean(im, axis=1)], -1)
-            acc = _FB.psd_big_pallas_planar(
-                re, im, fac[0], fac[1], window=w32, means=means,
-                interpret=interpret)
+            acc = _FB.welch_numerator(re, im, w32, interpret=interpret)
         else:
             x = lax.complex(re, im)
             x = x - jnp.mean(x, axis=1, keepdims=True)
@@ -285,40 +272,44 @@ def make_sharded_psd_planar(fft_size: int, mesh: Mesh,
     demean, and density normalization match :func:`make_sharded_psd`.
     """
     from comms_tpu.kernels import fft_big_pallas as _FB
-    from comms_tpu.ops import spectrum
+    from comms_tpu.parallel import dfft as dfft_mod
 
     n = mesh.shape[axis]
-    w = np.asarray(window if window is not None
-                   else spectrum.hann(fft_size), np.float64)
-    if w.shape[0] != fft_size:
-        raise ValueError("window length must equal fft_size")
-    scale = 1.0 / float(np.sum(w ** 2))
-    w32 = w.astype(np.float32)
+    w32, scale = _welch_window(fft_size, window)
     if use_pallas is None:
         use_pallas = (n == 1 and _FB.supported_big(fft_size)
                       and jax.devices()[0].platform == "tpu")
     if use_pallas:
         if n != 1:
             raise ValueError("use_pallas PSD path needs a 1-shard mesh")
-        n1f, n2f = _FB.factorize(fft_size)
 
         @jax.jit
         def fast(re, im):                        # [B, F] planes
-            means = jnp.stack([jnp.mean(re, axis=1),
-                               jnp.mean(im, axis=1)], -1)
-            acc = _FB.psd_big_pallas_planar(
-                re, im, n1f, n2f, window=w32, means=means,
-                interpret=interpret)
+            acc = _FB.welch_numerator(re, im, w32, interpret=interpret)
             return acc * (scale / re.shape[0])
 
         return fast
 
-    pair_fn = make_sharded_psd(fft_size, mesh, axis, window=window,
-                               local_radix=local_radix,
-                               use_pallas=False)
+    # plane-native dfft/XLA fallback (one complex materialization,
+    # which jnp.fft needs anyway — NOT a stack-to-pairs round trip,
+    # which would re-add two 227 GB/s relayout passes)
+    d = dfft_mod.make_dfft(fft_size, mesh, axis, local_radix=local_radix)
+    local_f = fft_size // n
 
-    @jax.jit
-    def planar(re, im):
-        return pair_fn(jnp.stack([re, im], axis=-1))
+    def local(re_l, im_l):                       # [B, F/n] planes
+        x = lax.complex(re_l, im_l)
+        idx = lax.axis_index(axis)
+        wl = lax.dynamic_slice_in_dim(jnp.asarray(w32), idx * local_f,
+                                      local_f)
+        mean = lax.psum(jnp.sum(x, axis=1, keepdims=True), axis
+                        ) / fft_size
+        spec = d.local_fn((x - mean) * wl[None, :])
+        return jnp.mean(jnp.abs(spec) ** 2, axis=0) * scale
 
-    return planar
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)

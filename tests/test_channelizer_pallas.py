@@ -146,3 +146,26 @@ def test_band_monitor_pallas_audio_fir_path():
         ax, sx = blk_x(sx, jnp.asarray(pairs))
         scale = np.abs(np.asarray(ax)).max()
         assert np.abs(np.asarray(ap) - np.asarray(ax)).max() < 2e-5 * max(scale, 1.0)
+
+
+def test_band_monitor_pallas_audio_fir_ragged_taps():
+    # review finding: taps % dec != 0 means the carried ctx is
+    # M*D-1 = audio_C.size-1 samples, NOT taps-1 — the kernel path
+    # must honor the polyphase convention (this config crashed at
+    # trace before the fix)
+    from comms_tpu.models import fm_band_monitor as fbm
+
+    cfg = fbm.BandMonitorConfig(num_channels=2, block=2 * 16384,
+                                audio_dec=4,
+                                audio_taps=np.hanning(30))
+    assert fbm._audio_tile_rows(cfg) == 32
+    blk_p = fbm.make_block_fn(cfg, use_pallas=True, interpret=True)
+    blk_x = fbm.make_block_fn(cfg, use_pallas=False)
+    rng = np.random.default_rng(23)
+    pairs = rng.normal(size=(cfg.block, 2)).astype(np.float32)
+    sp, sx = fbm.init_state(cfg), fbm.init_state(cfg)
+    for _ in range(2):
+        ap, sp = blk_p(sp, jnp.asarray(pairs))
+        ax, sx = blk_x(sx, jnp.asarray(pairs))
+        scale = max(np.abs(np.asarray(ax)).max(), 1.0)
+        assert np.abs(np.asarray(ap) - np.asarray(ax)).max() < 2e-5 * scale

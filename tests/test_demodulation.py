@@ -115,3 +115,15 @@ def test_fast_atan2_branch_cuts_and_zeros():
     got = np.asarray(demod.fast_atan2(jnp.asarray(ys), jnp.asarray(xs)))
     ref = np.arctan2(ys, xs)
     assert np.abs(got - ref).max() < 1e-6
+
+
+def test_fast_atan2_extreme_magnitudes():
+    # review finding: the 1/x sign trick loses the sign for -inf and
+    # for |x| > ~8.5e37 (1/x flushes subnormal to -0 on TPU); signbit
+    # is exact
+    ys = np.array([1.0, 1.0, -1.0, 1.0, 3e38], dtype=np.float32)
+    xs = np.array([-np.inf, -3e38, -3e38, np.inf, -1.0],
+                  dtype=np.float32)
+    got = np.asarray(demod.fast_atan2(jnp.asarray(ys), jnp.asarray(xs)))
+    ref = np.arctan2(ys, xs)
+    assert np.abs(got - ref).max() < 1e-6

@@ -254,3 +254,33 @@ def test_sparse_demean_large_dc_documented_bound():
             x.real.copy(), x.imag.copy(), n1, n2,
             window=rng.normal(size=N).astype(np.float32),
             sparse_demean=True, interpret=True)
+
+
+def test_explicit_use_pallas_bad_n_raises_valueerror():
+    # review finding: explicit use_pallas=True with a non-factorizable
+    # N must raise ValueError, not TypeError from unpacking None
+    from comms_tpu.ops import fft as fft_ops
+    from comms_tpu.parallel import sharding as sh
+    from comms_tpu.parallel import wideband
+
+    bad = 3 * (1 << 16)
+    mesh = sh.time_mesh(1)
+    with pytest.raises(ValueError, match="two-factor"):
+        wideband.make_sharded_psd(bad, mesh, use_pallas=True)(
+            jnp.zeros((1, bad, 2), jnp.float32))
+    with pytest.raises(ValueError, match="two-factor"):
+        wideband.make_sharded_psd_planar(bad, mesh, use_pallas=True)(
+            jnp.zeros((1, bad), jnp.float32),
+            jnp.zeros((1, bad), jnp.float32))
+    with pytest.raises(ValueError, match="two-factor"):
+        fft_ops.fft_large(jnp.zeros((1, bad), jnp.complex64),
+                          use_pallas=True)
+
+
+def test_spectrogram_not_widened_to_big_sizes():
+    # review finding: widening the welch auto-predicate must not leak
+    # into spectrogram, whose pallas branch is the small kernel only
+    from comms_tpu.ops import spectrum
+
+    assert not spectrum._auto_use_pallas(1 << 16)          # default
+    # (the big route is welch_psd's, behind big=True + TPU platform)
