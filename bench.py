@@ -453,6 +453,45 @@ def bench_band_monitor():
         make_step, (fm_band_monitor.init_state(cfg), pairs), cfg.block)
     _row("fm_band_monitor_throughput", msps / 1e6)
 
+    # Fully-fused single-Pallas-pass path (channelize + demod + audio
+    # FIR with zero inter-stage HBM traffic — kernels/
+    # band_monitor_pallas.py), same K=16 config, planes-fed (the
+    # serving-ingest layout), state chained.  A second row at the
+    # BASELINE channelizer config (K=64), where the audio matmul's
+    # KPR^2 lane/slot waste is smallest.
+    res = _device_pairs((cfg.block,), seed=13)
+    ims = _device_pairs((cfg.block,), seed=14)
+
+    def make_maker(blk, st0):
+        def make_step(res, ims):
+            def body(c):
+                st, acc = c
+                y, st = blk(st, res + acc * jnp.float32(1e-30), ims)
+                s = acc + _cks(y)
+                return (_chain(st, s), s)
+            return ((st0, _f32(0)), body)
+        return make_step
+
+    blk_f = fm_band_monitor.make_fused_block_fn(cfg)
+    msps, best, R = _measure_row(
+        make_maker(blk_f, fm_band_monitor.init_state_fused(cfg)),
+        (res, ims), cfg.block)
+    # flops/sample: DFT block-diag matmuls ~2300 + audio-FIR matmul
+    # (KPR^2 slot/lane waste, K=16) ~13000 + branch MACs/demod ~300
+    _row("fm_band_monitor_fused_throughput", msps / 1e6,
+         _roof(best, 8 * cfg.block, 15600 * cfg.block, R,
+               peak_tflops=_RUN_TFLOPS_BF16))
+
+    cfg64 = fm_band_monitor.BandMonitorConfig(
+        num_channels=64, taps_per_branch=8, block=cfg.block)
+    blk64 = fm_band_monitor.make_fused_block_fn(cfg64)
+    msps, best, R = _measure_row(
+        make_maker(blk64, fm_band_monitor.init_state_fused(cfg64)),
+        (res, ims), cfg.block)
+    _row("fm_band_monitor_fused64_throughput", msps / 1e6,
+         _roof(best, 8 * cfg.block, 3400 * cfg.block, R,
+               peak_tflops=_RUN_TFLOPS_BF16))
+
 
 def bench_wideband_psd():
     """The distributed FFT's consumer (wideband.make_sharded_psd): a

@@ -85,11 +85,11 @@ from comms_tpu.kernels._bf16 import (  # noqa: E402  (shared x3 split)
 )
 
 
-def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
-            M: int, k: int, mode: str):
-    nmats = 6 if mode == "split" else 2
-    mats = mats_and_out[:nmats]
-    yr_out, yi_out, slab_r, slab_i, sem = mats_and_out[nmats:]
+def _ingest(xr_hbm, xi_hbm, cr_hbm, ci_hbm, slab_r, slab_i, sem):
+    """Shared double-buffered input staging (also used by the fused
+    band-monitor kernel, band_monitor_pallas.py): prefetch step g+1's
+    rows while step g computes; 8-row f32-aligned halo carried between
+    slabs.  Returns the ready slot index for this grid step."""
     g = pl.program_id(0)
     n_steps = pl.num_programs(0)
     slot = jax.lax.rem(g, jnp.int32(2))
@@ -137,6 +137,15 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
     def _():
         issue(g + 1, 1 - slot, "start")
 
+    return slot
+
+
+def _chan_compute(sr, si, c2, mats, M: int, k: int, mode: str):
+    """Branch MACs + per-frame K-point DFT on a ready input slab
+    (rows [_HALO, _HALO+_ROWS) hold this step's samples, rows
+    [0, _HALO) the carried context).  Returns the packed spectrum
+    planes ``(yr[_ROWS, 128], yi[_ROWS, 128])`` — shared between the
+    plain channelizer kernel and the fused band-monitor kernel."""
     # ---- branch MACs.  For packed output row r (frames 2r, 2r+1),
     # lane l = c + 64j, term kk reads global sample
     #   x_first + 64*(2r + j) - 64*kk + c + 1
@@ -150,8 +159,6 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
     # (The per-term _advance form ran ~6 VPU ops/term/sample and was
     # the kernel's measured bottleneck at M=16.)
     rows = _ROWS
-    sr = slab_r[slot]
-    si = slab_i[slot]
     groups: dict = {}
     for kk in range(1, M + 1):
         delta = _HALO * _LANES + 1 - k * kk
@@ -208,8 +215,19 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
         p1 = dot(vr, fr_v)
         p2 = dot(vi, fi_v)
         p3 = dot(vr + vi, fr_v + fi_v)
-    yr_out[:] = p1 - p2
-    yi_out[:] = p3 - p1 - p2
+    return p1 - p2, p3 - p1 - p2
+
+
+def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, *mats_and_out,
+            M: int, k: int, mode: str):
+    nmats = 6 if mode == "split" else 2
+    mats = mats_and_out[:nmats]
+    yr_out, yi_out, slab_r, slab_i, sem = mats_and_out[nmats:]
+    slot = _ingest(xr_hbm, xi_hbm, cr_hbm, ci_hbm, slab_r, slab_i, sem)
+    yr, yi = _chan_compute(slab_r[slot], slab_i[slot], c2, mats,
+                           M=M, k=k, mode=mode)
+    yr_out[:] = yr
+    yi_out[:] = yi
 
 
 def channelize_pallas_planar(re, im, prototype, ctx_re, ctx_im,

@@ -27,7 +27,8 @@ from comms_tpu.ops import demodulation as demod
 from comms_tpu.ops import fir
 
 __all__ = ["BandMonitorConfig", "make_block_fn",
-           "make_planar_block_fn", "init_state"]
+           "make_planar_block_fn", "make_fused_block_fn",
+           "init_state", "init_state_fused"]
 
 
 class BandMonitorConfig:
@@ -68,6 +69,51 @@ def init_state(cfg: BandMonitorConfig):
         jnp.zeros((K, 2), dtype=jnp.float32),
         jnp.zeros((K, cfg.audio_C.size - 1), dtype=jnp.float32),
     )
+
+
+def init_state_fused(cfg: BandMonitorConfig):
+    """State for :func:`make_fused_block_fn`: (input-tail planes,
+    packed-spectrum-tail planes) — the fused kernel recomputes the
+    demod lag and audio-FIR look-back from carried spectrum, so this
+    is NOT interchangeable with :func:`init_state`'s layout."""
+    from comms_tpu.kernels import band_monitor_pallas as _BM
+
+    z = jnp.zeros((_BM.CTX_SAMPLES,), jnp.float32)
+    yh_r, yh_i = _BM.zero_spec_halo(cfg.num_channels,
+                                    cfg.audio_taps.shape[0])
+    return (z, z, yh_r, yh_i)
+
+
+def make_fused_block_fn(cfg: BandMonitorConfig,
+                        interpret: bool = False):
+    """Fully-fused serving path: jitted ``(state, re[N], im[N]) ->
+    (audio[K, M], state)`` through ONE Pallas pass
+    (:func:`comms_tpu.kernels.band_monitor_pallas.
+    band_monitor_pallas_planar` — channelize + polynomial-atan2 FM
+    demod + decimating audio FIR with no inter-stage HBM traffic; the
+    staged paths materialize the full spectrum twice, which held every
+    K at ~2.5 Gsps — docs/PERF.md measured lesson 16).  Demod is the
+    polynomial atan2 (5e-7 rad, as ``fast_demod=True``).  State from
+    :func:`init_state_fused`.  Constraints: K | 128,
+    taps_per_branch <= 16, block % 16384 == 0, audio_dec | 128,
+    audio taps <= 31 * (128 // K) + 1.
+    """
+    from comms_tpu.kernels import band_monitor_pallas as _BM
+
+    if cfg.block % _BM.step_samples():
+        raise ValueError(
+            f"fused band monitor needs block % {_BM.step_samples()}"
+            f" == 0, got {cfg.block}")
+
+    def block(state, re, im):
+        ctx_r, ctx_i, yh_r, yh_i = state
+        audio, ctx_r, ctx_i, yh_r, yh_i = _BM.band_monitor_pallas_planar(
+            re, im, cfg.prototype, cfg.audio_taps, cfg.audio_dec,
+            ctx_r, ctx_i, yh_r, yh_i,
+            num_channels=cfg.num_channels, interpret=interpret)
+        return audio.T, (ctx_r, ctx_i, yh_r, yh_i)
+
+    return jax.jit(block)
 
 
 def _make_planar_channelize(cfg: BandMonitorConfig, use_pallas,
