@@ -116,6 +116,63 @@ def make_fused_block_fn(cfg: BandMonitorConfig,
     return jax.jit(block)
 
 
+def fused_tail_samples(cfg: BandMonitorConfig) -> int:
+    """Raw samples whose tail fully determines the fused state
+    (:func:`fused_state_from_raw_tail`): the spectrum-halo frames'
+    input window plus the kernel's input-context length."""
+    from comms_tpu.kernels import band_monitor_pallas as _BM
+
+    kpr = 128 // cfg.num_channels
+    hframes = _BM.halo_rows(cfg.num_channels,
+                            cfg.audio_taps.shape[0]) * kpr
+    return hframes * cfg.num_channels + _BM.CTX_SAMPLES
+
+
+def fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):
+    """Recompute :func:`make_fused_block_fn`'s carried state from the
+    last :func:`fused_tail_samples` RAW input plane samples — the
+    spectrum tail is re-channelized locally (XLA path, ``hframes``
+    frames), so a shard/block boundary needs only the neighbor's raw
+    tail (the same trick as fm_receiver.fused_ctx_from_raw_tail).  The
+    recomputed frames use identical windows to the ones the kernel
+    carried but the XLA HIGHEST-precision DFT instead of the kernel's
+    bf16-split one, so a boundary crossed via this recompute matches
+    the kernel-carried state to ~1e-5 relative (not bit-exact).
+
+    Runs under an internal jit (cached per config): the complex
+    intermediates must stay on-device — eager complex ops are
+    unimplemented on the axon runtime (runtime/boundary.py)."""
+    fn = getattr(cfg, "_fused_tail_jit", None)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(functools.partial(_fused_state_from_raw_tail, cfg))
+        cfg._fused_tail_jit = fn
+    return fn(re_tail, im_tail)
+
+
+def _fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):
+    from comms_tpu.kernels import band_monitor_pallas as _BM
+
+    K = cfg.num_channels
+    kpr = 128 // K
+    hrows = _BM.halo_rows(K, cfg.audio_taps.shape[0])
+    hframes = hrows * kpr
+    T = K * cfg.taps_per_branch
+    L = fused_tail_samples(cfg)
+    if re_tail.shape[0] != L:
+        raise ValueError(f"raw tail must be {L} samples, got "
+                         f"{re_tail.shape[0]}")
+    x = jax.lax.complex(re_tail, im_tail)
+    seg = x[-hframes * K:]
+    pre = x[-(hframes * K + T - 1):-hframes * K]
+    y, _ = chan.channelize_block(seg, cfg.Hb, pre)     # [hframes, K]
+    yh_r = jnp.real(y).reshape(hrows, 128)
+    yh_i = jnp.imag(y).reshape(hrows, 128)
+    return (re_tail[-_BM.CTX_SAMPLES:], im_tail[-_BM.CTX_SAMPLES:],
+            yh_r, yh_i)
+
+
 def _make_planar_channelize(cfg: BandMonitorConfig, use_pallas,
                             interpret: bool):
     """(re[N], im[N], ctx_re[T-1], ctx_im[T-1]) ->

@@ -34,7 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from comms_tpu.models import fm_receiver
 
-__all__ = ["make_sharded_fused_step", "fused_init_state", "TAIL_SAMPLES"]
+__all__ = ["make_sharded_fused_step", "fused_init_state",
+           "make_sharded_band_monitor_step", "TAIL_SAMPLES"]
 
 TAIL_SAMPLES = fm_receiver.FUSED_TAIL_SAMPLES
 
@@ -102,5 +103,77 @@ def make_sharded_fused_step(mesh: Mesh, block: int, axis: str = "time",
         new_state = fm_receiver.fused_ctx_from_raw_tail(
             re_u8[-TAIL_SAMPLES:], im_u8[-TAIL_SAMPLES:])
         return audio, new_state
+
+    return step
+
+
+def make_sharded_band_monitor_step(cfg, mesh: Mesh, block: int,
+                                   axis: str = "time",
+                                   interpret: bool = False):
+    """Sharded fused band monitor (the K-receivers composition on a
+    pod slice): the single-Pallas-pass band-monitor kernel
+    (:mod:`comms_tpu.kernels.band_monitor_pallas`) runs per shard
+    under ``shard_map`` over a 1-D time mesh; each shard's carried
+    state — input-tail planes AND packed-spectrum halo — derives from
+    one ring ``ppermute`` of the left neighbor's raw f32 tail through
+    :func:`comms_tpu.models.fm_band_monitor.fused_state_from_raw_tail`
+    (the spectrum tail is re-channelized locally, neighbor-only ICI
+    traffic).  Returns a jitted ``(state, re[N], im[N]) ->
+    (audio[K, N/K/dec], state)`` with input planes and audio's time
+    axis sharded over ``axis``; ``state`` replicated and
+    interchangeable with the single-device
+    ``make_fused_block_fn`` stream mid-flight (to the spectrum-halo
+    recompute's ~1e-5, see fused_state_from_raw_tail)."""
+    from comms_tpu.kernels import band_monitor_pallas as _BM
+    from comms_tpu.models import fm_band_monitor as _M
+
+    n = mesh.shape[axis]
+    if block % n:
+        raise ValueError(f"block {block} must divide over {n} shards")
+    local_n = block // n
+    if local_n % _BM.step_samples():
+        raise ValueError(
+            f"per-shard length {local_n} must be a multiple of the "
+            f"kernel step {_BM.step_samples()}")
+    tail = _M.fused_tail_samples(cfg)
+    if local_n < tail:
+        raise ValueError(
+            f"per-shard length {local_n} must cover the raw context "
+            f"tail ({tail})")
+
+    def local(state, re_l, im_l):
+        idx = lax.axis_index(axis)
+        if n > 1:
+            perm = [(i, i + 1) for i in range(n - 1)]
+            recv_re = lax.ppermute(re_l[-tail:], axis, perm=perm)
+            recv_im = lax.ppermute(im_l[-tail:], axis, perm=perm)
+        else:
+            recv_re = re_l[-tail:]
+            recv_im = im_l[-tail:]
+        derived = _M.fused_state_from_raw_tail(cfg, recv_re, recv_im)
+        # shard 0's left context is the carried stream state (the
+        # ppermute delivered zeros there; the derive is discarded).
+        st = tuple(jnp.where(idx == 0, s, d)
+                   for s, d in zip(state, derived))
+        ctx_r, ctx_i, yh_r, yh_i = st
+        audio, *_ = _BM.band_monitor_pallas_planar(
+            re_l, im_l, cfg.prototype, cfg.audio_taps, cfg.audio_dec,
+            ctx_r, ctx_i, yh_r, yh_i,
+            num_channels=cfg.num_channels, interpret=interpret)
+        return audio                       # [local_frames, K]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, re, im):
+        audio = sharded(state, re, im)
+        new_state = _M.fused_state_from_raw_tail(
+            cfg, re[-tail:], im[-tail:])
+        return audio.T, new_state          # [K, frames]
 
     return step

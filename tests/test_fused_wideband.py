@@ -77,3 +77,53 @@ def test_sharded_fused_validates_shapes():
     with pytest.raises(ValueError, match="multiple of the"):
         fused_wideband.make_sharded_fused_step(
             mesh, block=mesh.shape["time"] * 1024)
+
+
+def test_sharded_band_monitor_matches_sequential():
+    # The fused band-monitor kernel per shard, neighbor context via
+    # ppermute + fused_state_from_raw_tail, vs the sequential fused
+    # stream over per-shard-sized blocks.  Boundaries recompute the
+    # spectrum halo at XLA HIGHEST precision vs the kernel's
+    # bf16-split DFT, so parity is ~1e-5 relative, not bit-exact.
+    from comms_tpu.kernels import band_monitor_pallas as BM
+    from comms_tpu.models import fm_band_monitor as model
+
+    n_dev = min(8, len(jax.devices()))
+    per_shard = BM.step_samples()
+    N = n_dev * per_shard
+    rng = np.random.default_rng(5)
+    re = rng.normal(size=N).astype(np.float32)
+    im = rng.normal(size=N).astype(np.float32)
+
+    cfg = model.BandMonitorConfig(block=per_shard)
+    mesh = sh.time_mesh(n_dev)
+    step = fused_wideband.make_sharded_band_monitor_step(
+        cfg, mesh, block=N, interpret=True)
+    state = model.init_state_fused(cfg)
+    audio, new_state = step(state, jnp.asarray(re), jnp.asarray(im))
+
+    blk = model.make_fused_block_fn(cfg, interpret=True)
+    st = model.init_state_fused(cfg)
+    outs = []
+    for b in range(n_dev):
+        a, st = blk(st, jnp.asarray(re[b * per_shard:(b + 1) * per_shard]),
+                    jnp.asarray(im[b * per_shard:(b + 1) * per_shard]))
+        outs.append(np.asarray(a))
+    ref = np.concatenate(outs, axis=1)
+
+    got = np.asarray(audio)
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    err = np.max(np.abs(got - ref))
+    assert err < 5e-4 * scale, (err, scale)
+
+    # second sharded step continues the stream (state carried)
+    audio2, _ = step(new_state, jnp.asarray(re), jnp.asarray(im))
+    outs2 = []
+    for b in range(n_dev):
+        a, st = blk(st, jnp.asarray(re[b * per_shard:(b + 1) * per_shard]),
+                    jnp.asarray(im[b * per_shard:(b + 1) * per_shard]))
+        outs2.append(np.asarray(a))
+    ref2 = np.concatenate(outs2, axis=1)
+    err2 = np.max(np.abs(np.asarray(audio2) - ref2))
+    assert err2 < 5e-4 * scale, (err2, scale)
