@@ -92,11 +92,19 @@ def zero_spec_halo(num_channels: int, audio_taps_len: int):
 
 
 def _audio_mats(taps: np.ndarray, k: int, dec: int):
-    """Host-side [KPR, KPR*R_out, Rext] left-matmul coefficients for
-    the decimating audio FIR ``a[t] = sum_m h[m] d[t*dec - m]``
-    (fir.fir_decimate_poly's convention) over the KPR frame-advanced
-    views of the [Rext, 128] phase-diff slab.  f64; caller splits to
-    bf16 hi/lo."""
+    """Host-side [R_out, KPR*Rext] left-matmul coefficients for the
+    decimating audio FIR ``a[t] = sum_m h[m] d[t*dec - m]``
+    (fir.fir_decimate_poly's convention) over KPR COMPOSITE views of
+    the [Rext, 128] phase-diff slab.
+
+    Composite view q advances lane slot jj by ``jj*(dec-1) + q``
+    frames, i.e. ``comp_q[r, c + K*jj] = d[frame r*KPR + jj*dec + q]``
+    — the slot-dependent stretch makes the row index needed for output
+    slot jj INDEPENDENT of jj (r*KPR + q = ro*KPR*dec - m), so one
+    [R_out, 128] matmul output is correct in EVERY lane slot at once.
+    The earlier slot-stacked form computed KPR*R_out rows and selected
+    each group's own slot: KPR x the MACs for the same answer (8x at
+    K=16).  f64; caller splits to bf16 hi/lo."""
     kpr = _LANES // k
     T = int(taps.shape[0])
     hrows = halo_rows(k, T)
@@ -105,25 +113,19 @@ def _audio_mats(taps: np.ndarray, k: int, dec: int):
     frames = _ROWS * kpr
     r_audio = frames // dec
     r_out = r_audio // kpr
-    A = np.zeros((kpr, kpr * r_out, rext), np.float64)
-    for t_loc in range(r_audio):
-        j, ro = t_loc % kpr, t_loc // kpr
+    A = np.zeros((r_out, kpr * rext), np.float64)
+    for ro in range(r_out):
         for m in range(T):
-            f_slab = t_loc * dec - m + hframes
-            p = (f_slab - j) % kpr
-            r = (f_slab - j - p) // kpr
-            assert 0 <= r < rext, (t_loc, m, j, p, r)
-            A[p, j * r_out + ro, r] += float(taps[m])
-    # [kpr*r_out, kpr*rext]: column p*rext + r multiplies row r of the
-    # advance-by-p-frames view (the views stack along the contraction
-    # dim in-kernel).
-    return (A.transpose(1, 0, 2).reshape(kpr * r_out, kpr * rext),
-            hrows, r_out)
+            q = (hframes - m) % kpr
+            r = (ro * kpr * dec - m + hframes - q) // kpr
+            assert 0 <= r < rext, (ro, m, q, r)
+            A[ro, q * rext + r] += float(taps[m])
+    return A, hrows, r_out
 
 
 def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, yh_r, yh_i,
             *rest, M: int, k: int, mode: str, hrows: int, r_out: int,
-            _skip: str = ""):
+            dec: int, _skip: str = ""):
     nmats = 6 if mode == "split" else 2
     mats = rest[:nmats]
     ah, al = rest[nmats:nmats + 2]
@@ -185,28 +187,36 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, yh_r, yh_i,
         Yr[0:hrows, :] = Yr[_ROWS:rext, :]
         Yi[0:hrows, :] = Yi[_ROWS:rext, :]
         return
-    views = []
-    for p in range(kpr):
-        if p == 0:
-            views.append(d)
-        else:
-            rem = p * k
-            a = pltpu.roll(d, _LANES - rem, 1)   # advance rem lanes
-            b = pltpu.roll(a, rext - 1, 0)       # next row on wrap
-            views.append(jnp.where(lanes < _LANES - rem, a, b))
-    # One matmul with the views stacked along the contraction dim
-    # (kpr separate [kpr*r_out, rext] dots pipeline worse on the MXU
-    # than a single [kpr*r_out, kpr*rext] pass).
-    v = views[0] if kpr == 1 else jnp.concatenate(views, axis=0)
-    vh, vl = _bsplit(v)
-    big = _dot3(ah[:], al[:], vh, vl)            # [kpr*r_out, 128]
+    # Composite views (see _audio_mats): comp_q advances lane slot jj
+    # by jj*(dec-1) + q frames, built from memoized uniform advances
+    # (each a lane roll + row roll(s) + carry select).  The composite
+    # structure makes ONE [r_out, kpr*rext] x [kpr*rext, 128] matmul
+    # correct in every lane slot — no slot stacking, no output select.
+    bases: dict = {}
 
-    lanes_o = jax.lax.broadcasted_iota(jnp.int32, (r_out, _LANES), 1)
-    out = jnp.zeros((r_out, _LANES), jnp.float32)
-    for j in range(kpr):
-        sel = (lanes_o >= j * k) & (lanes_o < (j + 1) * k)
-        out = jnp.where(sel, big[j * r_out:(j + 1) * r_out, :], out)
-    audio_out[:] = out
+    def base(a):
+        if a not in bases:
+            la = (k * a) % _LANES
+            sa = (k * a) // _LANES
+            x1 = d if la == 0 else pltpu.roll(d, _LANES - la, 1)
+            x2 = x1 if sa == 0 else pltpu.roll(x1, rext - sa, 0)
+            if la == 0:
+                bases[a] = x2
+            else:
+                x3 = pltpu.roll(x1, rext - sa - 1, 0)
+                bases[a] = jnp.where(lanes < _LANES - la, x2, x3)
+        return bases[a]
+
+    comps = []
+    for q in range(kpr):
+        comp = base(q)                           # slot 0
+        for jj in range(1, kpr):
+            sel = (lanes >= jj * k) & (lanes < (jj + 1) * k)
+            comp = jnp.where(sel, base(jj * (dec - 1) + q), comp)
+        comps.append(comp)
+    v = comps[0] if kpr == 1 else jnp.concatenate(comps, axis=0)
+    vh, vl = _bsplit(v)
+    audio_out[:] = _dot3(ah[:], al[:], vh, vl)   # [r_out, 128]
 
     # ---- next-step halo: this step's trailing rows (no overlap with
     # [0, hrows) since _ROWS > hrows); also emitted as the carried
@@ -303,7 +313,8 @@ def band_monitor_pallas_planar(re, im, prototype, audio_taps,
 
     rext = hrows + _ROWS
     kernel = functools.partial(_kernel, M=M, k=k, mode=mode,
-                               hrows=hrows, r_out=r_out, _skip=_skip)
+                               hrows=hrows, r_out=r_out, dec=dec,
+                               _skip=_skip)
     nmats = len(fmats)
     audio, nh_r, nh_i = pl.pallas_call(
         kernel,
@@ -322,7 +333,7 @@ def band_monitor_pallas_planar(re, im, prototype, audio_taps,
         ] + [pl.BlockSpec((_LANES, _LANES), lambda g: (0, 0),
                           memory_space=pltpu.VMEM)
              for _ in range(nmats)]
-        + [pl.BlockSpec((kpr * r_out, kpr * rext), lambda g: (0, 0),
+        + [pl.BlockSpec((r_out, kpr * rext), lambda g: (0, 0),
                         memory_space=pltpu.VMEM)
            for _ in range(2)],
         out_specs=[
@@ -348,7 +359,7 @@ def band_monitor_pallas_planar(re, im, prototype, audio_taps,
         cost_estimate=pl.CostEstimate(
             flops=steps * _ROWS * _LANES
             * (4 * M + 4 * _LANES * 3 + 40)
-            + steps * kpr * (kpr * r_out) * rext * _LANES * 6,
+            + steps * r_out * kpr * rext * _LANES * 6,
             bytes_accessed=8 * N + 4 * (N // k // dec) * k,
             transcendentals=0,
         ),
