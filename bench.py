@@ -476,10 +476,11 @@ def bench_band_monitor():
     msps, best, R = _measure_row(
         make_maker(blk_f, fm_band_monitor.init_state_fused(cfg)),
         (res, ims), cfg.block)
-    # flops/sample: DFT block-diag matmuls ~2300 + audio-FIR matmul
-    # (KPR^2 slot/lane waste, K=16) ~13000 + branch MACs/demod ~300
+    # flops/sample: DFT block-diag matmuls ~2300 + composite-view
+    # audio-FIR matmul (KPR lane waste, K=16) ~1600 + branch
+    # MACs/demod ~300
     _row("fm_band_monitor_fused_throughput", msps / 1e6,
-         _roof(best, 8 * cfg.block, 15600 * cfg.block, R,
+         _roof(best, 8 * cfg.block, 4200 * cfg.block, R,
                peak_tflops=_RUN_TFLOPS_BF16))
 
     cfg64 = fm_band_monitor.BandMonitorConfig(
@@ -489,7 +490,7 @@ def bench_band_monitor():
         make_maker(blk64, fm_band_monitor.init_state_fused(cfg64)),
         (res, ims), cfg.block)
     _row("fm_band_monitor_fused64_throughput", msps / 1e6,
-         _roof(best, 8 * cfg.block, 3400 * cfg.block, R,
+         _roof(best, 8 * cfg.block, 2900 * cfg.block, R,
                peak_tflops=_RUN_TFLOPS_BF16))
 
 
