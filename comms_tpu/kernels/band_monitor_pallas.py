@@ -26,14 +26,13 @@ block boundaries are exact (same contract as the fused FM chain's
 raw-tail recompute, models/fm_receiver.py).
 
 Audio-FIR-as-matmul: with KPR = 128/K frames packed per row, output
-audio sample t = r_out*KPR + j (packed row r_out, lane slot j) needs
-phase-diff frames t*dec - m.  In the slab layout, frame f lives at
-row (f - j - p)/KPR, lane slot j of the advance-by-p-frames view
-(p = (f - j) mod KPR), so the whole decimating FIR is
-``A[j*R_out + r_out, p*Rext + r] = h[m]`` applied as KPR stacked
-matmuls; a lane-slot select keeps each output row group's own slot.
-Matmul output lanes are lane-separable, so the KPR-1 discarded slots
-per group cost MXU MACs (factor KPR) but never pollute kept lanes.
+audio sample t = r_out*KPR + jj (packed row r_out, lane slot jj)
+needs phase-diff frames t*dec - m.  COMPOSITE views whose lane slot
+jj is advanced by jj*(dec-1) + q frames make the contraction row for
+tap m independent of jj (r*KPR + q = ro*KPR*dec - m), so ONE
+[R_out, KPR*Rext] left matmul lands correct in every lane slot at
+once — no slot stacking, no output select (docs/PERF.md measured
+lesson 17; the earlier slot-stacked form cost KPR x the MACs).
 
 Parity oracle: models.fm_band_monitor._planar_core with
 fast_demod=True (tests/test_band_monitor_pallas.py, interpret mode;
@@ -177,9 +176,7 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, yh_r, yh_i,
     d = jnp.where((jax.lax.broadcasted_iota(
         jnp.int32, (rext, _LANES), 0) == 0) & wrap, jnp.float32(0), d)
 
-    # ---- decimating audio FIR: KPR frame-advanced views, one bf16
-    # hi/lo split matmul each, accumulated; then keep each output row
-    # group's own lane slot.
+    # ---- decimating audio FIR (one composite-view matmul).
     if _skip == "audio":
         audio_out[:] = d[:r_out, :]
         yh_r_out[:] = Yr[_ROWS:rext, :]
