@@ -207,8 +207,13 @@ def _rx_core(cfg: QpskRxConfig, re, im):
         tt = jnp.arange(3 * cfg.sps)
         flat = jnp.where((tt >= t0) & (tt < t0 + 4),
                          lag[jnp.clip(tt - t0, 0, 3)], 0.0)
+        # Precision.HIGH (bf16x3, ~1e-5 relative): the HIGHEST default
+        # costs 2x the MXU passes and was this GEMM's dominant term
+        # (5.3 -> 2.9-4 ms at 33M samples); 1e-5 on unit-scale symbols
+        # is far inside the decision/estimator budgets downstream.
         sr_all, si_all = fir.fir_decimate_traced_planar(
-            yr, yi, flat, cfg.sps, tail_zeros=cfg.sps)
+            yr, yi, flat, cfg.sps, tail_zeros=cfg.sps,
+            precision=jax.lax.Precision.HIGH)
         sr, si = sr_all[1:], si_all[1:]
 
         # Zero the contaminated block edges (Lagrange zero-context

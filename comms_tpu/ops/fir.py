@@ -406,10 +406,21 @@ def fir_decimate_traced_planar(xr, xi, flat_taps, rate: int,
     outs = []
     for plane in (xr, xi):
         xpad = jnp.pad(plane, (MD - 1, pad))
-        W = _window_rows_strided(xpad, R, stride, width)
-        Y = jnp.dot(W, B2.astype(plane.dtype),
-                    preferred_element_type=plane.dtype,
-                    precision=precision)
+        # Per-piece dots instead of concat-then-dot: the full-stride
+        # piece is a PURE reshape XLA fuses into the GEMM operand
+        # read, while the concatenated [R, width] window materializes
+        # (measured 5.5 -> 4.1 ms at 33M samples, D=4, HIGH).
+        Y = None
+        off = 0
+        while off < width:
+            w = min(stride, width - off)
+            chunk = lax.dynamic_slice_in_dim(xpad, off, R * stride)
+            Wp = chunk.reshape(R, stride)[:, :w]
+            t = jnp.dot(Wp, B2[off:off + w].astype(plane.dtype),
+                        preferred_element_type=plane.dtype,
+                        precision=precision)
+            Y = t if Y is None else Y + t
+            off += w
         outs.append(Y.reshape(R * P)[:frames])
     return outs[0], outs[1]
 
