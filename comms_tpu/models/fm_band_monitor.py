@@ -139,16 +139,28 @@ def fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):
     bf16-split one, so a boundary crossed via this recompute matches
     the kernel-carried state to ~1e-5 relative (not bit-exact).
 
-    Runs under an internal jit (cached per config): the complex
-    intermediates must stay on-device — eager complex ops are
-    unimplemented on the axon runtime (runtime/boundary.py)."""
-    fn = getattr(cfg, "_fused_tail_jit", None)
+    Runs under an internal jit, cached on the config's VALUE (the
+    immutable field tuple, not the object): mutating a config after a
+    first call builds a fresh jit instead of silently reusing stale
+    captured constants.  The complex intermediates must stay on-device
+    — eager complex ops are unimplemented on the axon runtime
+    (runtime/boundary.py)."""
+    key = (cfg.num_channels, cfg.taps_per_branch, cfg.audio_dec,
+           np.asarray(cfg.Hb).tobytes(), cfg.audio_taps.tobytes())
+    fn = _FUSED_TAIL_JITS.get(key)
     if fn is None:
+        import copy
         import functools
 
-        fn = jax.jit(functools.partial(_fused_state_from_raw_tail, cfg))
-        cfg._fused_tail_jit = fn
+        # Deep-copied snapshot: the jit must close over the VALUES the
+        # key describes, not the live (mutable) config object.
+        snap = copy.deepcopy(cfg)
+        fn = jax.jit(functools.partial(_fused_state_from_raw_tail, snap))
+        _FUSED_TAIL_JITS[key] = fn
     return fn(re_tail, im_tail)
+
+
+_FUSED_TAIL_JITS: dict = {}
 
 
 def _fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):

@@ -90,3 +90,34 @@ def test_fused_model_path_matches_staged():
         scale = float(np.abs(np.asarray(y_r)).max())
         err = np.max(np.abs(np.asarray(y_f) - np.asarray(y_r)))
         assert err < 2e-4 * scale, (b, err, scale)
+
+
+def test_fused_tail_jit_cache_keys_on_config_value():
+    # Regression (round-3 advisor): the fused-tail jit used to cache a
+    # closure on the config OBJECT, so mutating the config silently
+    # reused stale captured constants.  The cache now keys on the
+    # config's field values and snapshots them.
+    rng = np.random.default_rng(3)
+    cfg = model.BandMonitorConfig(block=BM.step_samples())
+    L = model.fused_tail_samples(cfg)
+    re = rng.normal(size=L).astype(np.float32)
+    im = rng.normal(size=L).astype(np.float32)
+    first = model.fused_state_from_raw_tail(cfg, jnp.asarray(re),
+                                            jnp.asarray(im))
+
+    # Mutate the prototype in place (same shapes, new values).
+    new_proto = cfg.prototype * 0.5
+    cfg.prototype = new_proto
+    cfg.Hb = np.asarray(cfg.Hb) * 0.5
+    mutated = model.fused_state_from_raw_tail(cfg, jnp.asarray(re),
+                                              jnp.asarray(im))
+    # A fresh config constructed with the mutated values must agree.
+    fresh = model.BandMonitorConfig(block=BM.step_samples())
+    fresh.prototype = new_proto
+    fresh.Hb = np.asarray(fresh.Hb) * 0.5
+    want = model.fused_state_from_raw_tail(fresh, jnp.asarray(re),
+                                           jnp.asarray(im))
+    for got, exp, old in zip(mutated, want, first):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    # ...and the spectrum halo must differ from the stale-cache answer.
+    assert not np.allclose(np.asarray(mutated[2]), np.asarray(first[2]))
