@@ -3,11 +3,16 @@
 Functional parity with ``/root/reference/src/io/zmq_node.rs:9-141``
 (``ZMQSend``/``ZMQRecv``): typed sample blocks serialized and moved
 between processes over a socket, PUB/SUB or PUSH/PULL style.  The
-reference serializes with CBOR (zmq_node.rs:62); here blocks are
-numpy arrays, so the wire format is a fixed 16-byte header
-(magic, dtype code, byte length) + raw array bytes — zero-copy on
-both ends and dtype-checked, which is both faster and stricter than
-CBOR for fixed-schema sample streams.
+reference serializes with CBOR (zmq_node.rs:62); here the default
+wire format is a fixed 16-byte header (magic, dtype code, byte
+length) + raw array bytes — zero-copy on both ends and dtype-checked,
+which is both faster and stricter than CBOR for fixed-schema sample
+streams.  Pass ``codec="cbor"`` for wire interop with a LIVE comms-rs
+peer: blocks are then encoded exactly as ``serde_cbor::to_vec_packed``
+emits them (:mod:`comms_tpu.io.cbor`) — over the zmq backend the
+message is the bare CBOR payload, byte-compatible with ``ZMQSend``/
+``ZMQRecv``; over the tcp fallback it rides inside the length-prefixed
+frame (that backend is stream-oriented and never talks to comms-rs).
 
 If ``pyzmq`` is importable it is used (PUB binds / SUB connects+
 subscribes-all, matching zmq_node.rs:47-49,115-118); otherwise a
@@ -51,6 +56,7 @@ _DTYPE_CODES = {
     np.dtype(np.float64): 5,
     np.dtype(np.int32): 6,
 }
+_CBOR_CODE = 100  # tcp-fallback frames carrying a CBOR payload
 _CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
 
 
@@ -63,14 +69,26 @@ def _pack(arr: np.ndarray) -> bytes:
     return _HEADER.pack(_MAGIC, code, arr.nbytes) + arr.tobytes()
 
 
-def _unpack_header(hdr: bytes) -> Tuple[np.dtype, int]:
+def _unpack_header(hdr: bytes) -> Tuple[int, int]:
     magic, code, nbytes = _HEADER.unpack(hdr)
     if magic != _MAGIC:
         raise CommError("bad frame magic")
+    if code != _CBOR_CODE and code not in _CODE_DTYPES:
+        raise CommError(f"unknown dtype code {code}")
+    return code, nbytes
+
+
+def _code_dtype(code: int) -> np.dtype:
     dt = _CODE_DTYPES.get(code)
     if dt is None:
-        raise CommError(f"unknown dtype code {code}")
-    return dt, nbytes
+        raise CommError(f"frame code {code} is not a raw dtype")
+    return dt
+
+
+def _resolve_codec(codec: str) -> str:
+    if codec not in ("raw", "cbor"):
+        raise ValueError(f"codec must be 'raw' or 'cbor', got {codec!r}")
+    return codec
 
 
 class BlockSender:
@@ -85,12 +103,17 @@ class BlockSender:
     The two backends are NOT wire-compatible (ZMTP handshake vs raw
     frames) — both peers must use the same one; pin it explicitly
     when the endpoints may run in different environments.
+
+    ``codec``: "raw" (default, this framework's zero-copy framing) or
+    "cbor" (the reference's serde_cbor wire format — use with the zmq
+    backend to interoperate with a running comms-rs graph).
     """
 
     def __init__(self, endpoint: str, sock_type: str = "PUB",
-                 backend: str | None = None):
+                 backend: str | None = None, codec: str = "raw"):
         self.endpoint = endpoint
         self.backend = _resolve_backend(backend)
+        self.codec = _resolve_codec(codec)
         host, port = _parse_tcp(endpoint)
         if self.backend == "zmq":
             ctx = _zmq.Context.instance()
@@ -118,7 +141,18 @@ class BlockSender:
             self._send = send
 
     def send(self, arr) -> None:
-        self._send(_pack(np.asarray(arr)))
+        arr = np.asarray(arr)
+        if self.codec == "cbor":
+            from comms_tpu.io import cbor
+
+            payload = cbor.encode_block(arr)
+            if self.backend == "zmq":  # bare CBOR: comms-rs compatible
+                self._send(payload)
+            else:
+                self._send(_HEADER.pack(_MAGIC, _CBOR_CODE, len(payload))
+                           + payload)
+            return
+        self._send(_pack(arr))
 
     def close(self):
         if self.backend == "zmq":
@@ -135,9 +169,12 @@ class BlockReceiver:
 
     def __init__(self, endpoint: str, sock_type: str = "SUB",
                  timeout: Optional[float] = None,
-                 backend: str | None = None):
+                 backend: str | None = None, codec: str = "raw",
+                 dtype=None):
         self.endpoint = endpoint
         self.backend = _resolve_backend(backend)
+        self.codec = _resolve_codec(codec)
+        self.dtype = dtype  # optional decode override for codec="cbor"
         host, port = _parse_tcp(endpoint)
         if self.backend == "zmq":
             ctx = _zmq.Context.instance()
@@ -157,16 +194,29 @@ class BlockReceiver:
     def recv(self) -> np.ndarray:
         if self.backend == "zmq":
             data = self._sock.recv()
-            dt, nbytes = _unpack_header(data[: _HEADER.size])
+            if self.codec == "cbor":  # bare CBOR: comms-rs compatible
+                from comms_tpu.io import cbor
+
+                return cbor.decode_block(data, dtype=self.dtype)
+            code, nbytes = _unpack_header(data[: _HEADER.size])
             if len(data) - _HEADER.size != nbytes:
                 raise CommError(
                     f"frame payload {len(data) - _HEADER.size} bytes "
                     f"!= header nbytes {nbytes}"
                 )
-            return np.frombuffer(data[_HEADER.size:], dtype=dt)
+            return np.frombuffer(data[_HEADER.size:],
+                                 dtype=_code_dtype(code))
         hdr = self._recv_exact(_HEADER.size)
-        dt, nbytes = _unpack_header(hdr)
-        return np.frombuffer(self._recv_exact(nbytes), dtype=dt)
+        code, nbytes = _unpack_header(hdr)
+        payload = self._recv_exact(nbytes)
+        if code == _CBOR_CODE:
+            from comms_tpu.io import cbor
+
+            if self.codec != "cbor":
+                raise CommError("peer sent a CBOR frame; construct the "
+                                "receiver with codec='cbor'")
+            return cbor.decode_block(payload, dtype=self.dtype)
+        return np.frombuffer(payload, dtype=_code_dtype(code))
 
     def _recv_exact(self, n: int) -> bytes:
         chunks = []

@@ -299,3 +299,127 @@ def test_checkpoint_cross_version_structure_mismatch_raises(tmp_path):
     # the matching template still loads
     restored = checkpoint.load_state(tmp_path / "s.npz", state)
     assert np.array_equal(np.asarray(restored[1]), np.ones(3, np.float32))
+
+
+# ------------------------------------------------------- CBOR interop
+
+def test_cbor_roundtrip_complex64():
+    from comms_tpu.io import cbor
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=300) + 1j * rng.normal(size=300)
+         ).astype(np.complex64)
+    out = cbor.decode_block(cbor.encode_block(z))
+    assert out.dtype == np.complex64
+    np.testing.assert_array_equal(out, z)
+
+
+def test_cbor_roundtrip_nonfinite_complex():
+    # NaN/inf take the slow (per-element, f16-special) path both ways.
+    from comms_tpu.io import cbor
+    z = np.array([1 + 2j, complex(np.nan, np.inf),
+                  complex(-np.inf, 0.5)], np.complex64)
+    out = cbor.decode_block(cbor.encode_block(z))
+    assert out.dtype == np.complex64
+    np.testing.assert_array_equal(np.isnan(out.real), np.isnan(z.real))
+    assert out[1].imag == np.inf and out[2].real == -np.inf
+    assert out[0] == z[0] and out[2].imag == np.float32(0.5)
+
+
+def test_cbor_roundtrip_int16_and_f32():
+    from comms_tpu.io import cbor
+    v = np.array([0, 1, 23, 24, 255, 256, -1, -24, -25, -32768, 32767],
+                 np.int16)
+    out = cbor.decode_block(cbor.encode_block(v), dtype=np.int16)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, v)
+
+    f = np.linspace(-2, 2, 37).astype(np.float32)
+    out = cbor.decode_block(cbor.encode_block(f))
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, f)
+
+
+def test_cbor_decodes_reference_style_payload():
+    """Hand-built serde_cbor::to_vec_packed bytes for
+    Vec<Complex<f32>> = [1.5 - 2.0j, 0.0 + 3.25j] (RFC 7049:
+    definite array of 2-element arrays of f32) and a Vec<i16> with
+    every minimal-int width the reference could emit."""
+    import struct
+    from comms_tpu.io import cbor
+
+    def f32(v):
+        return b"\xfa" + struct.pack(">f", v)
+
+    payload = (b"\x82"                      # array(2)
+               + b"\x82" + f32(1.5) + f32(-2.0)
+               + b"\x82" + f32(0.0) + f32(3.25))
+    out = cbor.decode_block(payload)
+    np.testing.assert_array_equal(
+        out, np.array([1.5 - 2.0j, 3.25j], np.complex64))
+
+    ints = (b"\x85"                         # array(5)
+            b"\x0a"                         # 10
+            b"\x18\x64"                     # 100
+            b"\x19\x7f\xff"                 # 32767
+            b"\x29"                         # -10
+            b"\x39\x7f\xff")                # -32768
+    out = cbor.decode_block(ints, dtype=np.int16)
+    np.testing.assert_array_equal(
+        out, np.array([10, 100, 32767, -10, -32768], np.int16))
+
+    # A named-struct peer ({"re": .., "im": ..} maps) still decodes.
+    named = (b"\x81\xa2"
+             b"\x62re" + f32(1.0) +
+             b"\x62im" + f32(-1.0))
+    out = cbor.decode_block(named)
+    np.testing.assert_array_equal(out, np.array([1 - 1j], np.complex64))
+
+
+def test_cbor_encode_matches_reference_bytes():
+    """Encoder output is byte-identical to the hand-built
+    to_vec_packed layout (what a comms-rs ZMQRecv would parse)."""
+    import struct
+    from comms_tpu.io import cbor
+
+    z = np.array([1.5 - 2.0j, 3.25j], np.complex64)
+    want = (b"\x82"
+            + b"\x82\xfa" + struct.pack(">f", 1.5)
+            + b"\xfa" + struct.pack(">f", -2.0)
+            + b"\x82\xfa" + struct.pack(">f", 0.0)
+            + b"\xfa" + struct.pack(">f", 3.25))
+    assert cbor.encode_block(z) == want
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("backend", ["tcp"] + (["zmq"] if net.HAVE_ZMQ
+                                                else []))
+def test_net_transport_cbor_loopback(backend):
+    port = 57433 if backend == "zmq" else 57434
+    sender = net.BlockSender(f"tcp://127.0.0.1:{port}",
+                             sock_type="PUSH" if backend == "zmq" else "PUB",
+                             codec="cbor", backend=backend)
+    payloads = [(np.arange(64, dtype=np.float32)
+                 + 1j * np.ones(64, np.float32)).astype(np.complex64),
+                np.arange(-50, 50, dtype=np.int16)]
+    results = []
+
+    def rx():
+        r = net.BlockReceiver(f"tcp://127.0.0.1:{port}",
+                              sock_type="PULL" if backend == "zmq" else "SUB",
+                              timeout=10, codec="cbor", backend=backend)
+        for _ in payloads:
+            results.append(r.recv())
+        r.close()
+
+    th = threading.Thread(target=rx)
+    th.start()
+    for p in payloads:
+        sender.send(p)
+    th.join(timeout=10)
+    sender.close()
+    assert len(results) == 2
+    assert results[0].dtype == np.complex64
+    np.testing.assert_array_equal(results[0], payloads[0])
+    np.testing.assert_array_equal(results[1].astype(np.int16), payloads[1])
