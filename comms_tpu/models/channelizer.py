@@ -175,10 +175,9 @@ def make_planar_block_fn(cfg: ChannelizerConfig, use_pallas=None,
 
     @jax.jit
     def block(state, re, im):
-        x = jax.lax.complex(re, im)
-        ctx = jax.lax.complex(state[:, 0], state[:, 1])
-        y, ctx = chan.channelize_block(x, Hb, ctx)
-        new_state = jnp.stack([jnp.real(ctx), jnp.imag(ctx)], axis=-1)
-        return (jnp.real(y), jnp.imag(y)), new_state
+        yr, yi, nre, nim = chan.channelize_block_planar(
+            re, im, Hb, state[:, 0], state[:, 1])
+        new_state = jnp.stack([nre, nim], axis=-1)
+        return (yr, yi), new_state
 
     return block

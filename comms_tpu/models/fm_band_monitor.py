@@ -221,11 +221,7 @@ def _make_planar_channelize(cfg: BandMonitorConfig, use_pallas,
         Hb = cfg.Hb
 
         def channelize(re, im, cre, cim):
-            x = jax.lax.complex(re, im)
-            ctx = jax.lax.complex(cre, cim)
-            y, ctx2 = chan.channelize_block(x, Hb, ctx)
-            return (jnp.real(y), jnp.imag(y),
-                    jnp.real(ctx2), jnp.imag(ctx2))
+            return chan.channelize_block_planar(re, im, Hb, cre, cim)
     return channelize
 
 
