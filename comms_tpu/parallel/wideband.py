@@ -58,10 +58,18 @@ def init_state(cfg: WidebandConfig):
 
 
 def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
-                      axis: str = "time"):
+                      axis: str = "time", rdma_halo: bool = False,
+                      rdma_interpret=False):
     """Returns jitted ``(state, iq_pairs[N, 2]) ->
     ((audio[M], freq_est[]), new_state)`` with ``iq_pairs`` sharded
-    over ``axis`` and audio returned sharded the same way."""
+    over ``axis`` and audio returned sharded the same way.
+
+    ``rdma_halo=True`` routes every halo exchange through the
+    hand-rolled Pallas RDMA ring (:func:`comms_tpu.parallel.sharding.
+    halo_exchange_rdma`) instead of ``lax.ppermute`` — the
+    optimization path for halo-dominated configurations (tiny
+    per-chip blocks).  ``rdma_interpret`` forwards the interpret mode
+    (``pltpu.InterpretParams()`` to run on a virtual CPU mesh)."""
     n = mesh.shape[axis]
     if cfg.block % n:
         raise ValueError("block must divide evenly over shards")
@@ -71,20 +79,31 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
     T = cfg.num_taps
     B_iq, B_audio = cfg.B_iq, cfg.B_audio
 
+    if rdma_halo:
+        # Fixed, distinct barrier ids per call site (complex streams
+        # consume cid and cid+1 — one RDMA per plane).
+        def hx(xl, ctx, halo, cid):
+            return sh.halo_exchange_rdma(
+                xl, ctx, halo, axis, collective_id=cid,
+                interpret=rdma_interpret)
+    else:
+        def hx(xl, ctx, halo, cid):
+            return sh.halo_exchange(xl, ctx, halo, axis)
+
     def local_chain(state, iq_pairs):
         ctx_pairs, prev_pair, actx = state
         x = lax.complex(iq_pairs[:, 0], iq_pairs[:, 1])
 
         # --- FIR LPF with ring halo (overlap-save).
         ctx = lax.complex(ctx_pairs[:, 0], ctx_pairs[:, 1])
-        halo = sh.halo_exchange(x, ctx, T - 1, axis)
+        halo = hx(x, ctx, T - 1, 2)
         y, _ = fir.fir_block(x, B_iq, halo)
         new_ctx = sh.collect_ctx(x, T - 1, axis)
 
         # --- frequency estimate on filtered signal (psum).
         lag = y[1:] * jnp.conj(y[:-1])
         # cross-shard lag-1 term: left neighbor's last y sample.
-        yprev = sh.halo_exchange(y, jnp.zeros((1,), y.dtype), 1, axis)
+        yprev = hx(y, jnp.zeros((1,), y.dtype), 1, 4)
         idx = lax.axis_index(axis)
         edge = jnp.where(idx == 0, 0j, y[0] * jnp.conj(yprev[0]))
         fsum = sh.psum_estimate(jnp.sum(lag) + edge, axis)
@@ -96,7 +115,7 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
 
         # --- FM demod with 1-sample halo.
         prev_g = lax.complex(prev_pair[0], prev_pair[1])
-        hp = sh.halo_exchange(y, prev_g[None], 1, axis)
+        hp = hx(y, prev_g[None], 1, 6)
         shifted = jnp.concatenate([hp, y[:-1]])
         # polynomial atan2 (5e-7 rad): XLA's atan2 alone measured
         # 2.1 Gsps on v5e, the chain's largest elementwise stage
@@ -105,7 +124,7 @@ def make_sharded_step(cfg: WidebandConfig, mesh: Mesh,
         new_prev_c = sh.collect_ctx(y, 1, axis)
 
         # --- audio FIR + decimate.
-        ah = sh.halo_exchange(d, actx, T - 1, axis)
+        ah = hx(d, actx, T - 1, 8)
         a, _ = fir.fir_block(d, B_audio, ah)
         new_actx = sh.collect_ctx(d, T - 1, axis)
         audio = a[:: cfg.dec2]
