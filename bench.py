@@ -35,10 +35,15 @@ measured ENQUEUE RATE, not compute, inflated ~1000x, and all
   chains across the R reps (each rep = one big block of the stream),
   which is exactly how the serving path dispatches: one ingest buffer
   per dispatch, no slicing;
-* R is auto-calibrated so device time is ~10x the measured ~30 ms
-  sync round-trip, which is also subtracted;
-* rooflines are SLOPE-measured in the same run (marginal seconds per
-  added pass between two R values), cancelling all fixed overheads:
+* EVERY row is SLOPE-measured (round 4): throughput = per-pass
+  marginal seconds between R and 2R in-dispatch passes, cancelling
+  all fixed overheads instead of estimating them; R is calibrated so
+  the timed region is >= ~15x the ~30 ms sync round trip; >= 3
+  independent slope samples must agree within ~10% (else up to 6
+  more are taken) and each row reports ``spread_pct`` — a row whose
+  tightest 3 samples still spread beyond 25% is marked
+  ``"stable": false`` (see ``_measure_row``).  The machine rooflines
+  (copy GB/s, matmul TFLOP/s) use the same slope method:
   real copy ~640 GB/s, bf16 matmul ~190 TFLOP/s, f32-HIGHEST
   ~31 TFLOP/s — a stock v5e, not the fictional 15 TB/s part the
   enqueue numbers implied.
@@ -88,23 +93,46 @@ def _best_of(fn, args, reps=3, budget_s=30.0):
     return best
 
 
-def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=0.35,
-                 reps=3, max_R=4096):
-    """Build ONE jitted dynamic-R runner, calibrate R for ~target_s of
-    device time, return (samples_per_second, best_seconds, R).
+def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=None,
+                 reps=3, max_R=4096, spread_bound_pct=25.0):
+    """Build ONE jitted dynamic-R runner, calibrate R, and SLOPE-
+    measure the row: throughput = per_pass / marginal-seconds-per-
+    added-pass between R and 2R passes, which cancels every fixed
+    overhead (dispatch, sync readback, operand staging) instead of
+    subtracting an estimate of it.
+
+    Round-4 reproducibility contract (VERDICT r3 #1 — the flagship
+    read 36 vs 71 Gsps across runs with single-sample timing):
+
+    * R is calibrated so the timed region at R is >= ~15x the sync
+      round trip (>= ``target_s`` seconds; 2R is ~30x) — tunnel
+      window noise then perturbs the slope, not the reading;
+    * >= ``reps`` independent slope samples are taken (each one a
+      fresh t(2R) - t(R) pair); if their spread exceeds ~10% the
+      row takes up to 2 more rounds of samples;
+    * the reported value is the MEDIAN slope of the best
+      (tightest-spread) ``reps`` samples, and every row carries
+      ``spread_pct`` (max/min - 1 over those samples).  A row whose
+      spread still exceeds ``spread_bound_pct`` is marked
+      ``"stable": false`` — recorded (the driver contract needs the
+      final flagship line) but self-declared non-reproducible.
+
+    Returns ``(samples_per_second, seconds_for_R_passes, R, extra)``
+    where extra is the dict to merge into the row's JSON.
 
     ``make_step(*args)`` is traced under jit and must return
     ``(carry0, body)`` where ``body(carry) -> carry`` runs ONE pass of
     ``per_pass`` samples with a chained f32 checksum somewhere in the
     carry (the data dependency defeats hoisting/DCE).  R is a TRACED
-    ``fori_loop`` bound, so the pilot and final measurements share a
-    single compile — tunnel compiles cost 20-40 s each and dominated
-    the suite's wall time when every row compiled two scan lengths.
+    ``fori_loop`` bound, so calibration and every sample share ONE
+    compile — tunnel compiles cost 20-40 s each.
     """
     import jax
     from jax import lax
 
     make_step = make_fn
+    if target_s is None:
+        target_s = max(0.5, 15.0 * _SYNC_S)
 
     @jax.jit
     def f(R, *a):
@@ -117,10 +145,34 @@ def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=0.35,
     t_pilot = _best_of(f, pa, reps=2, budget_s=20.0)
     per_pass_t = max(t_pilot / pilot_R, 1e-7)
     R = int(min(max_R, max(pilot_R, round(target_s / per_pass_t))))
-    best = _best_of(f, (np.int32(R),) + tuple(args), reps=reps)
-    if R == pilot_R:
-        best = min(best, t_pilot)
-    return R * per_pass / best, best, R
+    a1 = (np.int32(R),) + tuple(args)
+    a2 = (np.int32(2 * R),) + tuple(args)
+
+    slopes = []                              # seconds per added pass
+    for round_ in range(3):                  # 1 round + up to 2 extra
+        for _ in range(reps):
+            t1 = _timed_call(f, a1)
+            t2 = _timed_call(f, a2)
+            slopes.append(max((t2 - t1) / R, 1e-9))
+        best = _tightest(slopes, reps)
+        spread = (max(best) / min(best) - 1.0) * 100.0
+        if spread <= 10.0:
+            break
+    med = sorted(best)[len(best) // 2]
+    extra = {"spread_pct": round(spread, 1)}
+    if spread > spread_bound_pct:
+        extra["stable"] = False
+    return per_pass / med, R * med, R, extra
+
+
+def _tightest(samples, k):
+    """The k consecutive values (sorted) with the smallest max/min
+    ratio — the agreeing subset among noisy tunnel-window samples."""
+    s = sorted(samples)
+    if len(s) <= k:
+        return s
+    best = min(range(len(s) - k + 1), key=lambda i: s[i + k - 1] / s[i])
+    return s[best:best + k]
 
 
 def _cks(y):
@@ -305,10 +357,10 @@ def bench_bpsk_tx():
             return (st, acc + jnp.sum(cs))
         return (state, _f32(0)), body
 
-    msps, best, R = _measure_row(make_step,
+    msps, best, R, ex = _measure_row(make_step,
                                  (bpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
-    _row("bpsk_tx_throughput", msps / 1e6)
+    _row("bpsk_tx_throughput", msps / 1e6, ex)
 
 
 def _f32(v):
@@ -341,10 +393,10 @@ def bench_qpsk_tx():
             return (st, acc + jnp.sum(cs))
         return (state, _f32(0)), body
 
-    msps, best, R = _measure_row(make_step,
+    msps, best, R, ex = _measure_row(make_step,
                                  (qpsk_tx.init_state_fast(cfg),),
                                  nb * cfg.samples_per_block)
-    _row("qpsk_tx_throughput", msps / 1e6)
+    _row("qpsk_tx_throughput", msps / 1e6, ex)
 
 
 def bench_qpsk_rx():
@@ -368,8 +420,8 @@ def bench_qpsk_rx():
             return (acc + _cks(sym),)
         return (_f32(0),), body
 
-    msps, best, R = _measure_row(make_step, (pairs,), n)
-    _row("qpsk_rx_throughput", msps / 1e6)
+    msps, best, R, ex = _measure_row(make_step, (pairs,), n)
+    _row("qpsk_rx_throughput", msps / 1e6, ex)
 
     # Planar entry (production ingest layout: io/raw_iq unpacks
     # interleaved i16 to planes, so the receiver never pays the
@@ -385,8 +437,8 @@ def bench_qpsk_rx():
             return (acc + _cks(sym),)
         return (_f32(0),), body
 
-    msps, best, R = _measure_row(make_step_planar, (re_d, im_d), n)
-    _row("qpsk_rx_planar_throughput", msps / 1e6)
+    msps, best, R, ex = _measure_row(make_step_planar, (re_d, im_d), n)
+    _row("qpsk_rx_planar_throughput", msps / 1e6, ex)
 
 
 def bench_channelizer_pair():
@@ -418,16 +470,16 @@ def bench_channelizer_pair():
     s0 = channelizer.init_state(cfg)
     # use_pallas=False: the default (None) auto-picks the Pallas
     # kernel here, which would make both rows measure the same path.
-    msps_x, best_x, R_x = _measure_row(
+    msps_x, best_x, R_x, ex_x = _measure_row(
         make_maker(channelizer.make_planar_block_fn(cfg, use_pallas=False)),
         (s0, res, ims), per_pass)
-    msps_p, best_p, R_p = _measure_row(
+    msps_p, best_p, R_p, ex_p = _measure_row(
         make_maker(channelizer.make_planar_block_fn(cfg, use_pallas=True)),
         (s0, res, ims), per_pass)
-    _row("channelizer64_throughput", msps_x / 1e6)
+    _row("channelizer64_throughput", msps_x / 1e6, ex_x)
     _row("kernel_channelizer_pallas_throughput", msps_p / 1e6,
-         _roof(best_p, 16 * per_pass, 8 * 8 * per_pass, R_p,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex_p, **_roof(best_p, 16 * per_pass, 8 * 8 * per_pass, R_p,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
 
 def bench_band_monitor():
@@ -449,9 +501,9 @@ def bench_band_monitor():
             return (_chain(st, s), s)
         return (state, _f32(0)), body
 
-    msps, best, R = _measure_row(
+    msps, best, R, ex = _measure_row(
         make_step, (fm_band_monitor.init_state(cfg), pairs), cfg.block)
-    _row("fm_band_monitor_throughput", msps / 1e6)
+    _row("fm_band_monitor_throughput", msps / 1e6, ex)
 
     # Fully-fused single-Pallas-pass path (channelize + demod + audio
     # FIR with zero inter-stage HBM traffic — kernels/
@@ -473,25 +525,25 @@ def bench_band_monitor():
         return make_step
 
     blk_f = fm_band_monitor.make_fused_block_fn(cfg)
-    msps, best, R = _measure_row(
+    msps, best, R, ex = _measure_row(
         make_maker(blk_f, fm_band_monitor.init_state_fused(cfg)),
         (res, ims), cfg.block)
     # flops/sample: DFT block-diag matmuls ~2300 + composite-view
     # audio-FIR matmul (KPR lane waste, K=16) ~1600 + branch
     # MACs/demod ~300
     _row("fm_band_monitor_fused_throughput", msps / 1e6,
-         _roof(best, 8 * cfg.block, 4200 * cfg.block, R,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex, **_roof(best, 8 * cfg.block, 4200 * cfg.block, R,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
     cfg64 = fm_band_monitor.BandMonitorConfig(
         num_channels=64, taps_per_branch=8, block=cfg.block)
     blk64 = fm_band_monitor.make_fused_block_fn(cfg64)
-    msps, best, R = _measure_row(
+    msps, best, R, ex = _measure_row(
         make_maker(blk64, fm_band_monitor.init_state_fused(cfg64)),
         (res, ims), cfg.block)
     _row("fm_band_monitor_fused64_throughput", msps / 1e6,
-         _roof(best, 8 * cfg.block, 2900 * cfg.block, R,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex, **_roof(best, 8 * cfg.block, 2900 * cfg.block, R,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
 
 def bench_wideband_psd():
@@ -526,15 +578,15 @@ def bench_wideband_psd():
             return (_f32(0),), body
         return make_step
 
-    msps, best, R = _measure_row(make_maker(psd_x), (res, ims), B * F)
-    _row("wideband_psd_2pow20_throughput", msps / 1e6)
+    msps, best, R, ex = _measure_row(make_maker(psd_x), (res, ims), B * F)
+    _row("wideband_psd_2pow20_throughput", msps / 1e6, ex)
     # Pallas row: same shapes/semantics through the tiled four-step
     # PSD kernel (means pass 8 + stage A 8+8+4 + stage B 8 B/sample,
     # VMEM-resident bin-grid accumulator)
-    msps, best, R = _measure_row(make_maker(psd_p), (res, ims), B * F)
+    msps, best, R, ex = _measure_row(make_maker(psd_p), (res, ims), B * F)
     _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
-         _roof(best, 36 * B * F, 2200 * B * F, R,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex, **_roof(best, 36 * B * F, 2200 * B * F, R,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
 
 def bench_kernels():
@@ -591,14 +643,14 @@ def bench_kernels():
         cr0, ci0 = FP.planar_ctx_zero()
         return (cr0, ci0, _f32(0)), body
 
-    msps_x, best_x, R_x = _measure_row(make_fir_xla, (fres, fims),
+    msps_x, best_x, R_x, ex_x = _measure_row(make_fir_xla, (fres, fims),
                                        per_pass)
-    msps_p, best_p, R_p = _measure_row(make_fir_pallas, (fres, fims),
+    msps_p, best_p, R_p, ex_p = _measure_row(make_fir_pallas, (fres, fims),
                                        per_pass)
     _row("kernel_fir63_throughput", msps_x / 1e6,
-         _roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x))
+         {**ex_x, **_roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x)})
     _row("kernel_fir63_pallas_throughput", msps_p / 1e6,
-         _roof(best_p, 16 * per_pass, 8 * 63 * per_pass, R_p))
+         {**ex_p, **_roof(best_p, 16 * per_pass, 8 * 63 * per_pass, R_p)})
 
     # ---- polyphase decimating FIR /5 pair (the FM chain's hot pair,
     # fm_radio.rs:144-151): XLA vs Pallas on IDENTICAL shapes, planar
@@ -633,16 +685,16 @@ def bench_kernels():
         cr0, ci0 = DFP.decim_ctx_zero(5)
         return (cr0, ci0, _f32(0)), body
 
-    msps_x, best_x, R_x = _measure_row(make_poly_xla, (res, ims),
+    msps_x, best_x, R_x, ex_x = _measure_row(make_poly_xla, (res, ims),
                                        per_pass)
-    msps_p, best_p, R_p = _measure_row(make_poly_pallas, (res, ims),
+    msps_p, best_p, R_p, ex_p = _measure_row(make_poly_pallas, (res, ims),
                                        per_pass)
     bytes_pp = 8 * per_pass + 8 * per_pass // 5
     flops_pp = 8 * 63 * per_pass // 5
     _row("kernel_polyphase_fir63_dec5_throughput", msps_x / 1e6,
-         _roof(best_x, bytes_pp, flops_pp, R_x))
+         {**ex_x, **_roof(best_x, bytes_pp, flops_pp, R_x)})
     _row("kernel_polyphase_pallas_throughput", msps_p / 1e6,
-         _roof(best_p, bytes_pp, flops_pp, R_p))
+         {**ex_p, **_roof(best_p, bytes_pp, flops_pp, R_p)})
 
     # ---- batched FFT-1024 trio: XLA's native FFT vs the four-step
     # matmul FFT (ops.fft.fft_four_step) vs the VMEM-resident Pallas
@@ -692,20 +744,20 @@ def bench_kernels():
             return (ui, ur, acc + ur[0, 0] * jnp.float32(1e-30))
         return (res, ims, _f32(0)), body
 
-    msps_x, best_x, R_x = _measure_row(make_fft(jnp.fft.fft),
+    msps_x, best_x, R_x, ex_x = _measure_row(make_fft(jnp.fft.fft),
                                        (qres, qims), per_pass)
-    msps_m, best_m, R_m = _measure_row(make_fft(cfft.fft_four_step),
+    msps_m, best_m, R_m, ex_m = _measure_row(make_fft(cfft.fft_four_step),
                                        (qres, qims), per_pass)
-    msps_p, best_p, R_p = _measure_row(make_fft_planar,
+    msps_p, best_p, R_p, ex_p = _measure_row(make_fft_planar,
                                        (qres, qims), per_pass)
     _row("kernel_fft1024_throughput", msps_x / 1e6,
-         _roof(best_x, 16 * per_pass, 5 * per_pass * 10, R_x))
+         {**ex_x, **_roof(best_x, 16 * per_pass, 5 * per_pass * 10, R_x)})
     _row("kernel_fft1024_fourstep_throughput", msps_m / 1e6,
-         _roof(best_m, 16 * per_pass, 5 * per_pass * 10, R_m,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex_m, **_roof(best_m, 16 * per_pass, 5 * per_pass * 10, R_m,
+               peak_tflops=_RUN_TFLOPS_BF16)})
     _row("kernel_fft1024_pallas_throughput", msps_p / 1e6,
-         _roof(best_p, 16 * per_pass, 5 * per_pass * 10, R_p,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex_p, **_roof(best_p, 16 * per_pass, 5 * per_pass * 10, R_p,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
     # ---- Welch PSD pair (window+FFT+|.|^2+accumulate, 1024 bins, 50%
     # overlap): XLA formulation vs the fused Pallas accumulator, same
@@ -747,15 +799,15 @@ def bench_kernels():
             return (acc + _cks(p),)
         return (_f32(0),), body
 
-    msps_wx, best_wx, R_wx = _measure_row(make_welch_xla,
+    msps_wx, best_wx, R_wx, ex_wx = _measure_row(make_welch_xla,
                                           (qres, qims), nsamp)
-    msps_wp, best_wp, R_wp = _measure_row(make_welch_pallas,
+    msps_wp, best_wp, R_wp, ex_wp = _measure_row(make_welch_pallas,
                                           (qres, qims), nsamp)
     _row("kernel_welch1024_throughput", msps_wx / 1e6,
-         _roof(best_wx, 8 * nsamp, 2 * 5 * nsamp * 10, R_wx))
+         {**ex_wx, **_roof(best_wx, 8 * nsamp, 2 * 5 * nsamp * 10, R_wx)})
     _row("kernel_welch1024_pallas_throughput", msps_wp / 1e6,
-         _roof(best_wp, 8 * nsamp, 2 * 5 * nsamp * 10, R_wp,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex_wp, **_roof(best_wp, 8 * nsamp, 2 * 5 * nsamp * 10, R_wp,
+               peak_tflops=_RUN_TFLOPS_BF16)})
 
 
 def bench_fm_receiver():
@@ -815,20 +867,91 @@ def bench_fm_receiver():
             return (_chain(st, s), s)
         return (state, _f32(0)), body
 
-    msps_x, best_x, R_x = _measure_row(
+    msps_x, best_x, R_x, ex_x = _measure_row(
         make_xla, (fm_receiver.init_state(cfg), iq), per_pass, pilot_R=2)
-    msps_pl, best_pl, R_pl = _measure_row(
+    msps_pl, best_pl, R_pl, ex_pl = _measure_row(
         make_pipe, (pipe.init_state(), iq), per_pass, pilot_R=2)
-    msps_f, best_f, R_f = _measure_row(
+    msps_f, best_f, R_f, ex_f = _measure_row(
         make_fused, (fm_receiver.fused_init_state(), re8, im8), per_pass,
         pilot_R=8)
     _row("fm_receiver_xla_throughput", msps_x / 1e6,
-         _roof(best_x, bytes_pp, flops_pp, R_x))
+         {**ex_x, **_roof(best_x, bytes_pp, flops_pp, R_x)})
     _row("fm_receiver_pipeline_throughput", msps_pl / 1e6,
-         _roof(best_pl, bytes_pp, flops_pp, R_pl))
+         {**ex_pl, **_roof(best_pl, bytes_pp, flops_pp, R_pl)})
     _row("fm_receiver_chain_throughput", msps_f / 1e6,
-         _roof(best_f, bytes_pp, flops_pp, R_f,
-               peak_tflops=_RUN_TFLOPS_BF16))
+         {**ex_f, **_roof(best_f, bytes_pp, flops_pp, R_f,
+               peak_tflops=_RUN_TFLOPS_BF16)})
+
+
+def bench_fm_serving():
+    """End-to-end SERVING row (VERDICT r3 #8): the fused FM chain
+    driven by the runtime's StreamRunner — per-block host dispatch,
+    device-generated source, a scalar per-block summary drained to the
+    host through the depth-N prefetch window (the reference's
+    free-running source/sink threads, node/mod.rs:275-284, become this
+    loop).  Every block's summary IS fetched (honest completion); the
+    depth-1 comparator shows what the prefetch window buys — measured
+    9.5 -> 46 Gsps at depth 16 (the ~29 ms per-readback round trip
+    hides behind newer blocks' compute).
+
+    Audio itself is NOT drained per block: this tunnel moves
+    host<->device payloads at ~1 MB/s (PERF lesson 6), so a bulk-drain
+    row would measure the tunnel, not the framework; on production
+    hosts the same StreamRunner drains bulk audio over PCIe."""
+    import jax
+    import jax.numpy as jnp
+
+    from comms_tpu.models import fm_receiver
+    from comms_tpu.runtime import StreamRunner
+
+    B = 102400 * 1024              # 104.8M samples/block
+    cfg = fm_receiver.FmReceiverConfig(block=B)
+    fblk = fm_receiver.make_fused_block_fn(cfg)
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+
+        def f(k):
+            return jax.random.randint(
+                k, (B,), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        return f(k1), f(k2)
+
+    re8, im8 = gen(jax.random.PRNGKey(7))
+
+    @jax.jit
+    def step(st, x):
+        re8, im8 = x
+        y, st = fblk(st, re8, im8)
+        # audio-dependent scalar summary (end elements; the fused
+        # chain is ONE pallas_call, so XLA cannot dead-code any of
+        # it).  A strided y[::1024].sum() summary measured ~10%
+        # slower at this block size.
+        return y[0] + y[-1], st
+
+    s, _ = step(fm_receiver.fused_init_state(), (re8, im8))
+    float(s)                       # warm: compile + drain
+
+    def run_once(depth, S):
+        src = [(re8, im8)] * S     # device-resident source blocks
+        sink_acc = []
+        runner = StreamRunner(step, fm_receiver.fused_init_state(), src,
+                              sink=lambda a: sink_acc.append(float(a)),
+                              samples_of=lambda x: B, depth=depth)
+        t0 = time.perf_counter()
+        runner.run()
+        t = time.perf_counter() - t0 - _SYNC_S
+        assert len(sink_acc) == S
+        return S * B / t
+
+    for depth, S, name in ((1, 6, "fm_receiver_serving_depth1_throughput"),
+                           (16, 32, "fm_receiver_serving_throughput")):
+        vals = sorted(run_once(depth, S) for _ in range(3))
+        spread = (vals[-1] / vals[0] - 1.0) * 100.0
+        extra = {"spread_pct": round(spread, 1), "depth": depth}
+        if spread > 25.0:
+            extra["stable"] = False
+        _row(name, vals[1] / 1e6, extra)
 
 
 def main():
@@ -875,7 +998,8 @@ def main():
                           "error": str(e)}), flush=True)
     for bench in (bench_bpsk_tx, bench_qpsk_tx, bench_qpsk_rx,
                   bench_channelizer_pair, bench_band_monitor,
-                  bench_wideband_psd, bench_kernels, bench_fm_receiver):
+                  bench_wideband_psd, bench_kernels, bench_fm_serving,
+                  bench_fm_receiver):
         try:
             bench()
         except Exception as e:  # a broken row must not hide the rest

@@ -1,23 +1,34 @@
 """Streaming executor: host IO overlapped with device compute.
 
 The runtime piece that replaces the reference's free-running source /
-sink node threads (``src/node/mod.rs:275-284`` spawning IO nodes): a
-serving loop that drives any block function over a block source,
-double-buffered so the host never sits idle —
+sink node threads (``src/node/mod.rs:275-284`` spawning IO nodes) and
+the bounded-channel back-pressure knob of its ``Graph``
+(``src/node/graph.rs:44-47``): a serving loop that drives any block
+function over a block source with up to ``depth`` blocks in flight —
 
-    dispatch block k          (async: h2d + compute queue up)
-    fetch result of block k-1 (device->host for the PREVIOUS block,
-                               overlapping block k's compute)
-    sink result k-1
+    dispatch block k            (async: h2d + compute queue up)
+    start d2h copy of result k  (async: overlaps later blocks)
+    drain result k-depth        (host wait only when it is consumed)
+    sink result k-depth
 
-Sources are plain iterables of numpy blocks (e.g. the native C++
-reader, ``io.raw_iq.iter_iq_blocks``, a live radio's recv loop);
-sinks are callables (``io.audio.WavSink.write``, the native writer,
-a network sender).  State stays on device for the whole stream.
+``depth`` is the analogue of the reference's channel capacity: it
+bounds how far the host runs ahead of the sink.  Measured on the
+tunneled v5e (fused FM chain, 104.8M-sample blocks, scalar summary
+drained per block): depth=1 9.5 Gsps -> depth=8 37 -> depth=16
+46 Gsps — the per-block readback round trip (~29 ms) is hidden once
+the drain lags the dispatch by more than the RTT/compute ratio
+(docs/PERF.md, serving section).
+
+Sources are plain iterables of numpy or device blocks (e.g. the
+native C++ reader, ``io.raw_iq.iter_iq_blocks``, a live radio's recv
+loop, or a jitted on-device generator); sinks are callables
+(``io.audio.WavSink.write``, the native writer, a network sender).
+State stays on device for the whole stream.
 """
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Any, Callable, Iterable, Optional
 
 import numpy as np
@@ -29,49 +40,76 @@ from comms_tpu.runtime.metrics import ThroughputMeter
 __all__ = ["StreamRunner"]
 
 
+def _start_host_copy(y) -> None:
+    """Kick off the async device->host copy of every array leaf (a
+    no-op for non-device values); the later ``np.asarray`` then waits
+    only for a transfer that has been in flight since dispatch."""
+    for leaf in jax.tree_util.tree_leaves(y):
+        start = getattr(leaf, "copy_to_host_async", None)
+        if start is not None:
+            try:
+                start()
+            except Exception:  # runtime without async copies
+                pass
+
+
 class StreamRunner:
     """Drive ``block_fn(state, x) -> (y, state)`` over a block source.
 
     Args:
       block_fn: jitted block step.
       state: initial state pytree (device-resident after first step).
-      source: iterable of numpy input blocks.
+      source: iterable of input blocks (numpy or device-resident).
       sink: optional callable receiving each output block (numpy).
       meter: optional ThroughputMeter; ``samples_of(x)`` counts the
         samples per input block (defaults to ``len``).
+      depth: max in-flight (dispatched, not yet drained) results —
+        the back-pressure bound.  1 reproduces the classic
+        double-buffered loop; raise it to hide the per-block
+        device->host round trip when the sink consumes small
+        summaries (see module docstring for measured rates).
     """
 
     def __init__(self, block_fn: Callable, state: Any,
-                 source: Iterable[np.ndarray],
-                 sink: Optional[Callable[[np.ndarray], None]] = None,
+                 source: Iterable[Any],
+                 sink: Optional[Callable[[Any], None]] = None,
                  meter: Optional[ThroughputMeter] = None,
-                 samples_of: Callable[[Any], int] = len):
+                 samples_of: Callable[[Any], int] = len,
+                 depth: int = 1):
         self.block_fn = block_fn
         self.state = state
         self.source = source
         self.sink = sink
         self.meter = meter if meter is not None else ThroughputMeter()
         self.samples_of = samples_of
+        self.depth = max(1, int(depth))
         self.blocks_done = 0
+
+    def _drain(self, y) -> None:
+        if self.sink is not None:
+            self.sink(np.asarray(y))
+        else:
+            jax.block_until_ready(y)
 
     def run(self, max_blocks: Optional[int] = None) -> ThroughputMeter:
         """Stream until the source ends (or ``max_blocks``).  Returns
         the throughput meter."""
-        pending = None  # device result of the previous block
+        pending: deque = deque()  # oldest-first device results
         for i, x in enumerate(self.source):
             if max_blocks is not None and i >= max_blocks:
                 break
             with self.meter.block(self.samples_of(x)):
                 # dispatch this block (async)...
-                y, self.state = self.block_fn(self.state, jax.device_put(x))
-                # ...then drain the PREVIOUS result while it runs.
-                if pending is not None and self.sink is not None:
-                    self.sink(np.asarray(pending))
-                pending = y
+                y, self.state = self.block_fn(self.state,
+                                              jax.device_put(x))
+                if self.sink is not None:
+                    _start_host_copy(y)
+                pending.append(y)
+                # ...and drain the block `depth` dispatches back while
+                # the newer ones run.
+                if len(pending) > self.depth:
+                    self._drain(pending.popleft())
                 self.blocks_done += 1
-        if pending is not None:
-            if self.sink is not None:
-                self.sink(np.asarray(pending))
-            else:
-                jax.block_until_ready(pending)
+        while pending:
+            self._drain(pending.popleft())
         return self.meter

@@ -423,3 +423,32 @@ def test_net_transport_cbor_loopback(backend):
     assert results[0].dtype == np.complex64
     np.testing.assert_array_equal(results[0], payloads[0])
     np.testing.assert_array_equal(results[1].astype(np.int16), payloads[1])
+
+
+def test_stream_runner_depth_order_and_equality():
+    # depth-N prefetch must preserve sink ordering and produce the
+    # same outputs as the classic depth-1 loop.
+    import jax.numpy as jnp
+    from comms_tpu.runtime import StreamRunner
+
+    def fn(state, x):
+        y = x * 2 + state
+        return y, state + 1
+
+    blocks = [np.full(4, i, np.float32) for i in range(7)]
+
+    def run(depth):
+        outs = []
+        r = StreamRunner(fn, jnp.float32(0), list(blocks),
+                         sink=lambda a: outs.append(a.copy()),
+                         depth=depth)
+        r.run()
+        assert r.blocks_done == 7
+        return outs
+
+    ref = run(1)
+    for depth in (2, 3, 16):
+        got = run(depth)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
