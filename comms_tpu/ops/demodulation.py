@@ -240,58 +240,92 @@ class TimingEstimator:
 
     LANES = 128
 
-    def corr_panels(self, re, im):
+    def corr_panels(self, re, im, halfwidth: int | None = None):
         """Raw correlation panels of one block's re/im planes.
 
         Returns ``(P1, P2, P3, P4, meta)`` with
         ``P1 = rev^T @ Wr`` etc., where ``rev/imv`` are the planes
-        reshaped to [R, 128] rows (zero-padded past k = N-ND) and
+        reshaped to [R, 128] rows (zero-padded past k = N-HW) and
         ``Wr/Wi`` are 128-stride windows of ``conj(x)``'s planes at
-        offset ``-ND``, width ``128 + 2*ND``.  Every lagged-product
-        statistic of the block with |lag| <= ND is a diagonal
+        offset ``-HW``, width ``128 + 2*HW``.  Every lagged-product
+        statistic of the block with |lag| <= HW is a diagonal
         functional of these four small [128, width] matrices — the
         timing estimate consumes them via the r2 rotation, and
-        qpsk_rx reuses the SAME panels for its per-phase interpolated
-        energies, so the block is read exactly once for both.
+        qpsk_rx reuses the SAME panels for its frequency estimate and
+        per-phase interpolated energies, so the block is read exactly
+        once for all of them.
+
+        ``halfwidth`` (default ND = n*d) sets the max |lag| HW —
+        qpsk_rx widens it to ND + mf_taps - 1 so matched-filter
+        correlations fold into host weights (the GEMMs' cost is
+        operand reads, measured width-insensitive at 168 vs 230).
+
+        The GEMMs run as per-piece dots on shifted reshapes — a
+        concatenated [R, width] window MATERIALIZES (measured 2.38 ->
+        1.51 ms at 33.5M samples; PERF lesson 9 at the XLA level).
         """
         lanes = self.LANES
-        nd = self.n * self.d
+        hw = self.n * self.d if halfwidth is None else int(halfwidth)
         N = int(re.shape[0])
         fdt = re.dtype
-        K = N - nd
+        K = N - hw
         R = -(-K // lanes)
         Kp = lanes * R
-        width = lanes + 2 * nd
+        width = lanes + 2 * hw
         prec = self.precision
         if prec is None:
             prec = (jax.lax.Precision.DEFAULT if fdt == jnp.float32
                     else jax.lax.Precision.HIGHEST)
         rev = jnp.pad(re[:K], (0, Kp - K)).reshape(R, lanes)
         imv = jnp.pad(im[:K], (0, Kp - K)).reshape(R, lanes)
-        # W rows: conj(x) at offset -ND, padded so the strided window
-        # build has ceil(width/lanes)*lanes past the last row start.
+        # W rows: conj(x) at offset -HW, padded so every piece's
+        # dynamic slice is in range.  The imag W plane is +im, NOT
+        # -im: the conj negation moves onto the tiny panel outputs so
+        # the big operand is a pure pad of the input.
         need = (R - 1) * lanes + (-(-width // lanes)) * lanes
-        Wr_flat = jnp.pad(re, (nd, max(need - nd - N, 0)))
-        Wi_flat = jnp.pad(-im, (nd, max(need - nd - N, 0)))
-        Wr = _fir._window_rows_strided(Wr_flat, R, lanes, width)
-        Wi = _fir._window_rows_strided(Wi_flat, R, lanes, width)
-        P1 = jnp.dot(rev.T, Wr, precision=prec)
-        P2 = jnp.dot(rev.T, Wi, precision=prec)
-        P3 = jnp.dot(imv.T, Wr, precision=prec)
-        P4 = jnp.dot(imv.T, Wi, precision=prec)
-        meta = {"nd": nd, "K": K, "Kp": Kp, "R": R, "width": width,
+        Wr_flat = jnp.pad(re, (hw, max(need - hw - N, 0)))
+        Wi_flat = jnp.pad(im, (hw, max(need - hw - N, 0)))
+        # Stacked-V dots: ONE [R, 256] operand holding rev|imv gives
+        # two panels per dot ([256, w] splits into the rev / imv
+        # halves) — 4 dots instead of 8, halving the window-piece
+        # operand traffic (these GEMMs are read-bound: 128x230-ish
+        # outputs against an R-deep contraction).
+        V2 = jnp.concatenate([rev, imv], axis=1)   # [R, 2*lanes]
+
+        def panel2(Wflat):
+            tops, bots = [], []
+            off = 0
+            while off < width:
+                w = min(lanes, width - off)
+                chunk = jax.lax.dynamic_slice_in_dim(Wflat, off,
+                                                     R * lanes)
+                Wp = chunk.reshape(R, lanes)[:, :w]
+                E2 = jnp.dot(V2.T, Wp, precision=prec)  # [2*lanes, w]
+                tops.append(E2[:lanes])
+                bots.append(E2[lanes:])
+                off += w
+            return (jnp.concatenate(tops, axis=1),
+                    jnp.concatenate(bots, axis=1))
+
+        P1, P3 = panel2(Wr_flat)
+        P2n, P4n = panel2(Wi_flat)
+        P2, P4 = -P2n, -P4n          # conj(x): imag plane negated
+        meta = {"nd": hw, "K": K, "Kp": Kp, "R": R, "width": width,
                 "fdt": fdt, "prec": prec, "rev": rev, "imv": imv,
-                "Wr": Wr, "Wi": Wi}
+                "Wr_flat": Wr_flat, "Wi_flat": jnp.negative(Wi_flat)}
         return P1, P2, P3, P4, meta
 
-    def estimate_from_panels(self, panels):
-        """Timing estimate from :meth:`corr_panels` output."""
+    def lag_sums_r2(self, panels):
+        """r2-rotated lagged-correlation sums ``(gr, gi)`` over
+        lag v in [-HW, HW]: ``g[v] = sum_k r2[k] x[k] conj(x[k+v])``
+        with ``r2[k] = exp(-2j*pi*k/N)`` — the statistic the Mengali
+        estimate weights.  The r2 rotation is applied AFTER the GEMMs
+        when it collapses to a function of j = k mod 128 (128 % N
+        == 0), else as a per-row-tile multiply before piecewise dots.
+        """
         P1, P2, P3, P4, meta = panels
         lanes = self.LANES
-        nd, fdt = meta["nd"], meta["fdt"]
-        # v = r2 * x with r2 = cos2 - j*sin2: applied AFTER the GEMM
-        # when r2 collapses to a function of j = k mod 128 (128 % N
-        # == 0), else as a per-row-tile multiply before it.
+        hw, fdt = meta["nd"], meta["fdt"]
         if lanes % self.n == 0:
             ph = 2.0 * np.pi * np.arange(lanes, dtype=np.float64) / self.n
             c2 = jnp.asarray(np.cos(ph).astype(fdt))[:, None]
@@ -300,27 +334,69 @@ class TimingEstimator:
             Ei = (c2 * P2 + s2 * P4) + (c2 * P3 - s2 * P1)
         else:
             prec = meta["prec"]
-            rev, imv, Wr, Wi = (meta["rev"], meta["imv"],
-                                meta["Wr"], meta["Wi"])
+            rev, imv = meta["rev"], meta["imv"]
+            Wr_flat, Wi_flat = meta["Wr_flat"], meta["Wi_flat"]
+            R, width = meta["R"], meta["width"]
             ph = (2.0 * np.pi * np.arange(meta["Kp"], dtype=np.float64)
-                  / self.n).reshape(meta["R"], lanes)
+                  / self.n).reshape(R, lanes)
             c2 = jnp.asarray(np.cos(ph).astype(fdt))
             s2 = jnp.asarray(np.sin(ph).astype(fdt))
             Vr = rev * c2 + imv * s2
             Vi = imv * c2 - rev * s2
-            Er = (jnp.dot(Vr.T, Wr, precision=prec)
-                  - jnp.dot(Vi.T, Wi, precision=prec))
-            Ei = (jnp.dot(Vr.T, Wi, precision=prec)
-                  + jnp.dot(Vi.T, Wr, precision=prec))
-        # g[u] = sum_j E[j, j + ND + u]: offset-diagonal sums of the
+
+            def panel(V, Wflat):
+                pieces = []
+                off = 0
+                while off < width:
+                    w = min(lanes, width - off)
+                    chunk = jax.lax.dynamic_slice_in_dim(
+                        Wflat, off, R * lanes)
+                    Wp = chunk.reshape(R, lanes)[:, :w]
+                    pieces.append(jnp.dot(V.T, Wp, precision=prec))
+                    off += w
+                return jnp.concatenate(pieces, axis=1)
+
+            Er = panel(Vr, Wr_flat) - panel(Vi, Wi_flat)
+            Ei = panel(Vr, Wi_flat) + panel(Vi, Wr_flat)
+        # g[v] = sum_j E[j, j + HW + v]: offset-diagonal sums of the
         # small [lanes, width] result.
         cols = (np.arange(lanes)[:, None]
-                + np.arange(2 * nd + 1)[None, :])   # j + (ND+u)
+                + np.arange(2 * hw + 1)[None, :])   # j + (HW+v)
         cols_j = jnp.asarray(cols)
         gr = jnp.sum(jnp.take_along_axis(Er, cols_j, axis=1), axis=0)
         gi = jnp.sum(jnp.take_along_axis(Ei, cols_j, axis=1), axis=0)
-        wr = jnp.asarray(np.real(self._wq).astype(fdt))
-        wi = jnp.asarray(np.imag(self._wq).astype(fdt))
+        return gr, gi
+
+    def estimate_from_panels(self, panels, weights=None, lag_rot=None):
+        """Timing estimate from :meth:`corr_panels` output.
+
+        ``weights``: host complex weight vector over lag v in
+        [-HW, HW] replacing the default q-filter fold ``self._wq``
+        (which requires HW == ND) — qpsk_rx passes the matched-filter
+        autocorrelation fold so the panels can sit on the RAW signal.
+        ``lag_rot``: optional TRACED scalar w; g[v] is rotated by
+        ``exp(j*w*v)`` before weighting — the exact fold of a
+        carrier de-rotation ``x * exp(-j*w*k)`` into the statistic.
+        """
+        _P1, _P2, _P3, _P4, meta = panels
+        hw, fdt = meta["nd"], meta["fdt"]
+        gr, gi = self.lag_sums_r2(panels)
+        if weights is None:
+            if hw != self.n * self.d:
+                raise ValueError(
+                    "widened panels need an explicit weight vector")
+            weights = self._wq
+        wq = np.asarray(weights)
+        if wq.shape[0] != 2 * hw + 1:
+            raise ValueError(f"weights must cover 2*HW+1 = {2*hw+1} "
+                             f"lags, got {wq.shape[0]}")
+        wr = jnp.asarray(np.real(wq).astype(fdt))
+        wi = jnp.asarray(np.imag(wq).astype(fdt))
+        if lag_rot is not None:
+            v = jnp.asarray(np.arange(-hw, hw + 1), fdt)
+            cv = jnp.cos(lag_rot * v)
+            sv = jnp.sin(lag_rot * v)
+            gr, gi = gr * cv - gi * sv, gr * sv + gi * cv
         s_re = jnp.sum(wr * gr - wi * gi)
         s_im = jnp.sum(wr * gi + wi * gr)
         return (-float(self.n) * jnp.arctan2(s_im, s_re)

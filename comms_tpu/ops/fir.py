@@ -46,6 +46,7 @@ __all__ = [
     "fir_decimate_poly",
     "fir_decimate_traced",
     "fir_decimate_traced_planar",
+    "fir_decimate_traced_planar_complex",
     "fir_apply_planar",
     "poly_mac_frames",
 ]
@@ -396,9 +397,49 @@ def fir_decimate_traced_planar(xr, xi, flat_taps, rate: int,
     """Planar twin of :func:`fir_decimate_traced` (real traced taps on
     re/im planes): returns ``(yr, yi)`` frame planes, never
     materializing complex64."""
-    B2, D, P, frames, width = _traced_band_setup(
-        flat_taps, int(xr.shape[0]), rate, tail_zeros, phases)
-    MD = int(jnp.asarray(flat_taps).shape[0])
+    (yr,), (yi,) = _dec_traced_planar_core(
+        xr, xi, (flat_taps,), rate, tail_zeros, phases, precision)
+    return yr, yi
+
+
+def fir_decimate_traced_planar_complex(xr, xi, flat_re, flat_im,
+                                       rate: int, tail_zeros: int = 0,
+                                       phases: int = _DEFAULT_PHASES,
+                                       precision=lax.Precision.HIGHEST):
+    """Complex traced taps on re/im planes:
+
+        y[m] = sum_t (flat_re + j*flat_im)[t] * (xr + j*xi)[m*D - t]
+
+    Four real decimating GEMMs sharing the same window operands (the
+    windows — the expensive part, pure-reshape reads of the planes —
+    are built once per plane per piece).  Exists so a traced carrier
+    de-rotation can fold INTO the tap vector (x*e^{-jwk} filtered by
+    flat == e^{-jw m D} * (flat*e^{jwt} applied to raw x)): qpsk_rx's
+    full-rate stages then depend only on the RAW planes, and the
+    panel->scalar->full-rate scheduling stall (measured +1.8 ms per
+    coupled full-rate stage at 33.5M samples) disappears.
+    Returns ``(yr, yi)``."""
+    (rr, ri), (ir_, ii) = _dec_traced_planar_core(
+        xr, xi, (flat_re, flat_im), rate, tail_zeros, phases, precision)
+    # (xr + j xi)(cr + j ci): re = xr*cr - xi*ci, im = xr*ci + xi*cr
+    return rr - ii, ri + ir_
+
+
+def _dec_traced_planar_core(xr, xi, flats, rate, tail_zeros, phases,
+                            precision):
+    """Shared window machinery: for each plane p and tap vector f,
+    compute the decimating GEMM Y[p][f], reading each plane's windows
+    ONCE per piece.  Returns ``tuple_per_plane(tuple_per_flat)``.
+
+    Per-piece dots instead of concat-then-dot: the full-stride piece
+    is a PURE reshape XLA fuses into the GEMM operand read, while the
+    concatenated [R, width] window materializes (measured 5.5 ->
+    4.1 ms at 33M samples, D=4, HIGH)."""
+    setups = [_traced_band_setup(f, int(xr.shape[0]), rate, tail_zeros,
+                                 phases) for f in flats]
+    B2s = [s[0] for s in setups]
+    _, D, P, frames, width = setups[0]
+    MD = int(jnp.asarray(flats[0]).shape[0])
     R = -(-frames // P)
     stride = P * D
     last_off = stride * ((width - 1) // stride)
@@ -406,22 +447,23 @@ def fir_decimate_traced_planar(xr, xi, flat_taps, rate: int,
     outs = []
     for plane in (xr, xi):
         xpad = jnp.pad(plane, (MD - 1, pad))
-        # Per-piece dots instead of concat-then-dot: the full-stride
-        # piece is a PURE reshape XLA fuses into the GEMM operand
-        # read, while the concatenated [R, width] window materializes
-        # (measured 5.5 -> 4.1 ms at 33M samples, D=4, HIGH).
-        Y = None
+        # One window per piece, one [.., P] dot per tap matrix on it
+        # (a [width, n*P] concatenated-B2 dot reads the window once
+        # too, but measured 2.4x SLOWER — 2.50 vs 1.03 ms at 33.5M
+        # samples, D=4 — the 256-wide output tiles worse).
+        Ys = [None] * len(B2s)
         off = 0
         while off < width:
             w = min(stride, width - off)
             chunk = lax.dynamic_slice_in_dim(xpad, off, R * stride)
             Wp = chunk.reshape(R, stride)[:, :w]
-            t = jnp.dot(Wp, B2[off:off + w].astype(plane.dtype),
-                        preferred_element_type=plane.dtype,
-                        precision=precision)
-            Y = t if Y is None else Y + t
+            for i, B2 in enumerate(B2s):
+                t = jnp.dot(Wp, B2[off:off + w].astype(plane.dtype),
+                            preferred_element_type=plane.dtype,
+                            precision=precision)
+                Ys[i] = t if Ys[i] is None else Ys[i] + t
             off += w
-        outs.append(Y.reshape(R * P)[:frames])
+        outs.append(tuple(Y.reshape(R * P)[:frames] for Y in Ys))
     return outs[0], outs[1]
 
 

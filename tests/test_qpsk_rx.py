@@ -112,3 +112,31 @@ def test_planar_rx_matches_pairs_rx():
     assert np.array_equal(np.asarray(sym_p), np.asarray(sym_q))
     for k in diag_p:
         assert np.array_equal(np.asarray(diag_p[k]), np.asarray(diag_q[k]))
+
+
+def test_fused_core_matches_staged_core():
+    # The round-4 fused core (panels on raw planes, MF folded into
+    # host weights + the final decimating GEMM) against the staged
+    # core: identical BER, estimates within the edge-term budget
+    # (the folds are exact up to O((ND + T)/N) block-edge terms).
+    x, bits = _tx()
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.008 * n + 0.4))).astype(np.complex64)
+    xc = np.asarray(interp.delay_signal(jnp.asarray(xc), 1.7))
+    cfg = qpsk_rx.QpskRxConfig()
+    re = jnp.asarray(xc.real)
+    im = jnp.asarray(xc.imag)
+    sym_f, diag_f = jax.jit(
+        lambda a, b: qpsk_rx._rx_core_fused(cfg, a, b))(re, im)
+    sym_s, diag_s = jax.jit(
+        lambda a, b: qpsk_rx._rx_core_staged(cfg, a, b))(re, im)
+    # Edge-term budget: the folds are exact up to O((ND + T)/N)
+    # boundary terms (~3e-3 relative at this 16k-sample block;
+    # they vanish at serving block sizes).  Reference tolerances
+    # are 0.01 for both estimates.
+    assert abs(float(diag_f["freq"]) - float(diag_s["freq"])) < 2e-3
+    assert abs(float(diag_f["timing"]) - float(diag_s["timing"])) < 1e-2
+    assert int(diag_f["sym_phase"]) == int(diag_s["sym_phase"])
+    bf = qpsk_rx.resolve_ambiguity(np.asarray(sym_f), bits, search=1500)
+    bs = qpsk_rx.resolve_ambiguity(np.asarray(sym_s), bits, search=1500)
+    assert bf[1] == 0 and bs[1] == 0
