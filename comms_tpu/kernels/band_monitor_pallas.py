@@ -185,35 +185,68 @@ def _kernel(xr_hbm, xi_hbm, cr_hbm, ci_hbm, c2, yh_r, yh_i,
         Yi[0:hrows, :] = Yi[_ROWS:rext, :]
         return
     # Composite views (see _audio_mats): comp_q advances lane slot jj
-    # by jj*(dec-1) + q frames, built from memoized uniform advances
-    # (each a lane roll + row roll(s) + carry select).  The composite
-    # structure makes ONE [r_out, kpr*rext] x [kpr*rext, 128] matmul
-    # correct in every lane slot — no slot stacking, no output select.
+    # by jj*(dec-1) + q frames, built from memoized uniform advances.
+    # The composite structure makes ONE [r_out, kpr*rext] x
+    # [kpr*rext, 128] matmul correct in every lane slot — no slot
+    # stacking, no output select.  This stage is the kernel's
+    # VPU-pass budget (measured 42% of the K=16 runtime), so the
+    # builders share aggressively:
+    #   * lane rolls memoized by la and row rolls by (la, shift) —
+    #     advances with equal la mod 128 differ only in row shift;
+    #   * comp_{q+dec} IS comp_q advanced one lane slot:
+    #     comp_q[r, slot jj] holds frame r*kpr + jj*dec + q, so
+    #     slot jj+1 holds frame (r*kpr + jj*dec + q) + dec — one
+    #     k-lane retreat roll with a +dec-row borrow on the wrapped
+    #     slot replaces kpr-1 slot selects.
+    lane_rolled: dict = {}
+    row_rolled: dict = {}
     bases: dict = {}
+
+    def x1_of(la):
+        if la not in lane_rolled:
+            lane_rolled[la] = (d if la == 0
+                               else pltpu.roll(d, _LANES - la, 1))
+        return lane_rolled[la]
+
+    def x1row(la, s):
+        if (la, s) not in row_rolled:
+            x1 = x1_of(la)
+            row_rolled[(la, s)] = (x1 if s == 0
+                                   else pltpu.roll(x1, rext - s, 0))
+        return row_rolled[(la, s)]
 
     def base(a):
         if a not in bases:
             la = (k * a) % _LANES
             sa = (k * a) // _LANES
-            x1 = d if la == 0 else pltpu.roll(d, _LANES - la, 1)
-            x2 = x1 if sa == 0 else pltpu.roll(x1, rext - sa, 0)
             if la == 0:
-                bases[a] = x2
+                bases[a] = x1row(0, sa)
             else:
-                x3 = pltpu.roll(x1, rext - sa - 1, 0)
-                bases[a] = jnp.where(lanes < _LANES - la, x2, x3)
+                bases[a] = jnp.where(lanes < _LANES - la,
+                                     x1row(la, sa), x1row(la, sa + 1))
         return bases[a]
 
     comps = []
     for q in range(kpr):
-        comp = base(q)                           # slot 0
-        for jj in range(1, kpr):
-            sel = (lanes >= jj * k) & (lanes < (jj + 1) * k)
-            comp = jnp.where(sel, base(jj * (dec - 1) + q), comp)
+        if q >= dec and kpr > dec:
+            prev = comps[q - dec]
+            # one-slot retreat: lanes move down k; the top slot
+            # (kpr-1) borrows slot 0 of the row dec further on.
+            moved = pltpu.roll(prev, _LANES - k, 1)
+            borrow = pltpu.roll(moved, rext - dec, 0)
+            comp = jnp.where(lanes < _LANES - k, moved, borrow)
+        else:
+            comp = base(q)                       # slot 0
+            for jj in range(1, kpr):
+                sel = (lanes >= jj * k) & (lanes < (jj + 1) * k)
+                comp = jnp.where(sel, base(jj * (dec - 1) + q), comp)
         comps.append(comp)
     v = comps[0] if kpr == 1 else jnp.concatenate(comps, axis=0)
-    vh, vl = _bsplit(v)
-    audio_out[:] = _dot3(ah[:], al[:], vh, vl)   # [r_out, 128]
+    if _skip == "dot":   # probe: views built, split+matmul skipped
+        audio_out[:] = v[:r_out, :]
+    else:
+        vh, vl = _bsplit(v)
+        audio_out[:] = _dot3(ah[:], al[:], vh, vl)   # [r_out, 128]
 
     # ---- next-step halo: this step's trailing rows (no overlap with
     # [0, hrows) since _ROWS > hrows); also emitted as the carried
