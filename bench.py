@@ -584,8 +584,14 @@ def bench_wideband_psd():
     # PSD kernel (means pass 8 + stage A 8+8+4 + stage B 8 B/sample,
     # VMEM-resident bin-grid accumulator)
     msps, best, R, ex = _measure_row(make_maker(psd_p), (res, ims), B * F)
+    # pct_of_kernel_dma: against the MEASURED in-kernel VMEM<->HBM
+    # rate (436 GB/s total for mixed in+out traffic — no single
+    # kernel reaches the 819 GB/s spec; docs/PERF.md round-4 bound
+    # section), the honest ceiling for this 36 B/sample kernel.
+    kdma = 100.0 * msps / (436e9 / 36)
     _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
-         {**ex, **_roof(best, 36 * B * F, 2200 * B * F, R,
+         {**ex, "pct_of_kernel_dma": round(kdma, 1),
+          **_roof(best, 36 * B * F, 2200 * B * F, R,
                peak_tflops=_RUN_TFLOPS_BF16)})
 
 
@@ -805,8 +811,14 @@ def bench_kernels():
                                           (qres, qims), nsamp)
     _row("kernel_welch1024_throughput", msps_wx / 1e6,
          {**ex_wx, **_roof(best_wx, 8 * nsamp, 2 * 5 * nsamp * 10, R_wx)})
+    # Welch at 50% overlap runs TWO windowed FFTs per sample: the
+    # roofline carries the slope-derived EXECUTED flop count (~2960
+    # bf16 flops/sample per FFT pass, measured via the kernel's
+    # _even_only probe — docs/PERF.md round-4 bound section), so the
+    # row reads against its real (compute) bound, not the 8 B/sample
+    # io floor it cannot be limited by.
     _row("kernel_welch1024_pallas_throughput", msps_wp / 1e6,
-         {**ex_wp, **_roof(best_wp, 8 * nsamp, 2 * 5 * nsamp * 10, R_wp,
+         {**ex_wp, **_roof(best_wp, 8 * nsamp, 2 * 2960 * nsamp, R_wp,
                peak_tflops=_RUN_TFLOPS_BF16)})
 
 

@@ -465,7 +465,8 @@ def psd_pallas_planar(re, im, window, n: int = 1024,
 
 
 def _psd_stream_kernel(xr_hbm, xi_hbm, wr, wi, *rest, r1: int, t: int,
-                       nc: int, demean: bool, m: int):
+                       nc: int, demean: bool, m: int,
+                       _even_only: bool = False):
     consts = rest[:nc]
     win = rest[nc]
     acc_out = rest[nc + 1]
@@ -529,10 +530,11 @@ def _psd_stream_kernel(xr_hbm, xi_hbm, wr, wi, *rest, r1: int, t: int,
     odd_scr_r[:, half:] = slab_r[slot, 1:t + 1, :half]
     odd_scr_i[:, :half] = slab_i[slot, 0:t, half:]
     odd_scr_i[:, half:] = slab_i[slot, 1:t + 1, :half]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) + g * t
-    ow = (rows < m - 1).astype(jnp.float32)
-    part = part + _psd_tile(odd_scr_r[:] * ow, odd_scr_i[:] * ow,
-                            w1, wr, wi, consts, r1, t, demean)
+    if not _even_only:   # bound probe: halve the FFT work, same io
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) + g * t
+        ow = (rows < m - 1).astype(jnp.float32)
+        part = part + _psd_tile(odd_scr_r[:] * ow, odd_scr_i[:] * ow,
+                                w1, wr, wi, consts, r1, t, demean)
 
     @pl.when(g == 0)
     def _():
@@ -544,7 +546,8 @@ def _psd_stream_kernel(xr_hbm, xi_hbm, wr, wi, *rest, r1: int, t: int,
 def psd_stream_pallas_planar(re, im, window, n: int = 1024,
                              demean: bool = True,
                              precision: str = "split_bf16",
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             _even_only: bool = False):
     """Welch PSD accumulator over RAW planar streams at 50% overlap —
     segments are formed IN VMEM (even segments are slab rows, odd
     segments two aligned half-row slices), so each input sample is
@@ -585,7 +588,8 @@ def psd_stream_pallas_planar(re, im, window, n: int = 1024,
             np.asarray(window, np.float32).reshape(1, n), (8, n)).copy()
     arrays, cspecs, nc = _const_arrays(n, r1, precision)
     kernel = functools.partial(_psd_stream_kernel, r1=r1, t=t, nc=nc,
-                               demean=bool(demean), m=m)
+                               demean=bool(demean), m=m,
+                               _even_only=_even_only)
     acc = pl.pallas_call(
         kernel,
         grid=(steps,),
