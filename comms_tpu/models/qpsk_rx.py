@@ -187,6 +187,35 @@ def _rx_core_fused(cfg: QpskRxConfig, re, im):
     """
     n = re.shape[0]
     sps = cfg.sps
+    f_est, t_est, lag, shift, p_star = _panel_estimates(cfg, re, im)
+    shift2 = shift - p_star          # in [-sps..2] for |delay|<~2
+    sr_all, si_all = _fused_symbol_gemm(cfg, re, im, f_est, lag, shift2)
+    sr, si = sr_all[1:], si_all[1:]
+
+    # Zero the contaminated block edges (identical rule to the staged
+    # core; the tail symbols whose fused values would differ from the
+    # staged zero-extended-y values all fall at m4 >= hi).
+    lo = 3 + jnp.maximum(shift2, 0)
+    hi = n + jnp.minimum(shift2, 0)
+    m4 = jnp.arange(sr.shape[0]) * sps
+    valid = (m4 >= lo) & (m4 < hi)
+    sr = jnp.where(valid, sr, 0.0)
+    si = jnp.where(valid, si, 0.0)
+
+    sym_planes, diag_tail = _symbol_tail(sr, si)
+    diag = {"freq": f_est, "timing": t_est, "sym_phase": p_star,
+            **diag_tail}
+    return sym_planes, diag
+
+
+def _panel_estimates(cfg: QpskRxConfig, re, im):
+    """All block-rate estimates from ONE pass of correlation panels
+    over the raw planes: returns ``(f_est, t_est, lag[4], shift,
+    p_star)`` — coarse carrier, Mengali timing, cubic-Lagrange
+    weights, the interpolator's integer shift, and the max-energy
+    symbol phase.  Only tiny (panel-sized) ops depend on the traced
+    scalars."""
+    sps = cfg.sps
     T = int(cfg.mf_taps.shape[0])
     hw = cfg.panel_hw
     lanes = demodulation.TimingEstimator.LANES
@@ -268,18 +297,29 @@ def _rx_core_fused(cfg: QpskRxConfig, re, im):
           - jnp.einsum("jk,pjk->p", ll_s, Hsel_i))
     shift = d_int + 1  # +1: interpolator basepoint
     p_star = jnp.mod(jnp.argmax(e4).astype(jnp.int32) + shift, sps)
+    return f_est, t_est, lag, shift, p_star
 
-    # --- final symbol path: ONE traced decimating GEMM ON THE RAW
-    # PLANES whose complex taps are conv(mf, lagrange-at-offset)
-    # modulated by e^{j*w*t} — matched filter, carrier de-rotation,
-    # fractional-delay interpolation, integer timing shift, phase
-    # pick and symbol downsample in a single pass.  The de-rotation
-    # folds as taps*e^{jwt} + an e^{-jw*sps*m} SYMBOL-rate rotation
-    # (exact identity); folding it keeps every full-rate operand
-    # independent of the panel-derived scalars — a full-rate stage
-    # gated on a data-dependent scalar measured +1.8 ms of scheduling
-    # stall per stage at 33.5M samples on v5e.
-    shift2 = shift - p_star          # in [-sps..2] for |delay|<~2
+
+def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
+                       ctx=None, phase0=0.0):
+    """The fused symbol path: ONE traced decimating GEMM ON THE RAW
+    PLANES whose complex taps are conv(mf, lagrange-at-offset)
+    modulated by e^{j*w*t} — matched filter, carrier de-rotation,
+    fractional-delay interpolation, integer timing shift, phase
+    pick and symbol downsample in a single pass.  The de-rotation
+    folds as taps*e^{jwt} + an e^{-j(phase0 + w*sps*m)} SYMBOL-rate
+    rotation (exact identity); folding it keeps every full-rate
+    operand independent of the panel-derived scalars — a full-rate
+    stage gated on a data-dependent scalar measured +1.8 ms of
+    scheduling stall per stage at 33.5M samples on v5e.
+
+    ``ctx``: optional carried raw-tail ``(re, im)`` planes (the
+    streaming form — see fir_decimate_traced_planar_complex);
+    ``phase0``: carried absolute de-rotation phase at the block
+    start.  Returns the UNSLICED ``(sr_all, si_all)`` (the first
+    output frame is the one-extra-leading-frame artifact — callers
+    drop it)."""
+    sps = cfg.sps
     t0 = shift2 + sps
     tt = jnp.arange(3 * sps)
     flat12 = jnp.where((tt >= t0) & (tt < t0 + 4),
@@ -291,27 +331,18 @@ def _rx_core_fused(cfg: QpskRxConfig, re, im):
         [flat_full, jnp.zeros(pad_to - md, flat_full.dtype)])
     tvec = jnp.arange(pad_to, dtype=jnp.float32)
     sr_all, si_all = fir.fir_decimate_traced_planar_complex(
-        re, im, flat * jnp.cos(f_est * tvec),
-        flat * jnp.sin(f_est * tvec), sps, tail_zeros=sps,
-        precision=cfg.gemm_precision)
-    sr_all, si_all = mixer.derotate_traced_planar(
-        sr_all, si_all, f_est * float(sps))
-    sr, si = sr_all[1:], si_all[1:]
+        re, im, flat * jnp.cos(w * tvec),
+        flat * jnp.sin(w * tvec), sps, tail_zeros=sps,
+        precision=cfg.gemm_precision, ctx=ctx)
+    return mixer.derotate_traced_planar(
+        sr_all, si_all, w * float(sps), phase0=phase0)
 
-    # Zero the contaminated block edges (identical rule to the staged
-    # core; the tail symbols whose fused values would differ from the
-    # staged zero-extended-y values all fall at m4 >= hi).
-    lo = 3 + jnp.maximum(shift2, 0)
-    hi = n + jnp.minimum(shift2, 0)
-    m4 = jnp.arange(sr.shape[0]) * sps
-    valid = (m4 >= lo) & (m4 < hi)
-    sr = jnp.where(valid, sr, 0.0)
-    si = jnp.where(valid, si, 0.0)
 
-    sym_planes, diag_tail = _symbol_tail(sr, si)
-    diag = {"freq": f_est, "timing": t_est, "sym_phase": p_star,
-            **diag_tail}
-    return sym_planes, diag
+def fused_gemm_ctx_len(cfg: QpskRxConfig) -> int:
+    """Carried raw-tail samples for the streaming symbol GEMM
+    (MD - 1 of :func:`_fused_symbol_gemm`'s padded tap vector)."""
+    md = 3 * cfg.sps + int(cfg.mf_taps.shape[0]) - 1
+    return -(-md // cfg.sps) * cfg.sps - 1
 
 
 def _symbol_tail(sr, si):

@@ -405,7 +405,8 @@ def fir_decimate_traced_planar(xr, xi, flat_taps, rate: int,
 def fir_decimate_traced_planar_complex(xr, xi, flat_re, flat_im,
                                        rate: int, tail_zeros: int = 0,
                                        phases: int = _DEFAULT_PHASES,
-                                       precision=lax.Precision.HIGHEST):
+                                       precision=lax.Precision.HIGHEST,
+                                       ctx=None):
     """Complex traced taps on re/im planes:
 
         y[m] = sum_t (flat_re + j*flat_im)[t] * (xr + j*xi)[m*D - t]
@@ -418,15 +419,21 @@ def fir_decimate_traced_planar_complex(xr, xi, flat_re, flat_im,
     full-rate stages then depend only on the RAW planes, and the
     panel->scalar->full-rate scheduling stall (measured +1.8 ms per
     coupled full-rate stage at 33.5M samples) disappears.
+
+    ``ctx``: optional carried ``(ctx_re, ctx_im)`` planes of MD-1
+    samples replacing the zero head extension — the STREAMING form
+    (negative-index reads see the previous block's tail, so block
+    seams are exact; qpsk_rx_stream's fast path).
     Returns ``(yr, yi)``."""
     (rr, ri), (ir_, ii) = _dec_traced_planar_core(
-        xr, xi, (flat_re, flat_im), rate, tail_zeros, phases, precision)
+        xr, xi, (flat_re, flat_im), rate, tail_zeros, phases, precision,
+        ctx=ctx)
     # (xr + j xi)(cr + j ci): re = xr*cr - xi*ci, im = xr*ci + xi*cr
     return rr - ii, ri + ir_
 
 
 def _dec_traced_planar_core(xr, xi, flats, rate, tail_zeros, phases,
-                            precision):
+                            precision, ctx=None):
     """Shared window machinery: for each plane p and tap vector f,
     compute the decimating GEMM Y[p][f], reading each plane's windows
     ONCE per piece.  Returns ``tuple_per_plane(tuple_per_flat)``.
@@ -444,9 +451,17 @@ def _dec_traced_planar_core(xr, xi, flats, rate, tail_zeros, phases,
     stride = P * D
     last_off = stride * ((width - 1) // stride)
     pad = max(last_off + R * stride - (MD - 1 + xr.shape[0]), 0)
+    if ctx is not None and int(jnp.asarray(ctx[0]).shape[0]) != MD - 1:
+        raise ValueError(f"ctx must be MD-1 = {MD - 1} samples, got "
+                         f"{jnp.asarray(ctx[0]).shape[0]}")
     outs = []
-    for plane in (xr, xi):
-        xpad = jnp.pad(plane, (MD - 1, pad))
+    for pi, plane in enumerate((xr, xi)):
+        if ctx is None:
+            xpad = jnp.pad(plane, (MD - 1, pad))
+        else:
+            xpad = jnp.concatenate(
+                [jnp.asarray(ctx[pi], plane.dtype), plane,
+                 jnp.zeros((pad,), plane.dtype)])
         # One window per piece, one [.., P] dot per tap matrix on it
         # (a [width, n*P] concatenated-B2 dot reads the window once
         # too, but measured 2.4x SLOWER — 2.50 vs 1.03 ms at 33.5M
