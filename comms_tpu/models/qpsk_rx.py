@@ -330,10 +330,35 @@ def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
     flat = jnp.concatenate(
         [flat_full, jnp.zeros(pad_to - md, flat_full.dtype)])
     tvec = jnp.arange(pad_to, dtype=jnp.float32)
+    fr = flat * jnp.cos(w * tvec)
+    fi = flat * jnp.sin(w * tvec)
+    # Main GEMM always with the ZERO head extension: a zero jnp.pad
+    # fuses into the window reads, while concatenating real carried
+    # context materializes a full plane copy per plane (measured
+    # 1.1 -> 3.0 ms at 33.5M samples).  Streaming context instead
+    # PATCHES the few head outputs whose windows reach before the
+    # block from a tiny recompute over [ctx ++ first samples].
     sr_all, si_all = fir.fir_decimate_traced_planar_complex(
-        re, im, flat * jnp.cos(w * tvec),
-        flat * jnp.sin(w * tvec), sps, tail_zeros=sps,
-        precision=cfg.gemm_precision, ctx=ctx)
+        re, im, fr, fi, sps, tail_zeros=sps,
+        precision=cfg.gemm_precision)
+    if ctx is not None:
+        Cn = pad_to - 1                   # = MD - 1 carried samples
+        nh = (Cn // sps) + 1              # head outputs touching ctx
+        L = nh * sps
+        xh_r = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32),
+             jnp.asarray(ctx[0], jnp.float32), re[:L]])
+        xh_i = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32),
+             jnp.asarray(ctx[1], jnp.float32), im[:L]])
+        hr, hi = fir.fir_decimate_traced_planar_complex(
+            xh_r, xh_i, fr, fi, sps, tail_zeros=0,
+            precision=cfg.gemm_precision)
+        off = pad_to // sps               # zero+ctx consume MD/sps
+        sr_all = jax.lax.dynamic_update_slice(sr_all, hr[off:off + nh],
+                                              (0,))
+        si_all = jax.lax.dynamic_update_slice(si_all, hi[off:off + nh],
+                                              (0,))
     return mixer.derotate_traced_planar(
         sr_all, si_all, w * float(sps), phase0=phase0)
 

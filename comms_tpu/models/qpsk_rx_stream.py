@@ -181,3 +181,118 @@ def make_stream_fn(cfg: QpskRxStreamConfig):
         return sym_pairs.astype(jnp.float32), new_state
 
     return step
+
+
+# --------------------------------------------------------------------
+# Fast streaming receiver: ESTIMATE PIPELINING (round 4)
+# --------------------------------------------------------------------
+
+def init_state_fast(cfg):
+    """State for :func:`make_stream_fast_fn` (``cfg`` is a
+    ``qpsk_rx.QpskRxConfig``): carried raw-tail planes for the fused
+    symbol GEMM plus the previous block's estimates."""
+    from comms_tpu.models import qpsk_rx as _rx
+
+    C = _rx.fused_gemm_ctx_len(cfg)
+    z = jnp.zeros((C,), jnp.float32)
+    return {
+        "ctx_re": z, "ctx_im": z,
+        "omega": jnp.zeros((), jnp.float32),
+        "theta": jnp.zeros((), jnp.float32),
+        "lag": jnp.zeros((4,), jnp.float32).at[1].set(1.0),
+        "shift2": jnp.zeros((), jnp.int32),
+        "fphase": jnp.zeros((), jnp.float32),   # fine-carrier phase
+        "pfine": jnp.zeros((), jnp.float32),    # unwrapped phase est
+        "warm": jnp.zeros((), jnp.float32),
+    }
+
+
+def make_stream_fast_fn(cfg=None):
+    """Throughput-oriented streaming receiver: jitted
+    ``(state, re[N], im[N]) -> (sym_planes[2, N/sps], state)``.
+
+    ESTIMATE PIPELINING (the lever docs/PERF.md's QPSK section
+    identifies): block k's FULL-RATE work — the single fused
+    complex-tap decimating GEMM over the raw planes — runs with block
+    k-1's carried estimates, so NO full-rate operand is gated on a
+    data-dependent scalar (each such gate measured ~+1 ms of
+    scheduling stall per block at 33.5M samples); block k's
+    correlation panels update the estimates for block k+1.  The
+    carried raw tail (`qpsk_rx.fused_gemm_ctx_len` samples) makes the
+    symbol grid gap-free across seams; the carried ``theta`` keeps
+    the de-rotation phase continuous.
+
+    Semantics: per-block raw estimates, carried one block (at serving
+    block sizes the estimator variance is microscopic, so smoothing
+    gains nothing; a drifting channel re-converges one block late).
+    Block 0 is a warm-up block (zero estimates, zero context) —
+    discard its symbols.  Fine carrier/phase (4th-power) run
+    block-locally at symbol rate, as in the one-shot receiver.
+    """
+    from comms_tpu.models import qpsk_rx as _rx
+
+    cfg = cfg if cfg is not None else _rx.QpskRxConfig()
+    sps = cfg.sps
+    C = _rx.fused_gemm_ctx_len(cfg)
+
+    @jax.jit
+    def step(state, re, im):
+        n = re.shape[0]
+        # --- full-rate symbol path with the CARRIED estimates.
+        sr_all, si_all = _rx._fused_symbol_gemm(
+            cfg, re, im, state["omega"], state["lag"], state["shift2"],
+            ctx=(state["ctx_re"], state["ctx_im"]),
+            phase0=state["theta"])
+        sr, si = sr_all[1:], si_all[1:]
+
+        # --- fine carrier/phase at symbol rate, PHASE-CONTINUOUS
+        # across blocks (the one-shot _symbol_tail resolves each
+        # block's 4-fold ambiguity independently — a stream must not
+        # jump quadrants at seams): the fine-carrier rotation starts
+        # from the carried ``fphase``, and the Mengali phase estimate
+        # is unwrapped mod pi/2 against the carried value.
+        tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
+        ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
+        t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
+        t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
+        w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
+        from comms_tpu.ops import mixer as _mixer
+        sr, si = _mixer.derotate_traced_planar(
+            sr, si, w_fine, phase0=state["fphase"])
+        M = sr.shape[0]
+        fphase = jnp.mod(state["fphase"] + w_fine * M,
+                         jnp.float32(2.0 * np.pi))
+
+        s2r, s2i = sr * sr - si * si, 2.0 * sr * si
+        s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
+        p_b = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
+        halfq = jnp.float32(np.pi / 4)
+        dp = jnp.mod(p_b - state["pfine"] + halfq,
+                     jnp.float32(np.pi / 2)) - halfq
+        p_eff = jnp.where(state["warm"] > 0, state["pfine"] + dp, p_b)
+        th = jnp.float32(np.pi / 4) - p_eff
+        c, s_ = jnp.cos(th), jnp.sin(th)
+        sym_planes = jnp.stack([sr * c - si * s_, si * c + sr * s_],
+                               axis=0)
+
+        # --- this block's estimates (panels on the raw planes) for
+        # the NEXT block.
+        f_b, _t_b, lag_b, shift_b, p_sym = _rx._panel_estimates(
+            cfg, re, im)
+        new_state = {
+            "ctx_re": re[-C:],
+            "ctx_im": im[-C:],
+            "omega": f_b,
+            # phase continuity: the block we JUST processed advanced
+            # the carried phase by omega * N.
+            "theta": jnp.mod(state["theta"] + state["omega"] * n,
+                             jnp.float32(2.0 * np.pi)),
+            "lag": lag_b,
+            "shift2": shift_b - p_sym,
+            "fphase": fphase,
+            "pfine": p_eff,
+            "warm": jnp.ones((), jnp.float32),
+        }
+        return sym_planes, new_state
+
+    return step

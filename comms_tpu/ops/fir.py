@@ -421,10 +421,14 @@ def fir_decimate_traced_planar_complex(xr, xi, flat_re, flat_im,
     coupled full-rate stage at 33.5M samples) disappears.
 
     ``ctx``: optional carried ``(ctx_re, ctx_im)`` planes of MD-1
-    samples replacing the zero head extension — the STREAMING form
+    samples replacing the zero head extension — the streaming form
     (negative-index reads see the previous block's tail, so block
-    seams are exact; qpsk_rx_stream's fast path).
-    Returns ``(yr, yi)``."""
+    seams are exact).  NOTE: a zero pad fuses into the window reads
+    but concatenating real context materializes a full plane copy
+    (measured 1.1 -> 3.0 ms at 33.5M samples); hot streaming callers
+    should instead run with the zero head and PATCH the few affected
+    head outputs from a small recompute (see
+    qpsk_rx._fused_symbol_gemm).  Returns ``(yr, yi)``."""
     (rr, ri), (ir_, ii) = _dec_traced_planar_core(
         xr, xi, (flat_re, flat_im), rate, tail_zeros, phases, precision,
         ctx=ctx)

@@ -225,3 +225,29 @@ def test_fir_decimate_traced_under_jit_traced_taps():
             if 0 <= k < N:
                 expected[m] += flat[t] * x[k]
     assert np.allclose(y, expected, atol=1e-5)
+
+
+def test_traced_complex_decimator_carried_ctx():
+    # ctx planes replace the zero head: outputs equal the zero-head
+    # run over [ctx ++ x] at the matching offset.
+    import jax
+    rng = np.random.default_rng(8)
+    D, MD = 4, 44
+    xr = jnp.asarray(rng.normal(size=256).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=256).astype(np.float32))
+    cr = jnp.asarray(rng.normal(size=MD - 1).astype(np.float32))
+    ci = jnp.asarray(rng.normal(size=MD - 1).astype(np.float32))
+    fr = jnp.asarray(rng.normal(size=MD).astype(np.float32))
+    fi = jnp.asarray(rng.normal(size=MD).astype(np.float32))
+
+    got_r, got_i = jax.jit(lambda *a: fir.fir_decimate_traced_planar_complex(
+        *a[:2], fr, fi, D, ctx=(a[2], a[3])))(xr, xi, cr, ci)
+    big_r = jnp.concatenate([jnp.zeros((1,), jnp.float32), cr, xr])
+    big_i = jnp.concatenate([jnp.zeros((1,), jnp.float32), ci, xi])
+    ref_r, ref_i = jax.jit(lambda *a: fir.fir_decimate_traced_planar_complex(
+        *a, fr, fi, D))(big_r, big_i)
+    off = MD // D
+    np.testing.assert_allclose(np.asarray(got_r),
+                               np.asarray(ref_r)[off:off + 64], rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_i),
+                               np.asarray(ref_i)[off:off + 64], rtol=2e-5)

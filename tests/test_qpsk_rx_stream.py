@@ -5,7 +5,8 @@ with a mid-stream carrier-frequency step, driven through StreamRunner.
 import numpy as np
 import jax.numpy as jnp
 
-from comms_tpu.models import qpsk_rx_stream
+from comms_tpu.models import qpsk_rx_stream, qpsk_tx
+from comms_tpu.ops import random as crandom
 from comms_tpu.models.qpsk_rx import decide_bits
 from comms_tpu.ops import taps
 from comms_tpu.runtime.stream import StreamRunner
@@ -141,3 +142,47 @@ def test_streaming_rx_large_sps_context():
         x = rng.normal(size=(cfg.block, 2)).astype(np.float32)
         y, st = step(st, jnp.asarray(x))
         assert np.isfinite(np.asarray(y)).all()
+
+
+def test_stream_fast_zero_ber_and_gap_free():
+    """The estimate-pipelined fast stream receiver: continuous tx
+    stream with CFO, chopped into blocks; blocks after the warm-up
+    decode with zero bit errors on a gap-free symbol grid."""
+    from comms_tpu.models import qpsk_rx
+
+    nbits = 16384
+    tcfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    blk = qpsk_tx.make_block_fn(tcfg)
+    iq, _ = blk(qpsk_tx.init_state(tcfg, 3))
+    z = np.asarray(iq).astype(np.float32) / tcfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex128)
+    key = crandom.source_init(3)
+    bits, _ = crandom.random_bits_block(key, nbits)
+    bits = np.asarray(bits)
+
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.006 * n + 0.8))).astype(np.complex64)
+
+    cfg = qpsk_rx.QpskRxConfig()
+    step = qpsk_rx_stream.make_stream_fast_fn(cfg)
+    st = qpsk_rx_stream.init_state_fast(cfg)
+    B = len(xc) // 4
+    M = B // cfg.sps
+    outs = []
+    for b in range(4):
+        seg = xc[b * B:(b + 1) * B]
+        sym, st = step(st, jnp.asarray(seg.real), jnp.asarray(seg.imag))
+        assert sym.shape == (2, M)
+        outs.append(np.asarray(sym))
+    # skip the warm-up block (zero estimates/context) + a margin into
+    # block 1 while the carried ctx covers the previous block's taps
+    sym_all = np.concatenate(outs[1:], axis=1)
+    margin = 32
+    cand = sym_all[:, margin:]
+    # global symbol s maps to tx bit pair s - 8 (tx+rx group delay,
+    # as the one-shot loopback asserts); blocks 1.. start at symbol M
+    ref = bits[2 * (M + margin - 8):]
+    best = qpsk_rx.resolve_ambiguity(cand, ref, search=1500,
+                                     max_lag=16)
+    (rot, lag), errs, m = best
+    assert m >= 2048 and errs == 0, best
