@@ -584,10 +584,13 @@ def bench_wideband_psd():
     # PSD kernel (means pass 8 + stage A 8+8+4 + stage B 8 B/sample,
     # VMEM-resident bin-grid accumulator)
     msps, best, R, ex = _measure_row(make_maker(psd_p), (res, ims), B * F)
-    # pct_of_kernel_dma: against the MEASURED in-kernel VMEM<->HBM
-    # rate (436 GB/s total for mixed in+out traffic — no single
-    # kernel reaches the 819 GB/s spec; docs/PERF.md round-4 bound
-    # section), the honest ceiling for this 36 B/sample kernel.
+    # pct_of_kernel_dma: against the MEASURED 512-byte-row
+    # STRIDED-slab DMA ceiling (436-480 GB/s total; chain count and
+    # tile width are no-ops for that pattern, unlike contiguous /
+    # aliased traffic which reaches 657-790 — docs/PERF.md round-4
+    # bound section).  Both four-step stages read strided column
+    # slabs, so this is the honest io ceiling for the kernel's
+    # 36 B/sample; the floor of the measured band is used.
     kdma = 100.0 * msps / (436e9 / 36)
     _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
          {**ex, "pct_of_kernel_dma": round(kdma, 1),
