@@ -153,14 +153,26 @@ def _measure_row(make_fn, args, per_pass, pilot_R=4, target_s=None,
         for _ in range(reps):
             t1 = _timed_call(f, a1)
             t2 = _timed_call(f, a2)
-            slopes.append(max((t2 - t1) / R, 1e-9))
+            if t2 > t1:                      # DISCARD non-positive
+                slopes.append((t2 - t1) / R)
+            # (clamping them instead would let a contended run report
+            # an absurd rate with 0% spread — a reviewer catch)
+        if len(slopes) < reps:
+            continue
         best = _tightest(slopes, reps)
         spread = (max(best) / min(best) - 1.0) * 100.0
         if spread <= 10.0:
             break
+    if not slopes:                           # every sample inverted:
+        med = max(t_pilot / pilot_R, 1e-9)   # fall back to the pilot
+        return (per_pass / med, R * med, R,
+                {"spread_pct": 100.0, "stable": False})
+    if len(slopes) < reps:
+        best = slopes
+        spread = (max(best) / min(best) - 1.0) * 100.0
     med = sorted(best)[len(best) // 2]
     extra = {"spread_pct": round(spread, 1)}
-    if spread > spread_bound_pct:
+    if spread > spread_bound_pct or len(slopes) < reps:
         extra["stable"] = False
     return per_pass / med, R * med, R, extra
 

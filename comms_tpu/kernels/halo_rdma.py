@@ -39,7 +39,19 @@ def _halo_kernel(x_hbm, halo_out, send_sem, recv_sem, *, halo: int,
     n = lax.axis_size(axis)
     # match axis_index's dtype explicitly (x64 mode promotes the
     # Python-int axis size to int64, and lax.rem refuses mixed dtypes)
-    right = lax.rem(my_id + 1, jnp.asarray(n, my_id.dtype))
+    nn = jnp.asarray(n, my_id.dtype)
+    right = lax.rem(my_id + 1, nn)
+    left = lax.rem(my_id + nn - 1, nn)
+    # Barrier with the neighbor BEFORE the remote write (the
+    # canonical Pallas distributed pattern): my destination (right)
+    # must have entered this kernel — and therefore own a live
+    # halo_out buffer for this step — before my RDMA lands in it.
+    # Each device signals its LEFT neighbor "my buffer is ready" and
+    # waits for the matching signal from its own right neighbor.
+    barrier = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                           device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_wait(barrier, 1)
     # Send my tail into the right neighbor's halo_out buffer.
     # device_id is a SCALAR logical index (the tuple form is only for
     # DeviceIdType.MESH — passing a tuple with LOGICAL is an error).

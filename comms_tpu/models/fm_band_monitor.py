@@ -156,11 +156,16 @@ def fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):
         # key describes, not the live (mutable) config object.
         snap = copy.deepcopy(cfg)
         fn = jax.jit(functools.partial(_fused_state_from_raw_tail, snap))
+        # FIFO-bounded: a parameter sweep constructing many configs
+        # must not accumulate snapshots + compiled programs forever.
+        while len(_FUSED_TAIL_JITS) >= _FUSED_TAIL_JITS_MAX:
+            _FUSED_TAIL_JITS.pop(next(iter(_FUSED_TAIL_JITS)))
         _FUSED_TAIL_JITS[key] = fn
     return fn(re_tail, im_tail)
 
 
 _FUSED_TAIL_JITS: dict = {}
+_FUSED_TAIL_JITS_MAX = 16
 
 
 def _fused_state_from_raw_tail(cfg: BandMonitorConfig, re_tail, im_tail):

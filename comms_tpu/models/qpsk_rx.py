@@ -156,7 +156,11 @@ def _rx_core(cfg: QpskRxConfig, re, im):
     GEMM — the block is read ~3x total) when sps divides the lane
     width; the staged core otherwise."""
     lanes = demodulation.TimingEstimator.LANES
-    if 0 < cfg.sps <= lanes and lanes % cfg.sps == 0:
+    # sps >= 4: the e4 quadratic form indexes H's lag axis over
+    # j - j' in [-3, 3], which needs 2*sps - 1 >= 7 (at sps = 2 the
+    # gathers clamp out of range and feed wrong energies — caught by
+    # round-4 review).
+    if 4 <= cfg.sps <= lanes and lanes % cfg.sps == 0:
         return _rx_core_fused(cfg, re, im)
     return _rx_core_staged(cfg, re, im)
 
@@ -188,7 +192,12 @@ def _rx_core_fused(cfg: QpskRxConfig, re, im):
     n = re.shape[0]
     sps = cfg.sps
     f_est, t_est, lag, shift, p_star = _panel_estimates(cfg, re, im)
-    shift2 = shift - p_star          # in [-sps..2] for |delay|<~2
+    # shift2 lands in [-sps, 2] for |delay| <~ 2; clip to the tap
+    # window's hard bounds (t0 = shift2 + sps must keep all 4
+    # Lagrange taps inside the 3*sps flat vector) so an out-of-spec
+    # delay estimate degrades gracefully instead of silently
+    # truncating taps.
+    shift2 = jnp.clip(shift - p_star, -sps, 2 * sps - 4)
     sr_all, si_all = _fused_symbol_gemm(cfg, re, im, f_est, lag, shift2)
     sr, si = sr_all[1:], si_all[1:]
 
@@ -370,26 +379,45 @@ def fused_gemm_ctx_len(cfg: QpskRxConfig) -> int:
     return -(-md // cfg.sps) * cfg.sps - 1
 
 
-def _symbol_tail(sr, si):
+def _symbol_tail(sr, si, fphase=None, pfine=None, warm=None):
     """Shared symbol-rate tail: fine carrier at symbol rate (4th
     power), then the Mengali 5.7.4 phase estimate and rotation onto
-    the +-1+-1j constellation.  Returns ``(sym_planes, diag)``."""
+    the +-1+-1j constellation.  Returns ``(sym_planes, diag)``.
+
+    Streaming continuity (qpsk_rx_stream.make_stream_fast_fn): pass
+    the carried ``fphase`` (absolute fine-carrier phase at the block
+    start — the rotation then starts from it and
+    ``diag["fphase_next"]`` carries it forward) and ``pfine``/``warm``
+    (previous phase estimate; the new one is unwrapped mod pi/2
+    against it so the 4-fold ambiguity cannot jump quadrants at
+    block seams — ``diag["phase"]`` is then the unwrapped value to
+    carry)."""
     tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
     ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
     t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
     t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
     w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
-    sr, si = mixer.derotate_traced_planar(sr, si, w_fine)
+    sr, si = mixer.derotate_traced_planar(
+        sr, si, w_fine,
+        phase0=0.0 if fphase is None else fphase)
 
     s2r, s2i = sr * sr - si * si, 2.0 * sr * si
     s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
     p_est = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
+    if pfine is not None:
+        halfq = jnp.float32(np.pi / 4)
+        dp = jnp.mod(p_est - pfine + halfq, jnp.float32(np.pi / 2)) \
+            - halfq
+        p_est = jnp.where(warm > 0, pfine + dp, p_est)
     th = jnp.pi / 4 - p_est
     c, s = jnp.cos(th), jnp.sin(th)
     out_r = sr * c - si * s
     out_i = si * c + sr * s
-    return (jnp.stack([out_r, out_i], axis=0),
-            {"freq_fine": w_fine, "phase": p_est})
+    diag = {"freq_fine": w_fine, "phase": p_est}
+    if fphase is not None:
+        diag["fphase_next"] = jnp.mod(
+            fphase + w_fine * sr.shape[0], jnp.float32(2.0 * np.pi))
+    return jnp.stack([out_r, out_i], axis=0), diag
 
 
 def _rx_core_staged(cfg: QpskRxConfig, re, im):
@@ -521,30 +549,9 @@ def _rx_core_staged(cfg: QpskRxConfig, re, im):
         sr = jnp.where(valid, sr, 0.0)
         si = jnp.where(valid, si, 0.0)
 
-        # --- fine carrier frequency at symbol rate: 4th power removes
-        # the QPSK modulation from the lag-1 product (planar complex
-        # squaring twice = (t^2)^2).
-        tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
-        ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
-        t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
-        t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
-        w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
-        sr, si = mixer.derotate_traced_planar(sr, si, w_fine)
-
-        # --- carrier phase (Mengali 5.7.4, M=4).  The estimator
-        # aligns s^4 to the real axis, leaving the constellation on
-        # the axes; rotate a further pi/4 back onto +-1+-1j.
-        s2r, s2i = sr * sr - si * si, 2.0 * sr * si
-        s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
-        p_est = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
-        th = jnp.pi / 4 - p_est
-        c, s = jnp.cos(th), jnp.sin(th)
-        out_r = sr * c - si * s
-        out_i = si * c + sr * s
-
-        diag = {"freq": f_est, "timing": t_est, "freq_fine": w_fine,
-                "phase": p_est, "sym_phase": p_star}
-        sym_planes = jnp.stack([out_r, out_i], axis=0)
+        sym_planes, diag_tail = _symbol_tail(sr, si)
+        diag = {"freq": f_est, "timing": t_est, "sym_phase": p_star,
+                **diag_tail}
         return sym_planes, diag
 
 

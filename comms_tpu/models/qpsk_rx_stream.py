@@ -246,34 +246,14 @@ def make_stream_fast_fn(cfg=None):
         sr, si = sr_all[1:], si_all[1:]
 
         # --- fine carrier/phase at symbol rate, PHASE-CONTINUOUS
-        # across blocks (the one-shot _symbol_tail resolves each
-        # block's 4-fold ambiguity independently — a stream must not
-        # jump quadrants at seams): the fine-carrier rotation starts
-        # from the carried ``fphase``, and the Mengali phase estimate
-        # is unwrapped mod pi/2 against the carried value.
-        tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
-        ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
-        t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
-        t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
-        w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
-        from comms_tpu.ops import mixer as _mixer
-        sr, si = _mixer.derotate_traced_planar(
-            sr, si, w_fine, phase0=state["fphase"])
-        M = sr.shape[0]
-        fphase = jnp.mod(state["fphase"] + w_fine * M,
-                         jnp.float32(2.0 * np.pi))
-
-        s2r, s2i = sr * sr - si * si, 2.0 * sr * si
-        s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
-        p_b = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
-        halfq = jnp.float32(np.pi / 4)
-        dp = jnp.mod(p_b - state["pfine"] + halfq,
-                     jnp.float32(np.pi / 2)) - halfq
-        p_eff = jnp.where(state["warm"] > 0, state["pfine"] + dp, p_b)
-        th = jnp.float32(np.pi / 4) - p_eff
-        c, s_ = jnp.cos(th), jnp.sin(th)
-        sym_planes = jnp.stack([sr * c - si * s_, si * c + sr * s_],
-                               axis=0)
+        # across blocks: the shared _symbol_tail with the carried
+        # fine phase and the mod-pi/2 ambiguity unwrap (a stream must
+        # not jump quadrants at seams).
+        sym_planes, dtail = _rx._symbol_tail(
+            sr, si, fphase=state["fphase"], pfine=state["pfine"],
+            warm=state["warm"])
+        fphase = dtail["fphase_next"]
+        p_eff = dtail["phase"]
 
         # --- this block's estimates (panels on the raw planes) for
         # the NEXT block.
@@ -288,7 +268,9 @@ def make_stream_fast_fn(cfg=None):
             "theta": jnp.mod(state["theta"] + state["omega"] * n,
                              jnp.float32(2.0 * np.pi)),
             "lag": lag_b,
-            "shift2": shift_b - p_sym,
+            # same hard tap-window bounds as the one-shot fused core
+            "shift2": jnp.clip(shift_b - p_sym, -cfg.sps,
+                               2 * cfg.sps - 4),
             "fphase": fphase,
             "pfine": p_eff,
             "warm": jnp.ones((), jnp.float32),

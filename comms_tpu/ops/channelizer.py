@@ -115,21 +115,10 @@ def _branch_banded_matrix(C: np.ndarray, phases: int) -> np.ndarray:
 
 
 def _branch_gemm_plane(xpad, B, R: int, P: int, width: int, precision):
-    """One real plane through the banded branch GEMM: per-piece dots
-    on shifted reshapes (full-stride pieces are pure reshapes XLA
-    fuses into the GEMM operand read).  Returns rows [R, P]."""
-    Y = None
-    off = 0
-    while off < width:
-        w = min(P, width - off)
-        chunk = lax.dynamic_slice_in_dim(xpad, off, R * P)
-        Wp = chunk.reshape(R, P)[:, :w]
-        t = jnp.dot(Wp, B[off:off + w].astype(xpad.dtype),
-                    preferred_element_type=xpad.dtype,
-                    precision=precision)
-        Y = t if Y is None else Y + t
-        off += w
-    return Y
+    """One real plane through the banded branch GEMM (the shared
+    per-piece shifted-reshape core, :func:`comms_tpu.ops.fir.
+    piece_dots_accum`).  Returns rows [R, P]."""
+    return _fir.piece_dots_accum(xpad, [B], R, P, width, precision)[0]
 
 
 def _dft_fix_matrix(K: int, dtype) -> np.ndarray:
@@ -168,6 +157,21 @@ def _channelize_planar_core(re, im, C, ctx_re, ctx_im,
     if N % K:
         raise ValueError(f"block {N} not a multiple of channels {K}")
     frames = N // K
+    if K > _DFT_MATMUL_MAX_K:
+        # Large-K fallback: the banded branch GEMM executes ~M*K MACs
+        # per sample (band density 1/K) — past the DFT cutover the
+        # old M-MAC per-branch form + batched FFT is strictly
+        # cheaper.
+        x = lax.complex(re, im)
+        ctx = lax.complex(ctx_re.astype(re.dtype),
+                          ctx_im.astype(im.dtype))
+        V, nctx = _fir.poly_mac_frames(x, C, ctx)
+        y = jnp.fft.fft(V, axis=1)
+        ch = np.arange(K)
+        fix = np.exp(-2j * np.pi * ch / K)
+        y = y * jnp.asarray(fix, dtype=y.dtype)
+        return (jnp.real(y), jnp.imag(y),
+                jnp.real(nctx), jnp.imag(nctx))
     P = _branch_phases(K)
     width = (M - 1) * K + P
     B = jnp.asarray(_branch_banded_matrix(C, P))

@@ -49,6 +49,7 @@ __all__ = [
     "fir_decimate_traced_planar_complex",
     "fir_apply_planar",
     "poly_mac_frames",
+    "piece_dots_accum",
 ]
 
 # Output phases per GEMM row.  128 = MXU lane width.
@@ -436,6 +437,31 @@ def fir_decimate_traced_planar_complex(xr, xi, flat_re, flat_im,
     return rr - ii, ri + ir_
 
 
+def piece_dots_accum(xpad, Bs, R: int, stride: int, width: int,
+                     precision):
+    """Shared banded-GEMM core: per-piece dots on shifted reshapes of
+    ``xpad`` (each full-stride piece is a PURE reshape XLA fuses into
+    the GEMM operand read — a concatenated [R, width] window
+    materializes, PERF lesson 9 at the XLA level), against one or
+    more band matrices sharing the window.  Returns one [R, P]
+    accumulator per matrix in ``Bs``.  Used by the traced decimators
+    here and the channelizer's branch GEMM."""
+    dtype = xpad.dtype
+    Ys = [None] * len(Bs)
+    off = 0
+    while off < width:
+        w = min(stride, width - off)
+        chunk = lax.dynamic_slice_in_dim(xpad, off, R * stride)
+        Wp = chunk.reshape(R, stride)[:, :w]
+        for i, B in enumerate(Bs):
+            t = jnp.dot(Wp, B[off:off + w].astype(dtype),
+                        preferred_element_type=dtype,
+                        precision=precision)
+            Ys[i] = t if Ys[i] is None else Ys[i] + t
+        off += w
+    return Ys
+
+
 def _dec_traced_planar_core(xr, xi, flats, rate, tail_zeros, phases,
                             precision, ctx=None):
     """Shared window machinery: for each plane p and tap vector f,
@@ -470,18 +496,7 @@ def _dec_traced_planar_core(xr, xi, flats, rate, tail_zeros, phases,
         # (a [width, n*P] concatenated-B2 dot reads the window once
         # too, but measured 2.4x SLOWER — 2.50 vs 1.03 ms at 33.5M
         # samples, D=4 — the 256-wide output tiles worse).
-        Ys = [None] * len(B2s)
-        off = 0
-        while off < width:
-            w = min(stride, width - off)
-            chunk = lax.dynamic_slice_in_dim(xpad, off, R * stride)
-            Wp = chunk.reshape(R, stride)[:, :w]
-            for i, B2 in enumerate(B2s):
-                t = jnp.dot(Wp, B2[off:off + w].astype(plane.dtype),
-                            preferred_element_type=plane.dtype,
-                            precision=precision)
-                Ys[i] = t if Ys[i] is None else Ys[i] + t
-            off += w
+        Ys = piece_dots_accum(xpad, B2s, R, stride, width, precision)
         outs.append(tuple(Y.reshape(R * P)[:frames] for Y in Ys))
     return outs[0], outs[1]
 

@@ -64,3 +64,18 @@ def test_prototype_dc_gain():
     h = chan.design_prototype(64, 8)
     assert np.isclose(h.sum(), 1.0)
     assert len(h) == 512
+
+
+def test_channelizer_large_k_fallback_matches_oracle():
+    # K > 256 takes the per-branch MAC + batched-FFT fallback (the
+    # banded GEMM would burn ~K x redundant MACs there).
+    rng = np.random.default_rng(4)
+    K, M = 512, 2
+    h = chan.design_prototype(K, M)
+    Hb = chan.branch_taps(h, K)
+    x = (rng.normal(size=2 * K * M) + 1j * rng.normal(size=2 * K * M)
+         ).astype(np.complex128)
+    ctx = chan.channelizer_init_ctx(len(h), dtype=jnp.complex128)
+    y, _ = chan.channelize_block(jnp.asarray(x), Hb, ctx)
+    expected = chan.channelize_oracle(x, h, K)
+    assert np.allclose(np.asarray(y), expected, atol=1e-9)
