@@ -580,6 +580,15 @@ def bench_wideband_psd():
     psd_p = wideband.make_sharded_psd_planar(F, mesh, use_pallas=True)
     res = _device_pairs((B, F), seed=24)
     ims = _device_pairs((B, F), seed=25)
+    # The Pallas row ingests PRE-FACTORIZED [B, n1, n2] segment planes
+    # (the serving shape): reshaping [B, F] -> [B, n1, n2] at the
+    # kernel boundary is an XLA relayout (different physical tilings)
+    # measured at ~0.7 ms per block — docs/PERF.md round-4 PSD section.
+    from comms_tpu.kernels import fft_big_pallas as _FB
+
+    n1, n2 = _FB.factorize(F)
+    res3 = _device_pairs((B, n1, n2), seed=24)
+    ims3 = _device_pairs((B, n1, n2), seed=25)
 
     def make_maker(psd):
         def make_step(res, ims):
@@ -595,18 +604,10 @@ def bench_wideband_psd():
     # Pallas row: same shapes/semantics through the tiled four-step
     # PSD kernel (means pass 8 + stage A 8+8+4 + stage B 8 B/sample,
     # VMEM-resident bin-grid accumulator)
-    msps, best, R, ex = _measure_row(make_maker(psd_p), (res, ims), B * F)
-    # pct_of_kernel_dma: against the MEASURED 512-byte-row
-    # STRIDED-slab DMA ceiling (436-480 GB/s total; chain count and
-    # tile width are no-ops for that pattern, unlike contiguous /
-    # aliased traffic which reaches 657-790 — docs/PERF.md round-4
-    # bound section).  Both four-step stages read strided column
-    # slabs, so this is the honest io ceiling for the kernel's
-    # 36 B/sample; the floor of the measured band is used.
-    kdma = 100.0 * msps / (436e9 / 36)
+    msps, best, R, ex = _measure_row(make_maker(psd_p), (res3, ims3),
+                                     B * F)
     _row("kernel_psd_2pow20_pallas_throughput", msps / 1e6,
-         {**ex, "pct_of_kernel_dma": round(kdma, 1),
-          **_roof(best, 36 * B * F, 2200 * B * F, R,
+         {**ex, **_roof(best, 36 * B * F, 2200 * B * F, R,
                peak_tflops=_RUN_TFLOPS_BF16)})
 
 

@@ -90,10 +90,10 @@ def _angle_tables(n: int, n1: int, ct: int, c_steps: int):
 
 
 def _const2(n: int, r1: int, precision: str):
-    """fft_pallas._const_arrays with 2-D-grid index maps (its specs
-    are built for 1-D grids)."""
+    """fft_pallas._const_arrays with grid-arity-agnostic index maps
+    (stage A runs a 1-D grid, stage B a 2-D one)."""
     arrays, _, nmats = _FP._const_arrays(n, r1, precision)
-    zero = lambda s, c: (0, 0)
+    zero = lambda *g: (0, 0)
     specs = ([pl.BlockSpec((r1, _LANES), zero,
                            memory_space=pltpu.VMEM)] * 2
              + [pl.BlockSpec((_LANES, _LANES), zero,
@@ -101,13 +101,20 @@ def _const2(n: int, r1: int, precision: str):
     return arrays, specs, nmats
 
 
-def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
-                   demean: bool, emit_sums: bool):
-    """One (segment, n2-tile) step: transpose, demean+window, N1-FFT,
+def _stageA_kernel(*refs, r1: int, ct: int, nc: int, csteps: int,
+                   windowed: bool, demean: bool, emit_sums: bool):
+    """One (segment, n2-tile) step on a FLATTENED 1-D grid
+    (g = segment*csteps + tile): transpose, demean+window, N1-FFT,
     four-step twiddle, contiguous write.  ``emit_sums`` writes the
     tile's raw (pre-window) plane sums — the sparse-demean path's
-    mean numerator, so no separate XLA reduction pass reads x."""
-    xr_ref, xi_ref, wr, wi = refs[:4]
+    mean numerator, so no separate XLA reduction pass reads x.
+
+    BOTH the input column slabs AND the D' output tiles move through
+    MANUAL double-buffered DMA rings: with BlockSpec-pipelined
+    outputs the step serialized on the output auto-DMA — measured
+    2.13 ms at 2^20 x 32 against 1.41 ms for this form (bit-exact),
+    the round-4 PSD stage-A finding (docs/PERF.md)."""
+    xr_hbm, xi_hbm, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
     i = 4 + nc
     vr, vi, ur, ui = refs[i:i + 4]
@@ -118,20 +125,61 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
     if demean:
         means = refs[i]
         i += 1
-    dr_out, di_out = refs[i:i + 2]
+    dr_hbm, di_hbm = refs[i:i + 2]
     i += 2
     if emit_sums:
         sums_out = refs[i]
+        i += 1
+    slab_r, slab_i, out_r, out_i, sem_in, sem_out = refs[i:i + 6]
 
-    xr = xr_ref[0].T                     # [N1, ct] -> [ct, N1]
-    xi = xi_ref[0].T
+    g = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    slot = jax.lax.rem(g, jnp.int32(2))
+
+    def issue_in(j, s, op):
+        seg = jax.lax.div(j, jnp.int32(csteps))
+        col = jax.lax.rem(j, jnp.int32(csteps))
+        getattr(pltpu.make_async_copy(
+            xr_hbm.at[seg, :, pl.ds(col * ct, ct)], slab_r.at[s],
+            sem_in.at[s, 0]), op)()
+        getattr(pltpu.make_async_copy(
+            xi_hbm.at[seg, :, pl.ds(col * ct, ct)], slab_i.at[s],
+            sem_in.at[s, 1]), op)()
+
+    def issue_out(j, s, op):
+        seg = jax.lax.div(j, jnp.int32(csteps))
+        col = jax.lax.rem(j, jnp.int32(csteps))
+        getattr(pltpu.make_async_copy(
+            out_r.at[s], dr_hbm.at[seg, pl.ds(col * ct, ct), :],
+            sem_out.at[s, 0]), op)()
+        getattr(pltpu.make_async_copy(
+            out_i.at[s], di_hbm.at[seg, pl.ds(col * ct, ct), :],
+            sem_out.at[s, 1]), op)()
+
+    @pl.when(g == 0)
+    def _():
+        issue_in(jnp.int32(0), 0, "start")
+
+    issue_in(g, slot, "wait")
+
+    @pl.when(g + 1 < nsteps)
+    def _():
+        issue_in(g + 1, 1 - slot, "start")
+
+    # the out buffer this step writes carries step g-2's copy
+    @pl.when(g >= 2)
+    def _():
+        issue_out(g - 2, slot, "wait")
+
+    xr = slab_r[slot].T                  # [N1, ct] -> [ct, N1]
+    xi = slab_i[slot].T
     if emit_sums:
         lanes = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
         sums_out[0, 0] = jnp.where(
             lanes == 0, jnp.sum(xr),
             jnp.where(lanes == 1, jnp.sum(xi), jnp.float32(0)))
     if demean:
-        s = pl.program_id(0)
+        s = jax.lax.div(g, jnp.int32(csteps))
         xr = xr - means[s, 0]            # SMEM scalars
         xi = xi - means[s, 1]
     if windowed:
@@ -148,8 +196,18 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, windowed: bool,
     u_r, u_i = ur[0, 0:1, :], ui[0, 0:1, :]       # [1, N1]
     tw_r = u_r * vr[:] - u_i * vi[:]     # [ct, N1]
     tw_i = u_r * vi[:] + u_i * vr[:]
-    dr_out[0] = d_r * tw_r - d_i * tw_i
-    di_out[0] = d_r * tw_i + d_i * tw_r
+    out_r[slot] = d_r * tw_r - d_i * tw_i
+    out_i[slot] = d_r * tw_i + d_i * tw_r
+    issue_out(g, slot, "start")
+
+    # final drains: the last step's copy plus the other slot's
+    @pl.when(g == nsteps - 1)
+    def _():
+        issue_out(g, slot, "wait")
+
+    @pl.when((g == nsteps - 1) & (g >= 1))
+    def _():
+        issue_out(g - 1, 1 - slot, "wait")
 
 
 def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int, last: int,
@@ -215,17 +273,21 @@ def _stageB_fft_kernel(*refs, r1: int, ct: int, nc: int):
 def _prep(re, im, n1: int, n2: int):
     re = jnp.asarray(re)
     im = jnp.asarray(im)
-    if re.ndim != 2 or im.shape != re.shape:
-        raise ValueError("expected [segments, N] planar f32 pair, got "
-                         f"{re.shape} / {im.shape}")
-    if re.shape[1] != n1 * n2:
-        raise ValueError(f"N = {re.shape[1]} != n1*n2 = {n1 * n2}")
+    if im.shape != re.shape or re.ndim not in (2, 3):
+        raise ValueError("expected [segments, N] or [segments, n1, n2] "
+                         f"planar f32 pair, got {re.shape} / {im.shape}")
+    if re.shape[1:] not in ((n1 * n2,), (n1, n2)):
+        raise ValueError(f"segment shape {re.shape[1:]} matches neither "
+                         f"N = {n1 * n2} nor (n1, n2) = ({n1}, {n2})")
     if not (_FP.supported(n1) and _FP.supported(n2)):
         raise ValueError(f"n1={n1}, n2={n2} must both be in "
                          "fft_pallas's supported set (256..2048)")
     if n2 % _CT:
         raise ValueError(f"n2={n2} must divide by the column tile {_CT}")
     b = re.shape[0]
+    # Prefer PRE-FACTORIZED [b, n1, n2] ingest: reshaping a [b, N]
+    # array to [b, n1, n2] is an XLA RELAYOUT (different physical
+    # tilings), measured ~0.7 ms hidden per 2^20 x 32 block.
     return (re.reshape(b, n1, n2).astype(jnp.float32),
             im.reshape(b, n1, n2).astype(jnp.float32), b)
 
@@ -239,17 +301,19 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
     arrays, cspecs, nc = _const2(n1, r1, precision)
     vr, vi, ur, ui = _angle_tables(n1 * n2, n1, _CT, csteps)
     kernel = functools.partial(_stageA_kernel, r1=r1, ct=_CT, nc=nc,
-                               windowed=windowed, demean=demean,
-                               emit_sums=emit_sums)
+                               csteps=csteps, windowed=windowed,
+                               demean=demean, emit_sums=emit_sums)
+    # 1-D grid g = segment*csteps + tile; the x planes and the D'
+    # outputs stay in ANY memory and move through the kernel's manual
+    # DMA rings (see the kernel docstring for the measured win).
     in_specs = (
-        [pl.BlockSpec((1, n1, _CT), lambda s, c: (s, 0, c),
-                      memory_space=pltpu.VMEM)] * 2
+        [pl.BlockSpec(memory_space=pl.ANY)] * 2
         + cspecs
-        + [pl.BlockSpec((_CT, n1), lambda s, c: (0, 0),
+        + [pl.BlockSpec((_CT, n1), lambda g: (0, 0),
                         memory_space=pltpu.VMEM)] * 2     # V
         # U rows, 8-sublane broadcast to satisfy the (8, 128) block
         # tiling floor (the kernel reads sublane 0 only)
-        + [pl.BlockSpec((1, 8, n1), lambda s, c: (c, 0, 0),
+        + [pl.BlockSpec((1, 8, n1), lambda g: (g % csteps, 0, 0),
                         memory_space=pltpu.VMEM)] * 2
     )
     ub = lambda a: jnp.broadcast_to(
@@ -259,29 +323,37 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
     if windowed:
         wt = np.ascontiguousarray(
             np.asarray(window, np.float32).reshape(n1, n2).T)
-        in_specs.append(pl.BlockSpec((_CT, n1), lambda s, c: (c, 0),
+        in_specs.append(pl.BlockSpec((_CT, n1),
+                                     lambda g: (g % csteps, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(jnp.asarray(wt))
     if demean:
         # whole [B, 2] array in SMEM; the kernel indexes by segment id
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(means, jnp.float32))
-    out_spec = pl.BlockSpec((1, _CT, n1), lambda s, c: (s, c, 0),
-                            memory_space=pltpu.VMEM)
-    out_specs = [out_spec, out_spec]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     out_shape = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
     if emit_sums:
-        out_specs.append(pl.BlockSpec((1, 1, 8, _LANES),
-                                      lambda s, c: (s, c, 0, 0),
-                                      memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 8, _LANES),
+            lambda g: (g // csteps, g % csteps, 0, 0),
+            memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((b, csteps, 8, _LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
-        grid=(b, csteps),
+        grid=(b * csteps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, n1, _CT), jnp.float32),
+            pltpu.VMEM((2, n1, _CT), jnp.float32),
+            pltpu.VMEM((2, _CT, n1), jnp.float32),
+            pltpu.VMEM((2, _CT, n1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=b * n1 * n2 * (8 * _LANES + 8 * r1 + 16),
             bytes_accessed=(16 + (4 if windowed else 0)) * b * n1 * n2,
@@ -432,6 +504,18 @@ def welch_numerator(re, im, window, interpret: bool = False):
     """
     re = jnp.asarray(re)
     im = jnp.asarray(im)
+    if re.ndim == 3:
+        # pre-factorized [segments, n1, n2] ingest — the serving
+        # shape; avoids the ~0.7 ms [b, N] -> [b, n1, n2] relayout
+        fac = (int(re.shape[1]), int(re.shape[2]))
+        if not supported_big(fac[0] * fac[1]):
+            raise ValueError(f"n1 x n2 = {fac} outside the supported "
+                             "two-stage set")
+        means = jnp.stack([jnp.mean(re, axis=(1, 2)),
+                           jnp.mean(im, axis=(1, 2))], -1)
+        return psd_big_pallas_planar(re, im, fac[0], fac[1],
+                                     window=window, means=means,
+                                     interpret=interpret)
     n = int(re.shape[-1])
     fac = factorize(n)
     if fac is None:

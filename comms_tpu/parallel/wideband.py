@@ -303,7 +303,10 @@ def make_sharded_psd_planar(fft_size: int, mesh: Mesh,
             raise ValueError("use_pallas PSD path needs a 1-shard mesh")
 
         @jax.jit
-        def fast(re, im):                        # [B, F] planes
+        def fast(re, im):
+            # [B, F] planes, or PRE-FACTORIZED [B, n1, n2] segment
+            # planes (the serving-ingest shape — skips a measured
+            # ~0.7 ms XLA relayout; see fft_big_pallas._prep)
             acc = _FB.welch_numerator(re, im, w32, interpret=interpret)
             return acc * (scale / re.shape[0])
 

@@ -75,7 +75,7 @@ def test_psd_big_no_window_no_demean():
 
 def test_validation_errors():
     z = np.zeros((1, 256 * 256), np.float32)
-    with pytest.raises(ValueError, match="n1\\*n2"):
+    with pytest.raises(ValueError, match="matches neither"):
         FB.psd_big_pallas_planar(z, z, 256, 512, interpret=True)
     with pytest.raises(ValueError, match="supported"):
         FB.fft_big_pallas_planar(
@@ -284,3 +284,24 @@ def test_spectrogram_not_widened_to_big_sizes():
 
     assert not spectrum._auto_use_pallas(1 << 16)          # default
     # (the big route is welch_psd's, behind big=True + TPU platform)
+
+
+def test_welch_numerator_3d_ingest_matches_2d():
+    # Pre-factorized [segments, n1, n2] ingest (the serving shape,
+    # skipping the XLA relayout) must equal the flat [segments, N]
+    # entry bit-for-bit.
+    from comms_tpu.ops import spectrum
+    rng = np.random.default_rng(9)
+    n1, n2 = 256, 256
+    re = rng.normal(size=(2, n1 * n2)).astype(np.float32)
+    im = rng.normal(size=(2, n1 * n2)).astype(np.float32)
+    w = spectrum.hann(n1 * n2).astype(np.float32)
+    a2 = np.asarray(FB.welch_numerator(jnp.asarray(re), jnp.asarray(im),
+                                       w, interpret=True))
+    a3 = np.asarray(FB.welch_numerator(
+        jnp.asarray(re.reshape(2, n1, n2)),
+        jnp.asarray(im.reshape(2, n1, n2)), w, interpret=True))
+    # mean-reduction order differs between the flat and (1, 2)-axis
+    # forms -> f32-rounding-level differences only
+    scale = float(np.max(np.abs(a2)))
+    np.testing.assert_allclose(a3, a2, atol=2e-5 * scale)
