@@ -20,9 +20,9 @@ __all__ = ["ChannelizerConfig", "make_block_fn", "make_planar_block_fn",
 
 
 def _auto_use_pallas(cfg: "ChannelizerConfig") -> bool:
-    """Production default: the fused Pallas kernel measures 2.2x the
-    XLA path with honest completion-synced timing (10.2 vs 4.6 Gsps,
-    docs/bench_real_r3.json), so on TPU it is the default whenever the
+    """Production default: the fused Pallas kernel measures ~4x the
+    round-4 banded-GEMM XLA path (23.3 vs 6.0 Gsps, slope-measured,
+    docs/bench_real_r4.json), so on TPU it is the default whenever the
     kernel's constraints hold; anywhere else (CPU tests, unsupported
     shapes) fall back to XLA."""
     if jax.devices()[0].platform != "tpu":
@@ -64,8 +64,8 @@ def make_block_fn(cfg: ChannelizerConfig, use_pallas=None,
     """jitted ``(state, iq_pairs[N, 2]) -> (y_pairs[frames, K, 2], state)``.
 
     ``use_pallas`` routes through the fused Pallas kernel
-    (``kernels/channelizer_pallas.py``, 2.2x the XLA path with
-    completion-synced timing) — requires K | 128, taps_per_branch <= 16,
+    (``kernels/channelizer_pallas.py``, ~4x the banded-GEMM XLA path,
+    slope-measured) — requires K | 128, taps_per_branch <= 16,
     and block % 16384 == 0.  ``None`` (default) auto-selects: the kernel
     on TPU when those constraints hold, the XLA path otherwise.  The
     carried state stays the same (T-1 input tail as pairs), so the two
