@@ -8,18 +8,26 @@ Environment must be set before jax is first imported.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# COMMS_TPU_REAL=1 leaves the real TPU attached (for
+# tests/test_kernels_tpu.py — the compiled-path hardware suite the
+# verify recipe drives); default is the virtual 8-device CPU mesh.
+_REAL = os.environ.get("COMMS_TPU_REAL") == "1"
+
+if not _REAL:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
-# the config update below (after import, before first backend use) wins.
-jax.config.update("jax_platforms", "cpu")
-
-# Host-side golden tests compare against float64 oracles.
-jax.config.update("jax_enable_x64", True)
+if not _REAL:
+    # The axon TPU plugin force-registers itself regardless of
+    # JAX_PLATFORMS; the config update below (after import, before
+    # first backend use) wins.
+    jax.config.update("jax_platforms", "cpu")
+    # Host-side golden tests compare against float64 oracles
+    # (complex128/f64 are unsupported on TPU).
+    jax.config.update("jax_enable_x64", True)

@@ -80,3 +80,76 @@ def test_channelizer_compiled():
 
     err, scale = both(jnp.asarray(xr), jnp.asarray(xi))
     assert float(err) < 1e-4 * float(scale)
+
+
+def test_psd_big_compiled():
+    # The round-4 stage-A manual DMA rings, compiled on hardware,
+    # against the f64 Welch numerator oracle (both 2-D and the
+    # pre-factorized 3-D serving ingest).
+    from comms_tpu.kernels import fft_big_pallas as FB
+    from comms_tpu.ops import spectrum
+
+    n1 = n2 = 256
+    F = n1 * n2
+    rng = np.random.default_rng(5)
+    re = rng.normal(size=(2, F)).astype(np.float32)
+    im = rng.normal(size=(2, F)).astype(np.float32)
+    w = spectrum.hann(F).astype(np.float32)
+    acc2 = np.asarray(FB.welch_numerator(jnp.asarray(re),
+                                         jnp.asarray(im), w))
+    acc3 = np.asarray(FB.welch_numerator(
+        jnp.asarray(re.reshape(2, n1, n2)),
+        jnp.asarray(im.reshape(2, n1, n2)), w))
+    ref = np.zeros(F)
+    for s in range(2):
+        x = (re[s] + 1j * im[s]).astype(np.complex128)
+        x = (x - x.mean()) * w
+        ref += np.abs(np.fft.fft(x)) ** 2
+    scale = ref.max()
+    assert np.max(np.abs(acc2 - ref)) < 2e-5 * scale
+    assert np.max(np.abs(acc3 - ref)) < 2e-5 * scale
+
+
+def test_band_monitor_compiled():
+    # Round-4 derived-comp audio views, compiled, vs the staged model.
+    from comms_tpu.kernels import band_monitor_pallas as BM
+    from comms_tpu.models import fm_band_monitor as model
+
+    rng = np.random.default_rng(6)
+    cfg = model.BandMonitorConfig(block=BM.step_samples())
+    blk_ref = model.make_planar_block_fn(cfg, use_pallas=False,
+                                         fast_demod=True)
+    blk_f = model.make_fused_block_fn(cfg)
+    st_r = model.init_state(cfg)
+    st_f = model.init_state_fused(cfg)
+    for _ in range(2):
+        re = rng.normal(size=cfg.block).astype(np.float32)
+        im = rng.normal(size=cfg.block).astype(np.float32)
+        y_r, st_r = blk_ref(st_r, jnp.asarray(re), jnp.asarray(im))
+        y_f, st_f = blk_f(st_f, jnp.asarray(re), jnp.asarray(im))
+        scale = float(np.abs(np.asarray(y_r)).max())
+        err = float(np.max(np.abs(np.asarray(y_f) - np.asarray(y_r))))
+        assert err < 2e-4 * scale, (err, scale)
+
+
+def test_qpsk_rx_fused_compiled():
+    # The fused receiver core end-to-end on hardware: zero BER on an
+    # impaired loopback (DEFAULT-precision symbol GEMM included).
+    from comms_tpu.models import qpsk_rx, qpsk_tx
+    from comms_tpu.ops import random as crandom
+
+    nbits = 4096
+    tcfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    blk = qpsk_tx.make_block_fn(tcfg)
+    iq, _ = blk(qpsk_tx.init_state(tcfg, 1))
+    z = np.asarray(iq).astype(np.float32) / tcfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex128)
+    key = crandom.source_init(1)
+    bits, _ = crandom.random_bits_block(key, nbits)
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.01 * n + 0.6))).astype(np.complex64)
+    rx = qpsk_rx.make_rx_fn_planar(qpsk_rx.QpskRxConfig())
+    sym, _diag = rx(jnp.asarray(xc.real), jnp.asarray(xc.imag))
+    best = qpsk_rx.resolve_ambiguity(np.asarray(sym),
+                                     np.asarray(bits), search=1500)
+    assert best[1] == 0, best
