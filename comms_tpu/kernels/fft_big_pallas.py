@@ -506,23 +506,19 @@ def welch_numerator(re, im, window, interpret: bool = False):
     im = jnp.asarray(im)
     if re.ndim == 3:
         # pre-factorized [segments, n1, n2] ingest — the serving
-        # shape; avoids the ~0.7 ms [b, N] -> [b, n1, n2] relayout
+        # shape; avoids the ~0.7 ms [b, N] -> [b, n1, n2] relayout.
+        # _prep is the single validation point for the factor pair.
         fac = (int(re.shape[1]), int(re.shape[2]))
-        if not supported_big(fac[0] * fac[1]):
-            raise ValueError(f"n1 x n2 = {fac} outside the supported "
-                             "two-stage set")
-        means = jnp.stack([jnp.mean(re, axis=(1, 2)),
-                           jnp.mean(im, axis=(1, 2))], -1)
-        return psd_big_pallas_planar(re, im, fac[0], fac[1],
-                                     window=window, means=means,
-                                     interpret=interpret)
-    n = int(re.shape[-1])
-    fac = factorize(n)
-    if fac is None:
-        raise ValueError(
-            f"N={n} has no two-factor decomposition into 256..2048-"
-            "point stages (see supported_big)")
-    means = jnp.stack([jnp.mean(re, axis=1), jnp.mean(im, axis=1)], -1)
+        axes = (1, 2)
+    else:
+        fac = factorize(int(re.shape[-1]))
+        if fac is None:
+            raise ValueError(
+                f"N={re.shape[-1]} has no two-factor decomposition "
+                "into 256..2048-point stages (see supported_big)")
+        axes = (1,)
+    means = jnp.stack([jnp.mean(re, axis=axes),
+                       jnp.mean(im, axis=axes)], -1)
     return psd_big_pallas_planar(re, im, fac[0], fac[1], window=window,
                                  means=means, interpret=interpret)
 

@@ -334,4 +334,12 @@ def make_sharded_psd_planar(fft_size: int, mesh: Mesh,
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+
+    def entry(re, im):
+        if re.ndim == 3:     # pre-factorized serving shape
+            re = re.reshape(re.shape[0], -1)
+            im = im.reshape(im.shape[0], -1)
+        return jfn(re, im)
+
+    return entry

@@ -31,3 +31,19 @@ if not _REAL:
     # Host-side golden tests compare against float64 oracles
     # (complex128/f64 are unsupported on TPU).
     jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Under COMMS_TPU_REAL=1 only the hardware suite is valid: the
+    rest of the tests need the virtual 8-device CPU mesh and the
+    float64 oracles that the flag disables."""
+    if not _REAL:
+        return
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="COMMS_TPU_REAL=1 runs only tests/test_kernels_tpu.py "
+               "(CPU-mesh/x64 tests are invalid on the real chip)")
+    for item in items:
+        if "test_kernels_tpu" not in item.nodeid:
+            item.add_marker(skip)

@@ -486,3 +486,19 @@ def test_wideband_chain_rdma_halo_matches_ppermute():
         assert float(freq_b) == float(freq_a)
     for a, b in zip(st_a, st_b):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_psd_planar_fallback_accepts_3d_serving_shape():
+    # The XLA fallback branch must honor the same 3-D pre-factorized
+    # ingest contract as the Pallas branch (review catch).
+    rng = np.random.default_rng(7)
+    F = 1 << 16
+    n1 = n2 = 256
+    mesh = sh.time_mesh(1)
+    psd = wideband.make_sharded_psd_planar(F, mesh, use_pallas=False)
+    re = rng.normal(size=(2, F)).astype(np.float32)
+    im = rng.normal(size=(2, F)).astype(np.float32)
+    a2 = np.asarray(psd(jnp.asarray(re), jnp.asarray(im)))
+    a3 = np.asarray(psd(jnp.asarray(re.reshape(2, n1, n2)),
+                        jnp.asarray(im.reshape(2, n1, n2))))
+    np.testing.assert_allclose(a3, a2, atol=1e-5 * float(a2.max()))
