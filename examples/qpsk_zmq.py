@@ -6,8 +6,12 @@ QPSK sample blocks and pushes them over a socket; receiver
 deserializes and reports.
 
 Usage:
-  python examples/qpsk_zmq.py recv tcp://127.0.0.1:5556 &
-  python examples/qpsk_zmq.py send tcp://127.0.0.1:5556
+  python examples/qpsk_zmq.py recv tcp://127.0.0.1:5556 [blocks] [codec] &
+  python examples/qpsk_zmq.py send tcp://127.0.0.1:5556 [blocks] [codec]
+
+codec "cbor" speaks the reference's serde_cbor wire format — point
+"send" at a running comms-rs ZMQRecv (or "recv" at its ZMQSend) to
+interoperate with the Rust peer directly.
 """
 
 import os as _os
@@ -27,11 +31,12 @@ def main():
         sys.exit(1)
     role, endpoint = sys.argv[1], sys.argv[2]
     blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    codec = sys.argv[4] if len(sys.argv) > 4 else "raw"
     if role == "send":
-        n = qpsk_stream.stream_blocks(endpoint, blocks)
+        n = qpsk_stream.stream_blocks(endpoint, blocks, codec=codec)
         print(f"sent {n} samples")
     else:
-        got = qpsk_stream.receive_blocks(endpoint, blocks)
+        got = qpsk_stream.receive_blocks(endpoint, blocks, codec=codec)
         print(f"received {sum(len(b) for b in got)} samples "
               f"in {len(got)} blocks")
 

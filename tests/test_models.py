@@ -197,6 +197,31 @@ def test_qpsk_stream_over_net_loopback():
                        (expect[:, 0] + 1j * expect[:, 1]), atol=0)
 
 
+def test_qpsk_stream_cbor_loopback():
+    # codec="cbor": the wire is the reference's serde_cbor
+    # Vec<Complex<f32>> layout (qpsk_zmq.rs:66-70 peer-compatible).
+    import threading
+    from comms_tpu.models import qpsk_stream
+    ep = "tcp://127.0.0.1:57444"
+    cfg = qpsk_tx.QpskTxConfig(bits_per_block=256)
+    results = []
+
+    def rx():
+        results.extend(qpsk_stream.receive_blocks(ep, 2, codec="cbor"))
+
+    th = threading.Thread(target=rx)
+    th.start()
+    sent = qpsk_stream.stream_blocks(ep, 2, cfg, seed=5, codec="cbor")
+    th.join(timeout=30)
+    assert sent == 2 * 128 * 4
+    assert len(results) == 2 and results[0].dtype == np.complex64
+    block = qpsk_tx.make_block_fn(cfg)
+    iq, _ = block(qpsk_tx.init_state(cfg, 5))
+    expect = np.asarray(iq).astype(np.float32) / cfg.scale
+    np.testing.assert_array_equal(
+        results[0], (expect[:, 0] + 1j * expect[:, 1]).astype(np.complex64))
+
+
 def test_play_audio_to_wav(tmp_path):
     import wave
     from comms_tpu.models import play_audio
