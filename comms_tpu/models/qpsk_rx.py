@@ -224,13 +224,19 @@ def _panel_estimates(cfg: QpskRxConfig, re, im):
     weights, the interpolator's integer shift, and the max-energy
     symbol phase.  Only tiny (panel-sized) ops depend on the traced
     scalars."""
+    panels = cfg.timing.corr_panels(re, im, halfwidth=cfg.panel_hw)
+    return _estimates_from_panels(cfg, panels)
+
+
+def _estimates_from_panels(cfg: QpskRxConfig, panels):
+    """The estimate chain on GIVEN panels — split out so the
+    time-sharded receiver (parallel/qpsk_rx_sharded.py) can psum the
+    per-shard panels into global ones first (lagged-correlation sums
+    are additive across shards)."""
     sps = cfg.sps
     T = int(cfg.mf_taps.shape[0])
     hw = cfg.panel_hw
     lanes = demodulation.TimingEstimator.LANES
-
-    # --- ONE pass over the raw planes: correlation panels.
-    panels = cfg.timing.corr_panels(re, im, halfwidth=hw)
     P1, P2, P3, P4, _meta = panels
     Er = P1 - P4                      # Re(V^T @ conj-windows)
     Ei = P2 + P3

@@ -502,3 +502,50 @@ def test_psd_planar_fallback_accepts_3d_serving_shape():
     a3 = np.asarray(psd(jnp.asarray(re.reshape(2, n1, n2)),
                         jnp.asarray(im.reshape(2, n1, n2))))
     np.testing.assert_allclose(a3, a2, atol=1e-5 * float(a2.max()))
+
+
+def test_sharded_qpsk_rx_zero_ber_and_matches_single_chip():
+    """Time-sharded QPSK receiver on the 8-device mesh: psum'd panel
+    estimates equal the single-chip core's within edge terms, the
+    symbol grid is gap-free across shards, and an impaired loopback
+    decodes with zero bit errors."""
+    from comms_tpu.models import qpsk_rx, qpsk_tx
+    from comms_tpu.ops import random as crandom
+    from comms_tpu.parallel import qpsk_rx_sharded
+
+    nbits = 16384
+    tcfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    blk = qpsk_tx.make_block_fn(tcfg)
+    iq, _ = blk(qpsk_tx.init_state(tcfg, 2))
+    z = np.asarray(iq).astype(np.float32) / tcfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex128)
+    key = crandom.source_init(2)
+    bits, _ = crandom.random_bits_block(key, nbits)
+    bits = np.asarray(bits)
+    nsmp = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.007 * nsmp + 0.5))).astype(np.complex64)
+
+    cfg = qpsk_rx.QpskRxConfig()
+    mesh = sh.time_mesh(8)
+    step = qpsk_rx_sharded.make_sharded_rx_step(cfg, mesh)
+    sym_sh, diag_sh = step(jnp.asarray(xc.real), jnp.asarray(xc.imag))
+
+    rx1 = qpsk_rx.make_rx_fn_planar(cfg)
+    sym_1, diag_1 = rx1(jnp.asarray(xc.real), jnp.asarray(xc.imag))
+
+    # estimates agree within panel-edge terms (8 shard boundaries)
+    assert abs(float(diag_sh["freq"]) - float(diag_1["freq"])) < 2e-3
+    assert abs(float(diag_sh["timing"]) - float(diag_1["timing"])) < 2e-2
+    assert int(diag_sh["sym_phase"]) == int(diag_1["sym_phase"])
+
+    # zero BER on the sharded symbol stream
+    best = qpsk_rx.resolve_ambiguity(np.asarray(sym_sh), bits,
+                                     search=1500)
+    assert best[1] == 0, best
+
+    # gap-free grid: sharded and single-chip symbols agree closely
+    # away from block edges (estimates differ by edge terms only)
+    a = np.asarray(sym_sh)[0] + 1j * np.asarray(sym_sh)[1]
+    b = np.asarray(sym_1)[0] + 1j * np.asarray(sym_1)[1]
+    scale = np.abs(b).max()
+    assert np.max(np.abs(a[16:-16] - b[16:-16])) < 0.05 * scale
