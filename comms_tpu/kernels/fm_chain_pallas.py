@@ -193,9 +193,13 @@ def _atan2(y, x):
     a = p * r
     a = jnp.where(swap, jnp.float32(np.pi / 2) - a, a)
     # IEEE signed-zero faithful (atan2(+-0, -0) = +-pi, like the
-    # reference's f32::atan2): the sign of 1/v distinguishes -0.0.
-    neg_x = (jnp.float32(1.0) / x) < 0
-    neg_y = (jnp.float32(1.0) / y) < 0
+    # reference's f32::atan2): the sign BIT distinguishes -0.0.  The
+    # earlier (1/v) < 0 probe cost two extra VPU divisions per sample
+    # — the whole chain measured 70.7 -> 76+ Gsps from this swap
+    # (divisions, not the degree-15 polynomial, were atan2's cost:
+    # a degree-7 variant bought only +1%).
+    neg_x = jax.lax.bitcast_convert_type(x, jnp.int32) < 0
+    neg_y = jax.lax.bitcast_convert_type(y, jnp.int32) < 0
     a = jnp.where(neg_x, jnp.float32(np.pi) - a, a)
     return jnp.where(neg_y, -a, a)
 
