@@ -195,7 +195,7 @@ def _atan2(y, x):
     # IEEE signed-zero faithful (atan2(+-0, -0) = +-pi, like the
     # reference's f32::atan2): the sign BIT distinguishes -0.0.  The
     # earlier (1/v) < 0 probe cost two extra VPU divisions per sample
-    # — the whole chain measured 70.7 -> 76+ Gsps from this swap
+    # — the whole chain measured 70.7 -> 75.7 Gsps from this swap
     # (divisions, not the degree-15 polynomial, were atan2's cost:
     # a degree-7 variant bought only +1%).
     neg_x = jax.lax.bitcast_convert_type(x, jnp.int32) < 0

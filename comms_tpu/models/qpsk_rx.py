@@ -385,7 +385,8 @@ def fused_gemm_ctx_len(cfg: QpskRxConfig) -> int:
     return -(-md // cfg.sps) * cfg.sps - 1
 
 
-def _symbol_tail(sr, si, fphase=None, pfine=None, warm=None):
+def _symbol_tail(sr, si, fphase=None, pfine=None, warm=None,
+                 reduce=None, sym_offset=None):
     """Shared symbol-rate tail: fine carrier at symbol rate (4th
     power), then the Mengali 5.7.4 phase estimate and rotation onto
     the +-1+-1j constellation.  Returns ``(sym_planes, diag)``.
@@ -397,19 +398,37 @@ def _symbol_tail(sr, si, fphase=None, pfine=None, warm=None):
     (previous phase estimate; the new one is unwrapped mod pi/2
     against it so the 4-fold ambiguity cannot jump quadrants at
     block seams — ``diag["phase"]`` is then the unwrapped value to
-    carry)."""
+    carry).
+
+    Sharding (parallel/qpsk_rx_sharded.py): ``reduce`` maps each
+    estimator sum pair to its global value (``lax.psum`` inside
+    shard_map — the sums are additive across time shards) and
+    ``sym_offset`` anchors the fine-carrier rotation at this shard's
+    global first-symbol index (phase0 += w_fine * sym_offset) so
+    every shard applies the SAME globally-coherent correction."""
+    red = reduce if reduce is not None else (lambda v: v)
     tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
     ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
     t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
     t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
-    w_fine = jnp.arctan2(jnp.sum(t4i), jnp.sum(t4r)) / 4.0
-    sr, si = mixer.derotate_traced_planar(
-        sr, si, w_fine,
-        phase0=0.0 if fphase is None else fphase)
+    s4 = red((jnp.sum(t4r), jnp.sum(t4i)))
+    w_fine = jnp.arctan2(s4[1], s4[0]) / 4.0
+    phase0 = jnp.float32(0.0) if fphase is None else fphase
+    if sym_offset is not None:
+        # sym_offset = (block_symbols, block_index): reduced mod 2pi
+        # PER FACTOR so no f32 product ever exceeds ~2pi * index
+        # (a raw w * Mloc * idx product loses precision past 2^24)
+        mloc_f, idx_f = sym_offset
+        two_pi = jnp.float32(2.0 * np.pi)
+        phase0 = phase0 + jnp.mod(
+            jnp.mod(w_fine * mloc_f, two_pi) * idx_f, two_pi)
+    sr, si = mixer.derotate_traced_planar(sr, si, w_fine,
+                                          phase0=phase0)
 
     s2r, s2i = sr * sr - si * si, 2.0 * sr * si
-    s4r, s4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
-    p_est = jnp.arctan2(jnp.sum(s4i), jnp.sum(s4r)) / 4.0
+    q4r, q4i = s2r * s2r - s2i * s2i, 2.0 * s2r * s2i
+    g4 = red((jnp.sum(q4r), jnp.sum(q4i)))
+    p_est = jnp.arctan2(g4[1], g4[0]) / 4.0
     if pfine is not None:
         halfq = jnp.float32(np.pi / 4)
         dp = jnp.mod(p_est - pfine + halfq, jnp.float32(np.pi / 2)) \

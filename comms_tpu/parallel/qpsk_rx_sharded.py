@@ -41,7 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from comms_tpu.models import qpsk_rx as _rx
-from comms_tpu.ops import demodulation, mixer
+from comms_tpu.ops import demodulation
 
 __all__ = ["make_sharded_rx_step"]
 
@@ -51,7 +51,8 @@ def make_sharded_rx_step(cfg: "_rx.QpskRxConfig", mesh: Mesh,
     """Returns jitted ``(re[N], im[N]) -> (sym_planes[2, N/sps],
     diag)`` with the inputs and the symbol planes sharded over
     ``axis``.  ``cfg.sps`` must satisfy the fused core's constraint
-    (4 <= sps, sps | 128); per-shard length must divide sps.
+    (4 <= sps, sps | 128); the per-shard length must be a MULTIPLE of
+    sps (validated).
 
     Semantics: the one-shot fused receiver over the WHOLE block with
     globally-exact-up-to-edge-terms estimates; symbols match the
@@ -69,28 +70,45 @@ def make_sharded_rx_step(cfg: "_rx.QpskRxConfig", mesh: Mesh,
     C = _rx.fused_gemm_ctx_len(cfg)
 
     def local(re_l, im_l):
-        nloc = re_l.shape[0]
+        nloc = int(re_l.shape[0])
+        if nloc % sps:
+            # local k mod sps must equal global k mod sps — the r2
+            # lag rotation, the per-phase energy fold and the global
+            # symbol grid all assume it (review catch: an indivisible
+            # shard ran silently to wrong symbols)
+            raise ValueError(
+                f"per-shard length {nloc} must be a multiple of "
+                f"sps={sps}")
+        if nloc * n >= 2 ** 31:
+            raise ValueError("global block >= 2^31 samples overflows "
+                             "the int32 position grid")
         idx = lax.axis_index(axis)
+        idx_f = idx.astype(jnp.float32)
         ntot = nloc * n
+        two_pi = jnp.float32(2.0 * np.pi)
 
-        # --- panels on the local slice; ONE psum makes them global.
+        # --- panels on the local slice; ONE (batched) psum makes
+        # them global.
         P1, P2, P3, P4, meta = cfg.timing.corr_panels(re_l, im_l,
                                                       halfwidth=hw)
-        P1, P2, P3, P4 = (lax.psum(p, axis) for p in (P1, P2, P3, P4))
+        P1, P2, P3, P4 = lax.psum((P1, P2, P3, P4), axis)
         panels = (P1, P2, P3, P4, meta)
         f_est, t_est, lag, shift, p_star = _rx._estimates_from_panels(
             cfg, panels)
         shift2 = jnp.clip(shift - p_star, -sps, 2 * sps - 4)
 
         # --- per-shard symbol GEMM: left neighbor's raw tail as
-        # context (overlap-save), global de-rotation phase.
+        # context (overlap-save), global de-rotation phase.  The
+        # phase anchor is reduced mod 2*pi PER FACTOR (idx * nloc as
+        # a raw f32 product loses index precision past 2^24 and the
+        # int32 form overflows past 2^31 — review catch).
         from comms_tpu.parallel import sharding as sh
 
         zc = jnp.zeros((C,), jnp.float32)
         ctx_r = sh.halo_exchange(re_l, zc, C, axis)
         ctx_i = sh.halo_exchange(im_l, zc, C, axis)
-        phase0 = jnp.mod(f_est * (idx * nloc).astype(jnp.float32),
-                         jnp.float32(2.0 * np.pi))
+        phase0 = jnp.mod(
+            jnp.mod(f_est * jnp.float32(nloc), two_pi) * idx_f, two_pi)
         sr_all, si_all = _rx._fused_symbol_gemm(
             cfg, re_l, im_l, f_est, lag, shift2,
             ctx=(ctx_r, ctx_i), phase0=phase0)
@@ -106,33 +124,16 @@ def make_sharded_rx_step(cfg: "_rx.QpskRxConfig", mesh: Mesh,
         sr = jnp.where(valid, sr, 0.0)
         si = jnp.where(valid, si, 0.0)
 
-        # --- fine carrier at symbol rate: psum'd 4th-power sums,
-        # globally-phased rotation (the shard's first symbol sits at
-        # global index idx * Mloc).
-        tr = sr[1:] * sr[:-1] + si[1:] * si[:-1]
-        ti = si[1:] * sr[:-1] - sr[1:] * si[:-1]
-        t2r, t2i = tr * tr - ti * ti, 2.0 * tr * ti
-        t4r, t4i = t2r * t2r - t2i * t2i, 2.0 * t2r * t2i
-        s4r = lax.psum(jnp.sum(t4r), axis)
-        s4i = lax.psum(jnp.sum(t4i), axis)
-        w_fine = jnp.arctan2(s4i, s4r) / 4.0
+        # --- fine carrier + Mengali phase: the SHARED symbol tail
+        # with psum'd estimator sums and this shard's global symbol
+        # offset anchoring the rotation.
         mloc = sr.shape[0]
-        fphase0 = jnp.mod(w_fine * (idx * mloc).astype(jnp.float32),
-                          jnp.float32(2.0 * np.pi))
-        sr, si = mixer.derotate_traced_planar(sr, si, w_fine,
-                                              phase0=fphase0)
-
-        # --- Mengali phase (psum'd), shared pi/4 rotation.
-        q2r, q2i = sr * sr - si * si, 2.0 * sr * si
-        q4r, q4i = q2r * q2r - q2i * q2i, 2.0 * q2r * q2i
-        g4r = lax.psum(jnp.sum(q4r), axis)
-        g4i = lax.psum(jnp.sum(q4i), axis)
-        p_est = jnp.arctan2(g4i, g4r) / 4.0
-        th = jnp.float32(np.pi / 4) - p_est
-        c, s_ = jnp.cos(th), jnp.sin(th)
-        sym = jnp.stack([sr * c - si * s_, si * c + sr * s_], axis=0)
+        sym, dtail = _rx._symbol_tail(
+            sr, si,
+            reduce=lambda v: lax.psum(v, axis),
+            sym_offset=(jnp.float32(mloc), idx_f))
         diag = {"freq": f_est, "timing": t_est, "sym_phase": p_star,
-                "freq_fine": w_fine, "phase": p_est}
+                **dtail}
         return sym, diag
 
     fn = shard_map(
