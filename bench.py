@@ -452,6 +452,25 @@ def bench_qpsk_rx():
     msps, best, R, ex = _measure_row(make_step_planar, (re_d, im_d), n)
     _row("qpsk_rx_planar_throughput", msps / 1e6, ex)
 
+    # The estimate-pipelined STREAMING receiver (gap-free symbols,
+    # carried context/phase — qpsk_rx_stream.make_stream_fast_fn),
+    # state chained across passes as it serves.
+    from comms_tpu.models import qpsk_rx_stream
+
+    step_s = qpsk_rx_stream.make_stream_fast_fn(cfg)
+    st0 = qpsk_rx_stream.init_state_fast(cfg)
+
+    def make_step_stream(re_d, im_d):
+        def body(c):
+            st, acc = c
+            sym, st = step_s(st, re_d + acc * jnp.float32(1e-30), im_d)
+            s = acc + _cks(sym)
+            return (st, s)
+        return ((st0, _f32(0)), body)
+
+    msps, best, R, ex = _measure_row(make_step_stream, (re_d, im_d), n)
+    _row("qpsk_rx_stream_throughput", msps / 1e6, ex)
+
 
 def bench_channelizer_pair():
     """XLA channelizer model vs its fused-Pallas path: same scan
@@ -546,6 +565,14 @@ def bench_band_monitor():
     _row("fm_band_monitor_fused_throughput", msps / 1e6,
          {**ex, **_roof(best, 8 * cfg.block, 4200 * cfg.block, R,
                peak_tflops=_RUN_TFLOPS_BF16)})
+
+    cfg32 = fm_band_monitor.BandMonitorConfig(
+        num_channels=32, taps_per_branch=8, block=cfg.block)
+    blk32 = fm_band_monitor.make_fused_block_fn(cfg32)
+    msps, best, R, ex = _measure_row(
+        make_maker(blk32, fm_band_monitor.init_state_fused(cfg32)),
+        (res, ims), cfg.block)
+    _row("fm_band_monitor_fused32_throughput", msps / 1e6, ex)
 
     cfg64 = fm_band_monitor.BandMonitorConfig(
         num_channels=64, taps_per_branch=8, block=cfg.block)
