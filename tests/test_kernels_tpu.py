@@ -153,3 +153,45 @@ def test_qpsk_rx_fused_compiled():
     best = qpsk_rx.resolve_ambiguity(np.asarray(sym),
                                      np.asarray(bits), search=1500)
     assert best[1] == 0, best
+
+
+def test_stream_runner_soak_compiled():
+    # 40-block streaming serve of the fused FM chain through the
+    # depth-N StreamRunner on hardware: state stays finite across the
+    # whole stream and every per-block summary drains in order.
+    from comms_tpu.kernels import fm_chain_pallas as K
+    from comms_tpu.models import fm_receiver
+    from comms_tpu.runtime import StreamRunner
+
+    B = K.IN_PER_STEP * 8
+    cfg = fm_receiver.FmReceiverConfig(block=B)
+    fblk = fm_receiver.make_fused_block_fn(cfg)
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+
+        def f(k):
+            return jax.random.randint(
+                k, (B,), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        return f(k1), f(k2)
+
+    @jax.jit
+    def step(st, x):
+        re8, im8 = x
+        y, st = fblk(st, re8, im8)
+        return jnp.stack([y[0], y[-1], jnp.sum(y[::257])]), st
+
+    blocks = [gen(jax.random.PRNGKey(i)) for i in range(4)] * 10
+    outs = []
+    runner = StreamRunner(step, fm_receiver.fused_init_state(), blocks,
+                          sink=lambda a: outs.append(a.copy()),
+                          samples_of=lambda x: B, depth=4)
+    runner.run()
+    assert runner.blocks_done == 40
+    assert len(outs) == 40
+    assert all(np.isfinite(o).all() for o in outs)
+    # identical inputs at stride 4 after the first cycle must give
+    # identical summaries ONLY if state converged; instead just check
+    # the stream produced non-degenerate, varying output.
+    assert np.std([o[2] for o in outs]) > 0
