@@ -31,7 +31,7 @@ the reference's ``qpsk_zmq`` example exchanges.
 from __future__ import annotations
 
 import struct
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import numpy as np
 

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from comms_tpu.ops import demodulation, fir, interp, mixer, taps
+from comms_tpu.ops import demodulation, fir, mixer, taps
 
 __all__ = ["QpskRxConfig", "make_rx_fn", "make_rx_fn_planar",
            "decide_bits", "resolve_ambiguity"]

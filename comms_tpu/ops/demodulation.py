@@ -29,7 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from comms_tpu.ops import fir as _fir
 from comms_tpu.ops import taps as _taps
 
 __all__ = [

@@ -24,14 +24,12 @@ channel-parallel corner turn is ``all_to_all``.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 __all__ = [
     "time_mesh",
