@@ -1,0 +1,322 @@
+"""Fused Pallas TPU kernel: the QPSK receiver's symbol path.
+
+One pass over the raw f32 IQ planes computes the complex-tap
+decimating GEMM (matched filter x Lagrange interpolator x carrier
+modulation, folded into one traced tap vector by
+``models/qpsk_rx._fused_symbol_gemm``) AND the symbol-rate carrier
+de-rotation, with streaming context handled natively:
+
+    y[s] = e^{-j(phase0 + ws*(s+1))} *
+           sum_t (fr + j*fi)[t] * (xr + j*xi)[4*(s+1) - t]
+
+i.e. exactly ``fir_decimate_traced_planar_complex`` (causal backward
+window, MD-1-sample carried head context) followed by
+``mixer.derotate_traced_planar`` and the callers' ``[1:]``
+artifact-frame drop — but the planes are read from HBM ONCE and the
+full-rate intermediates never exist.  The XLA formulation reads each
+plane twice per band piece per tap vector (the [R, 512] window
+operands cannot be shared across the four real GEMMs), measured
+3.1 ms at 33.5M samples on v5e; this kernel's floor is one read +
+the symbol write, ~0.7 ms.
+
+Layout (mirrors ``fm_chain_pallas``, decimation 4 instead of 5):
+
+* planes viewed as [N/512, 512] rows — the decimate-by-4 window
+  advances exactly one row per 128 outputs, so the two window pieces
+  per output row are stride-1 row slices (prev row's last 128 lanes +
+  the full current row), which Mosaic lowers without relayouts;
+* the interpolator is 4 samples NON-CAUSAL relative to the symbol
+  grid (window tip = 4s + 4): output lane 127 needs lane 0 of the
+  NEXT row, handled by a [R, 1] column term (only tap t=0 can land
+  there), with a one-row DMA lookahead per grid step (zeroed on the
+  last step — the XLA path's ``tail_zeros``);
+* band matrices are TRACED (the taps fold data-dependent estimates),
+  built by one tiny XLA gather per dispatch and passed as [.,128]
+  VMEM operands;
+* the de-rotation phase phase0 + ws*(s+1) is decomposed per
+  step/row/lane (each partial product stays < ~2.5e3 rad) so its f32
+  error stays ~1e-4 rad at 33.5M samples — tighter than the XLA
+  path's single freq*128*arange(rows) product;
+* input DMAs are double-buffered (two [272, 512] slabs per plane);
+  the backward halo row is carried slab-to-slab in VMEM, so no input
+  row is read from HBM twice (except the 8-row lookahead overlap,
+  8/256 of the traffic).  DMA offsets/extents stay at f32-tile
+  multiples (8 rows) — Mosaic rejects misaligned memref slices — so
+  the halo zones are 8 rows each and the odd offsets (7, 9) live
+  only in compute-side slices.
+
+Reference parity: this is the TPU-native form of the reference's
+matched filter + interpolator + NCO chain
+(``/root/reference/src/filter/fir.rs``,
+``src/demodulation/timing_estimator.rs``, ``src/demodulation/nco.rs``)
+fused at symbol rate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["qpsk_symbol_gemm", "kernel_ok", "IN_PER_STEP", "SPS"]
+
+_LANES = 128
+_ROWW = 512                    # 4 * 128: one-row window advance
+_R = 512                       # output rows per grid step
+IN_PER_STEP = _R * _ROWW       # 131072 input samples / step
+SPS = 4
+_MD_MAX = 132                  # piece-A back-reach bound (see _bands)
+_HB = 8                        # backward-halo rows (f32 tile height;
+_HF = 8                        # only row _HB-1 / row _HB+_R are used)
+_SKIP = None                   # dev probe: "derot" | "dot" skip stages
+
+
+def kernel_ok(n: int, md: int, sps: int) -> bool:
+    """Static applicability: decimation 4 (the lane math), block a
+    multiple of IN_PER_STEP, taps within the band's back-reach."""
+    return sps == SPS and n % IN_PER_STEP == 0 and 1 <= md <= _MD_MAX
+
+
+def _bands(flat):
+    """Traced band pieces for tip-at-4j+4 windows on [., 512] rows:
+
+      piece A (prev row, lanes 384:512): BA[w, j] = flat[132 + 4j - w]
+      piece B (current row, all lanes):  BB[w, j] = flat[4j + 4 - w]
+
+    (out-of-range -> 0 via the appended-sentinel gather, as
+    ``fir._traced_band_setup``).  Tap t = 0 at j = 127 falls on the
+    NEXT row's lane 0 — excluded here, applied as the column term."""
+    flat = jnp.asarray(flat, jnp.float32)
+    md = int(flat.shape[0])
+    if md > _MD_MAX:
+        raise ValueError(f"flat taps {md} exceed band back-reach "
+                         f"{_MD_MAX}")
+    flat_e = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    j = np.arange(_LANES)[None, :]
+    wa = np.arange(_LANES)[:, None]
+    ta = 132 + 4 * j - wa
+    ia = np.where((ta >= 0) & (ta < md), ta, md)
+    wb = np.arange(_ROWW)[:, None]
+    tb = 4 * j + 4 - wb
+    ib = np.where((tb >= 0) & (tb < md), tb, md)
+    return flat_e[jnp.asarray(ia)], flat_e[jnp.asarray(ib)]
+
+
+def _make_kernel(steps: int, precision):
+    def _kernel(xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
+                base, consts, sr_out, si_out, slab_re, slab_im, sem):
+        g = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = lax.rem(g, jnp.int32(2))
+
+        def issue(step, s, op):
+            getattr(pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(step * _R, _R), :],
+                slab_re.at[s, pl.ds(_HB, _R), :], sem.at[s, 0]), op)()
+            getattr(pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(step * _R, _R), :],
+                slab_im.at[s, pl.ds(_HB, _R), :], sem.at[s, 1]), op)()
+
+        def issue_look(step, s, op):
+            # the forward halo (lane 127's t=0 tap needs the next
+            # row's lane 0) — an aligned 8-row tile, of which only
+            # the first row is read
+            getattr(pltpu.make_async_copy(
+                xr_hbm.at[pl.ds((step + 1) * _R, _HF), :],
+                slab_re.at[s, pl.ds(_HB + _R, _HF), :],
+                sem.at[s, 2]), op)()
+            getattr(pltpu.make_async_copy(
+                xi_hbm.at[pl.ds((step + 1) * _R, _HF), :],
+                slab_im.at[s, pl.ds(_HB + _R, _HF), :],
+                sem.at[s, 3]), op)()
+
+        @pl.when(g == 0)
+        def _():
+            issue(0, 0, "start")
+            # stream context row: [zeros ++ ctx(MD-1)] from the wrapper
+            slab_re[0, _HB - 1, :] = ctx_re[0, :]
+            slab_im[0, _HB - 1, :] = ctx_im[0, :]
+
+            @pl.when(n > 1)
+            def _():
+                issue_look(0, 0, "start")
+
+        issue(g, slot, "wait")
+
+        @pl.when(g < n - 1)
+        def _():
+            issue_look(g, slot, "wait")
+
+        @pl.when(g == n - 1)
+        def _():
+            # last step: the lookahead row is past the block's end —
+            # the XLA path's tail_zeros (only its lane 0 is read).
+            slab_re[slot, _HB + _R, :] = jnp.zeros((_ROWW,), jnp.float32)
+            slab_im[slot, _HB + _R, :] = jnp.zeros((_ROWW,), jnp.float32)
+
+        @pl.when(g + 1 < n)
+        def _():
+            # backward-halo carry BEFORE the next DMA lands (the DMA
+            # writes rows >= _HB only, so no conflict with row _HB-1)
+            slab_re[1 - slot, _HB - 1, :] = slab_re[slot, _HB - 1 + _R, :]
+            slab_im[1 - slot, _HB - 1, :] = slab_im[slot, _HB - 1 + _R, :]
+            issue(g + 1, 1 - slot, "start")
+
+            @pl.when(g + 2 < n)
+            def _():
+                issue_look(g + 1, 1 - slot, "start")
+
+        def dots(sa, sb, ba, bb):
+            return (jnp.dot(sa, ba, preferred_element_type=jnp.float32,
+                            precision=precision)
+                    + jnp.dot(sb, bb, preferred_element_type=jnp.float32,
+                              precision=precision))
+
+        h0 = _HB - 1
+        sa_r = slab_re[slot, h0:h0 + _R, 384:512]
+        sb_r = slab_re[slot, _HB:_HB + _R, :]
+        sa_i = slab_im[slot, h0:h0 + _R, 384:512]
+        sb_i = slab_im[slot, _HB:_HB + _R, :]
+        if _SKIP == "dot":
+            prr = sb_r[:, 0:_LANES]
+            pri = sb_r[:, 128:256]
+            pir = sb_i[:, 0:_LANES]
+            pii = sb_i[:, 128:256]
+        else:
+            prr = dots(sa_r, sb_r, ba_r[...], bb_r[...])   # xr * fr
+            pri = dots(sa_r, sb_r, ba_i[...], bb_i[...])   # xr * fi
+            pir = dots(sa_i, sb_i, ba_r[...], bb_r[...])   # xi * fr
+            pii = dots(sa_i, sb_i, ba_i[...], bb_i[...])   # xi * fi
+
+        fr0 = consts[0]
+        fi0 = consts[1]
+        w128 = consts[2]
+        wsm = consts[3]
+
+        lanes = lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
+        last = lanes == _LANES - 1
+        col_r = jnp.broadcast_to(
+            slab_re[slot, _HB + 1:_HB + 1 + _R, 0:1], (_R, _LANES))
+        col_i = jnp.broadcast_to(
+            slab_im[slot, _HB + 1:_HB + 1 + _R, 0:1], (_R, _LANES))
+        prr = prr + jnp.where(last, fr0 * col_r, 0.0)
+        pri = pri + jnp.where(last, fi0 * col_r, 0.0)
+        pir = pir + jnp.where(last, fr0 * col_i, 0.0)
+        pii = pii + jnp.where(last, fi0 * col_i, 0.0)
+
+        yr = prr - pii
+        yi = pri + pir
+
+        # symbol-rate de-rotation by phase0 + ws*(s+1): per-step base
+        # (wrapper, mod 2pi) + per-row + per-lane partial products,
+        # each < ~2.5e3 rad so the f32 angle error stays ~1e-4 rad.
+        if _SKIP == "derot":
+            sr_out[:] = yr
+            si_out[:] = yi
+            return
+        rows = lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
+        ang = (base[g] + w128 * rows.astype(jnp.float32)
+               + wsm * lanes.astype(jnp.float32))
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        sr_out[:] = yr * c + yi * s
+        si_out[:] = yi * c - yr * s
+
+    return _kernel
+
+
+def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
+                     precision=None, interpret: bool = False):
+    """Fused symbol path on planar f32 IQ.
+
+    Args:
+      re, im: [N] f32 raw planes, N % IN_PER_STEP == 0.
+      fr, fi: [MD] traced complex tap planes (modulated
+        conv(mf, lagrange) — built by qpsk_rx), MD <= 132.
+      ws: traced symbol-rate de-rotation step (w * sps).
+      phase0: carried absolute phase at the block start.
+      ctx: optional (ctx_re, ctx_im) carried raw tails, MD-1 samples.
+      precision: MXU precision for the band dots.
+
+    Returns ``(sr, si)`` [N/4] f32 symbol planes — identical contract
+    to ``qpsk_rx._fused_symbol_gemm`` (the artifact frame already
+    dropped)."""
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    n = int(re.shape[0])
+    md = int(jnp.asarray(fr).shape[0])
+    if not kernel_ok(n, md, SPS):
+        raise ValueError(f"block {n} / taps {md} outside kernel bounds")
+    steps = n // IN_PER_STEP
+
+    ba_r, bb_r = _bands(fr)
+    ba_i, bb_i = _bands(fi)
+
+    if ctx is None:
+        row_re = jnp.zeros((1, _ROWW), jnp.float32)
+        row_im = jnp.zeros((1, _ROWW), jnp.float32)
+    else:
+        cr = jnp.asarray(ctx[0], jnp.float32)
+        ci = jnp.asarray(ctx[1], jnp.float32)
+        if int(cr.shape[0]) != md - 1:
+            raise ValueError(f"ctx must be MD-1 = {md - 1} samples, "
+                             f"got {cr.shape[0]}")
+        z = jnp.zeros((_ROWW - (md - 1),), jnp.float32)
+        row_re = jnp.concatenate([z, cr])[None, :]
+        row_im = jnp.concatenate([z, ci])[None, :]
+
+    ws = jnp.asarray(ws, jnp.float32)
+    two_pi = jnp.float32(2.0 * np.pi)
+    wsm = jnp.mod(ws, two_pi)
+    w128 = jnp.mod(wsm * jnp.float32(_LANES), two_pi)
+    base = jnp.mod(jnp.asarray(phase0, jnp.float32) + wsm
+                   + (w128 * jnp.float32(_R))
+                   * jnp.arange(steps, dtype=jnp.float32), two_pi)
+    consts = jnp.stack([jnp.asarray(fr)[0].astype(jnp.float32),
+                        jnp.asarray(fi)[0].astype(jnp.float32),
+                        w128, wsm])
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sr, si = pl.pallas_call(
+        _make_kernel(steps, precision),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # re rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # im rows (HBM)
+            vspec, vspec,                           # ctx rows [1, 512]
+            vspec, vspec, vspec, vspec,             # band pieces
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # base [steps]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # consts [4]
+        ],
+        out_specs=[
+            pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
+            pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * steps * _R * _LANES * (_LANES + _ROWW),
+            bytes_accessed=2 * 4 * n + 2 * n,
+            transcendentals=n // 2,
+        ),
+        interpret=interpret,
+    )(
+        re.reshape(-1, _ROWW), im.reshape(-1, _ROWW),
+        row_re, row_im,
+        ba_r, bb_r, ba_i, bb_i,
+        base, consts,
+    )
+    return sr.reshape(-1), si.reshape(-1)

@@ -42,7 +42,9 @@ import jax.numpy as jnp
 
 from comms_tpu.ops import demodulation, fir, taps
 
-__all__ = ["QpskRxStreamConfig", "make_stream_fn", "init_state"]
+__all__ = ["QpskRxStreamConfig", "make_stream_fn", "init_state",
+           "make_stream_fast_fn", "init_state_fast",
+           "make_stream_split_fns"]
 
 _TWO_PI = 2.0 * np.pi
 
@@ -239,11 +241,10 @@ def make_stream_fast_fn(cfg=None):
     def step(state, re, im):
         n = re.shape[0]
         # --- full-rate symbol path with the CARRIED estimates.
-        sr_all, si_all = _rx._fused_symbol_gemm(
+        sr, si = _rx._fused_symbol_gemm(
             cfg, re, im, state["omega"], state["lag"], state["shift2"],
             ctx=(state["ctx_re"], state["ctx_im"]),
             phase0=state["theta"])
-        sr, si = sr_all[1:], si_all[1:]
 
         # --- fine carrier/phase at symbol rate, PHASE-CONTINUOUS
         # across blocks: the shared _symbol_tail with the carried
@@ -278,3 +279,67 @@ def make_stream_fast_fn(cfg=None):
         return sym_planes, new_state
 
     return step
+
+
+def make_stream_split_fns(cfg=None):
+    """TWO-DISPATCH streaming receiver: the decoupled-pair form of
+    :func:`make_stream_fast_fn` — identical state pytree, identical
+    outputs, but the two full-rate stages run as SEPARATE jitted
+    programs the serving loop dispatches back-to-back:
+
+        sym, state = sym_fn(state, re, im)     # fused symbol GEMM+tail
+        omega, lag, shift2 = est_fn(re, im)    # panels -> next block
+        state = {**state, "omega": omega, "lag": lag, "shift2": shift2}
+
+    Why: measured on v5e (docs/PERF.md, QPSK section), co-residency of
+    the two full-rate stages (the symbol GEMM and the correlation
+    panels) in ONE XLA program costs ~0.8 ms/block of scheduling
+    serialization at 33.5M samples that neither scalar-gate removal
+    nor estimate pipelining recovers; as two programs each stage runs
+    alone and the pair reaches the measured ~2.7 ms decoupled floor.
+    The extra dispatch's host cost hides behind device compute in any
+    depth>=2 serving loop (``runtime.StreamRunner``).
+
+    The merge is a host-side dict update of device arrays — no sync,
+    no transfer.  Estimate pipelining semantics are unchanged: block
+    k's symbols use block k-1's estimates.  Returns
+    ``(sym_fn, est_fn)``; state comes from :func:`init_state_fast`.
+    """
+    from comms_tpu.models import qpsk_rx as _rx
+
+    cfg = cfg if cfg is not None else _rx.QpskRxConfig()
+    C = _rx.fused_gemm_ctx_len(cfg)
+
+    @jax.jit
+    def sym_fn(state, re, im):
+        n = re.shape[0]
+        sr, si = _rx._fused_symbol_gemm(
+            cfg, re, im, state["omega"], state["lag"], state["shift2"],
+            ctx=(state["ctx_re"], state["ctx_im"]),
+            phase0=state["theta"])
+        sym_planes, dtail = _rx._symbol_tail(
+            sr, si, fphase=state["fphase"], pfine=state["pfine"],
+            warm=state["warm"])
+        new_state = {
+            "ctx_re": re[-C:],
+            "ctx_im": im[-C:],
+            # estimates stay as-is; est_fn's outputs overwrite them.
+            "omega": state["omega"],
+            "theta": jnp.mod(state["theta"] + state["omega"] * n,
+                             jnp.float32(2.0 * np.pi)),
+            "lag": state["lag"],
+            "shift2": state["shift2"],
+            "fphase": dtail["fphase_next"],
+            "pfine": dtail["phase"],
+            "warm": jnp.ones((), jnp.float32),
+        }
+        return sym_planes, new_state
+
+    @jax.jit
+    def est_fn(re, im):
+        f_b, _t_b, lag_b, shift_b, p_sym = _rx._panel_estimates(
+            cfg, re, im)
+        shift2 = jnp.clip(shift_b - p_sym, -cfg.sps, 2 * cfg.sps - 4)
+        return f_b, lag_b, shift2
+
+    return sym_fn, est_fn

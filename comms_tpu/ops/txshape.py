@@ -37,7 +37,7 @@ output is independent of block chopping (same property as
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

@@ -109,10 +109,9 @@ def make_sharded_rx_step(cfg: "_rx.QpskRxConfig", mesh: Mesh,
         ctx_i = sh.halo_exchange(im_l, zc, C, axis)
         phase0 = jnp.mod(
             jnp.mod(f_est * jnp.float32(nloc), two_pi) * idx_f, two_pi)
-        sr_all, si_all = _rx._fused_symbol_gemm(
+        sr, si = _rx._fused_symbol_gemm(
             cfg, re_l, im_l, f_est, lag, shift2,
             ctx=(ctx_r, ctx_i), phase0=phase0)
-        sr, si = sr_all[1:], si_all[1:]
 
         # --- the one-shot core's edge mask, at GLOBAL positions
         # (head transient on shard 0, shifted-off-the-end tail on the

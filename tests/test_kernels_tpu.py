@@ -195,3 +195,58 @@ def test_stream_runner_soak_compiled():
     # identical summaries ONLY if state converged; instead just check
     # the stream produced non-degenerate, varying output.
     assert np.std([o[2] for o in outs]) > 0
+
+
+def test_qpsk_sym_kernel_compiled():
+    # The fused Pallas symbol kernel on hardware: on-chip parity with
+    # the XLA path (head region, where phase rounding is negligible)
+    # and zero BER through the streaming receiver at kernel-eligible
+    # block sizes (2 grid steps per block, carried context across 3
+    # blocks).
+    from comms_tpu.kernels import qpsk_sym_pallas as QS
+    from comms_tpu.models import qpsk_rx, qpsk_rx_stream, qpsk_tx
+    from comms_tpu.ops import random as crandom
+
+    B = 2 * QS.IN_PER_STEP
+    nbits = (3 * B) // 2                 # 3 blocks of samples
+    tcfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    blk = qpsk_tx.make_block_fn(tcfg)
+    iq, _ = blk(qpsk_tx.init_state(tcfg, 2))
+    z = np.asarray(iq).astype(np.float32) / tcfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex128)
+    key = crandom.source_init(2)
+    bits, _ = crandom.random_bits_block(key, nbits)
+    bits = np.asarray(bits)
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.006 * n + 0.8))).astype(np.complex64)
+
+    cfg_k = qpsk_rx.QpskRxConfig()                      # auto kernel
+    cfg_x = qpsk_rx.QpskRxConfig(use_pallas_sym=False)
+    seg = xc[:B]
+    re0, im0 = jnp.asarray(seg.real), jnp.asarray(seg.imag)
+    w = jnp.float32(0.006)
+    lag = jnp.asarray([-0.05, 0.7, 0.4, -0.06], jnp.float32)
+    sk = jax.jit(lambda a, b: qpsk_rx._fused_symbol_gemm(
+        cfg_k, a, b, w, lag, jnp.int32(0), phase0=0.2))(re0, im0)
+    sx = jax.jit(lambda a, b: qpsk_rx._fused_symbol_gemm(
+        cfg_x, a, b, w, lag, jnp.int32(0), phase0=0.2))(re0, im0)
+    head_k = np.asarray(sk[0][:4096])
+    head_x = np.asarray(sx[0][:4096])
+    scale = float(np.abs(head_x).max())
+    assert np.abs(head_k - head_x).max() < 5e-3 * scale
+
+    step = qpsk_rx_stream.make_stream_fast_fn(cfg_k)
+    st = qpsk_rx_stream.init_state_fast(cfg_k)
+    M = B // cfg_k.sps
+    outs = []
+    for b in range(3):
+        s = xc[b * B:(b + 1) * B]
+        sym, st = step(st, jnp.asarray(s.real), jnp.asarray(s.imag))
+        outs.append(np.asarray(sym))
+    sym_all = np.concatenate(outs[1:], axis=1)   # drop warm-up block
+    margin = 32
+    cand = sym_all[:, margin:margin + 4096]
+    ref = bits[2 * (M + margin - 8):]
+    best = qpsk_rx.resolve_ambiguity(cand, ref, search=1500, max_lag=16)
+    (rot, lagr), errs, m = best
+    assert m >= 2048 and errs == 0, best

@@ -186,3 +186,32 @@ def test_stream_fast_zero_ber_and_gap_free():
                                      max_lag=16)
     (rot, lag), errs, m = best
     assert m >= 2048 and errs == 0, best
+
+
+def test_stream_split_matches_fast():
+    """The two-dispatch split receiver (make_stream_split_fns) is the
+    SAME computation as make_stream_fast_fn cut into two programs:
+    identical state evolution and symbol outputs on the same stream."""
+    from comms_tpu.models import qpsk_rx
+
+    cfg = qpsk_rx.QpskRxConfig()
+    fast = qpsk_rx_stream.make_stream_fast_fn(cfg)
+    sym_fn, est_fn = qpsk_rx_stream.make_stream_split_fns(cfg)
+    st_f = qpsk_rx_stream.init_state_fast(cfg)
+    st_s = qpsk_rx_stream.init_state_fast(cfg)
+
+    rng = np.random.default_rng(11)
+    B = 4096
+    for b in range(3):
+        x = rng.normal(size=(2, B)).astype(np.float32)
+        re, im = jnp.asarray(x[0]), jnp.asarray(x[1])
+        y_f, st_f = fast(st_f, re, im)
+        y_s, st_s = sym_fn(st_s, re, im)
+        om, lag, sh2 = est_fn(re, im)
+        st_s = {**st_s, "omega": om, "lag": lag, "shift2": sh2}
+        np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_f),
+                                   atol=1e-5, rtol=1e-5)
+        for k in st_f:
+            np.testing.assert_allclose(
+                np.asarray(st_s[k]), np.asarray(st_f[k]),
+                atol=1e-5, rtol=1e-5, err_msg=f"state key {k} (blk {b})")
