@@ -44,7 +44,7 @@ from comms_tpu.ops import demodulation, fir, taps
 
 __all__ = ["QpskRxStreamConfig", "make_stream_fn", "init_state",
            "make_stream_fast_fn", "init_state_fast",
-           "make_stream_split_fns"]
+           "make_stream_split_fns", "make_split_serving_step"]
 
 _TWO_PI = 2.0 * np.pi
 
@@ -343,3 +343,47 @@ def make_stream_split_fns(cfg=None):
         return f_b, lag_b, shift2
 
     return sym_fn, est_fn
+
+
+def make_split_serving_step(cfg=None):
+    """Serving-loop form of :func:`make_stream_split_fns`: a
+    ``runtime.StreamRunner``-compatible host step
+    ``(state, (re, im)) -> (sym_planes, state)`` that enqueues the two
+    programs back-to-back with NO host sync between them — the
+    estimate merge is a dict update of device-array futures.
+
+    The symbol GEMM and the correlation panels each run as their own
+    XLA program, so neither pays the ~0.8 ms/block co-residency
+    serialization of sharing one program, and neither full-rate stage
+    is gated on the other's data-dependent scalars (estimate
+    pipelining: block k's symbols use block k-1's estimates, as in
+    ``make_stream_fast_fn``).  The reference analogue is its per-node
+    thread pipeline overlapping estimator and data-path nodes
+    (``src/node/mod.rs:275-284``) — here the overlap comes from the
+    device queue, not threads.
+
+    MEASURED OUTCOME on the tunneled v5e (docs/PERF.md, "QPSK
+    receiver" + lesson 23): every program launch costs ~4 ms on this
+    link, independent of operand size and serial with compute, so the
+    second dispatch cancels the ~3 ms/block co-residency saving —
+    the split serves at 5.35 vs the one-program stream's 5.66 Gsps at
+    134M-sample blocks.  Use :func:`make_stream_fast_fn` on this
+    link; this entry is the right topology for a production PCIe
+    host, where launch cost is tens of microseconds and the
+    decoupled-pair floor (~2x) is reachable.
+
+    State comes from :func:`init_state_fast`; block 0 is warm-up
+    (discard its symbols).  Outputs are bit-identical to driving
+    ``make_stream_split_fns`` by hand and match
+    ``make_stream_fast_fn`` to float tolerance (tested).
+    """
+    sym_fn, est_fn = make_stream_split_fns(cfg)
+
+    def step(state, x):
+        re, im = x
+        sym, state = sym_fn(state, re, im)
+        omega, lag, shift2 = est_fn(re, im)
+        return sym, {**state, "omega": omega, "lag": lag,
+                     "shift2": shift2}
+
+    return step

@@ -215,3 +215,35 @@ def test_stream_split_matches_fast():
             np.testing.assert_allclose(
                 np.asarray(st_s[k]), np.asarray(st_f[k]),
                 atol=1e-5, rtol=1e-5, err_msg=f"state key {k} (blk {b})")
+
+
+def test_split_serving_step_through_streamrunner():
+    """make_split_serving_step driven by StreamRunner (depth 2 — the
+    two programs per block must be merge-safe while older blocks are
+    still in flight) matches a hand loop of make_stream_fast_fn."""
+    from comms_tpu.models import qpsk_rx
+
+    cfg = qpsk_rx.QpskRxConfig()
+    fast = qpsk_rx_stream.make_stream_fast_fn(cfg)
+    step = qpsk_rx_stream.make_split_serving_step(cfg)
+
+    rng = np.random.default_rng(23)
+    B, S = 4096, 4
+    blocks = [tuple(jnp.asarray(rng.normal(size=B).astype(np.float32))
+                    for _ in range(2)) for _ in range(S)]
+
+    st_f = qpsk_rx_stream.init_state_fast(cfg)
+    want = []
+    for re, im in blocks:
+        y, st_f = fast(st_f, re, im)
+        want.append(np.asarray(y))
+
+    got = []
+    runner = StreamRunner(step, qpsk_rx_stream.init_state_fast(cfg),
+                          blocks, sink=got.append,
+                          samples_of=lambda x: B, depth=2)
+    runner.run()
+    assert len(got) == S
+    for b, (w, g) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"block {b}")
