@@ -16,17 +16,28 @@ reuse fft_pallas's VPU-radix + MXU-DFT machinery:
             (fft_pallas._stage12 + Karatsuba MXU matmul), then the
             four-step twiddle W_N(n2 k1) — built in-register from two
             host tables via the angle-addition identity, never
-            streamed — and one contiguous [ct, N1] write.
+            streamed — and a K1-TILE-BLOCKED write (ktiles contiguous
+            64 KB tiles into D'[seg, k1//ct, n2, ct]).
   stage B   X[k1 + N1 k2] = sum_n2 D'[n2, k1] W_N2(n2 k2)  per
-            k1-tile: DMA a [N2, ct] column slab of D', transpose,
-            row-FFT.  The PSD variant squares and accumulates into a
-            VMEM-resident [N1, N2] bin grid across segments (output
-            revisiting with the segment axis innermost), so segment
-            spectra never exist in HBM.
+            k1-tile: DMA the tile's [N2, ct] slab — fully CONTIGUOUS
+            in the blocked layout — transpose, row-FFT.  The PSD
+            variant squares and accumulates into a VMEM-resident
+            [N1, N2] bin grid across segments (output revisiting with
+            the segment axis innermost), so segment spectra never
+            exist in HBM.
 
 HBM traffic per sample: 8 (A in) + 4 (window) + 8 (A out) + 8 (B in)
-= 28 B vs jnp.fft's measured ~140 B; the [N1, ct] column slabs are
-512-byte-row strided DMAs (ct = 128 lanes of f32).
+= 28 B vs jnp.fft's measured ~140 B.  Stage A's input column slabs
+are strided for 3-D [b, n1, n2] ingest and fully contiguous for the
+PRE-BLOCKED 4-D [b, n2//ct, n1, ct] serving shape (both accepted).
+MEASURED (round-4 follow-up, closing ROADMAP_r5 item 2): converting
+every strided slab to contiguous — blocked D' AND blocked ingest —
+moves the 2^20 x 32 row by ~+1% (15.0 -> 15.2 Gsps): the manual
+rings and BlockSpec pipelines already hid the DMAs behind compute,
+so the 67%-of-io-floor residual is IN-KERNEL COMPUTE (transpose +
+FFT passes + twiddle), not the DMA pattern.  The blocked layout is
+kept as the serving contract: it is never slower, and on parts with
+a different DMA/compute ratio the pattern margin is real.
 
 Functional parity target: the reference's SampleFFT + Welch use
 (``/root/reference/src/fft/mod.rs:73-96``) at the node tolerance of
@@ -102,10 +113,11 @@ def _const2(n: int, r1: int, precision: str):
 
 
 def _stageA_kernel(*refs, r1: int, ct: int, nc: int, csteps: int,
-                   windowed: bool, demean: bool, emit_sums: bool):
+                   ktiles: int, windowed: bool, demean: bool,
+                   emit_sums: bool, blocked_in: bool = False):
     """One (segment, n2-tile) step on a FLATTENED 1-D grid
     (g = segment*csteps + tile): transpose, demean+window, N1-FFT,
-    four-step twiddle, contiguous write.  ``emit_sums`` writes the
+    four-step twiddle, blocked write.  ``emit_sums`` writes the
     tile's raw (pre-window) plane sums — the sparse-demean path's
     mean numerator, so no separate XLA reduction pass reads x.
 
@@ -113,7 +125,15 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, csteps: int,
     MANUAL double-buffered DMA rings: with BlockSpec-pipelined
     outputs the step serialized on the output auto-DMA — measured
     2.13 ms at 2^20 x 32 against 1.41 ms for this form (bit-exact),
-    the round-4 PSD stage-A finding (docs/PERF.md)."""
+    the round-4 PSD stage-A finding (docs/PERF.md).
+
+    D' is written K1-TILE-BLOCKED, [seg, k1//ct, n2, ct]: the step's
+    [ct, N1] result leaves as ``ktiles`` contiguous 64 KB tiles (one
+    per k1-tile, destination stride n2*ct*4) instead of one [ct, N1]
+    row block, so stage B's per-(k1-tile, segment) read is ONE fully
+    contiguous [n2, ct] slab instead of a 512-byte-row strided one.
+    Measured NEUTRAL on v5e (module docstring) — kept because it is
+    never slower and removes the pattern-rate dependence."""
     xr_hbm, xi_hbm, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
     i = 4 + nc
@@ -139,22 +159,30 @@ def _stageA_kernel(*refs, r1: int, ct: int, nc: int, csteps: int,
     def issue_in(j, s, op):
         seg = jax.lax.div(j, jnp.int32(csteps))
         col = jax.lax.rem(j, jnp.int32(csteps))
+        if blocked_in:
+            # pre-blocked x [seg, csteps, n1, ct]: contiguous slab
+            src_r = xr_hbm.at[seg, col]
+            src_i = xi_hbm.at[seg, col]
+        else:
+            src_r = xr_hbm.at[seg, :, pl.ds(col * ct, ct)]
+            src_i = xi_hbm.at[seg, :, pl.ds(col * ct, ct)]
         getattr(pltpu.make_async_copy(
-            xr_hbm.at[seg, :, pl.ds(col * ct, ct)], slab_r.at[s],
-            sem_in.at[s, 0]), op)()
+            src_r, slab_r.at[s], sem_in.at[s, 0]), op)()
         getattr(pltpu.make_async_copy(
-            xi_hbm.at[seg, :, pl.ds(col * ct, ct)], slab_i.at[s],
-            sem_in.at[s, 1]), op)()
+            src_i, slab_i.at[s], sem_in.at[s, 1]), op)()
 
     def issue_out(j, s, op):
         seg = jax.lax.div(j, jnp.int32(csteps))
         col = jax.lax.rem(j, jnp.int32(csteps))
-        getattr(pltpu.make_async_copy(
-            out_r.at[s], dr_hbm.at[seg, pl.ds(col * ct, ct), :],
-            sem_out.at[s, 0]), op)()
-        getattr(pltpu.make_async_copy(
-            out_i.at[s], di_hbm.at[seg, pl.ds(col * ct, ct), :],
-            sem_out.at[s, 1]), op)()
+        for t in range(ktiles):          # static: one 64 KB tile each
+            getattr(pltpu.make_async_copy(
+                out_r.at[s, :, pl.ds(t * ct, ct)],
+                dr_hbm.at[seg, t, pl.ds(col * ct, ct), :],
+                sem_out.at[s, 0, t]), op)()
+            getattr(pltpu.make_async_copy(
+                out_i.at[s, :, pl.ds(t * ct, ct)],
+                di_hbm.at[seg, t, pl.ds(col * ct, ct), :],
+                sem_out.at[s, 1, t]), op)()
 
     @pl.when(g == 0)
     def _():
@@ -230,8 +258,8 @@ def _stageB_psd_kernel(*refs, r1: int, ct: int, nc: int, last: int,
     acc_out = refs[i]
     c2 = pl.program_id(0)
     s = pl.program_id(1)
-    xr = dr_ref[0].T                     # [N2, ct] -> [ct, N2]
-    xi = di_ref[0].T
+    xr = dr_ref[0, 0].T                  # [N2, ct] -> [ct, N2]
+    xi = di_ref[0, 0].T
     yp_r, yp_i = _FP._stage12(xr, xi, wr, wi, r1, ct)
     zs_r, zs_i = _FP._cmatmul(yp_r, yp_i, consts)
     n2 = r1 * _LANES
@@ -261,8 +289,8 @@ def _stageB_fft_kernel(*refs, r1: int, ct: int, nc: int):
     dr_ref, di_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
     yr_out, yi_out = refs[4 + nc:6 + nc]
-    xr = dr_ref[0].T
-    xi = di_ref[0].T
+    xr = dr_ref[0, 0].T
+    xi = di_ref[0, 0].T
     yp_r, yp_i = _FP._stage12(xr, xi, wr, wi, r1, ct)
     zs_r, zs_i = _FP._cmatmul(yp_r, yp_i, consts)
     n2 = r1 * _LANES
@@ -273,36 +301,49 @@ def _stageB_fft_kernel(*refs, r1: int, ct: int, nc: int):
 def _prep(re, im, n1: int, n2: int):
     re = jnp.asarray(re)
     im = jnp.asarray(im)
-    if im.shape != re.shape or re.ndim not in (2, 3):
-        raise ValueError("expected [segments, N] or [segments, n1, n2] "
-                         f"planar f32 pair, got {re.shape} / {im.shape}")
-    if re.shape[1:] not in ((n1 * n2,), (n1, n2)):
-        raise ValueError(f"segment shape {re.shape[1:]} matches neither "
-                         f"N = {n1 * n2} nor (n1, n2) = ({n1}, {n2})")
+    if im.shape != re.shape or re.ndim not in (2, 3, 4):
+        raise ValueError("expected [segments, N], [segments, n1, n2] "
+                         "or [segments, n2//ct, n1, ct] planar f32 "
+                         f"pair, got {re.shape} / {im.shape}")
+    blocked = re.ndim == 4
+    ok = ((n1 * n2,), (n1, n2), (n2 // _CT, n1, _CT))
+    if re.shape[1:] not in ok:
+        raise ValueError(f"segment shape {re.shape[1:]} matches none "
+                         f"of N = {n1 * n2}, (n1, n2) = ({n1}, {n2}), "
+                         f"blocked ({n2 // _CT}, {n1}, {_CT})")
     if not (_FP.supported(n1) and _FP.supported(n2)):
         raise ValueError(f"n1={n1}, n2={n2} must both be in "
                          "fft_pallas's supported set (256..2048)")
     if n2 % _CT:
         raise ValueError(f"n2={n2} must divide by the column tile {_CT}")
     b = re.shape[0]
+    if blocked:
+        # PRE-BLOCKED serving ingest [b, n2//ct, n1, ct] (x4[b, c, i,
+        # l] = x3[b, i, c*ct + l]): stage A's column-slab DMAs become
+        # fully contiguous reads — the producer-side half of the
+        # blocked contract (ROADMAP_r5 item 2).
+        return re.astype(jnp.float32), im.astype(jnp.float32), b, True
     # Prefer PRE-FACTORIZED [b, n1, n2] ingest: reshaping a [b, N]
     # array to [b, n1, n2] is an XLA RELAYOUT (different physical
     # tilings), measured ~0.7 ms hidden per 2^20 x 32 block.
     return (re.reshape(b, n1, n2).astype(jnp.float32),
-            im.reshape(b, n1, n2).astype(jnp.float32), b)
+            im.reshape(b, n1, n2).astype(jnp.float32), b, False)
 
 
 def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
-            emit_sums: bool = False):
+            emit_sums: bool = False, blocked_in: bool = False):
     r1 = n1 // _LANES
     csteps = n2 // _CT
+    ktiles = n1 // _CT
     windowed = window is not None
     demean = means is not None
     arrays, cspecs, nc = _const2(n1, r1, precision)
     vr, vi, ur, ui = _angle_tables(n1 * n2, n1, _CT, csteps)
     kernel = functools.partial(_stageA_kernel, r1=r1, ct=_CT, nc=nc,
-                               csteps=csteps, windowed=windowed,
-                               demean=demean, emit_sums=emit_sums)
+                               csteps=csteps, ktiles=ktiles,
+                               windowed=windowed, demean=demean,
+                               emit_sums=emit_sums,
+                               blocked_in=blocked_in)
     # 1-D grid g = segment*csteps + tile; the x planes and the D'
     # outputs stay in ANY memory and move through the kernel's manual
     # DMA rings (see the kernel docstring for the measured win).
@@ -332,7 +373,9 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(means, jnp.float32))
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
-    out_shape = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
+    # D' k1-tile-blocked: [seg, k1-tile, n2, ct] (see _stageA_kernel)
+    out_shape = [jax.ShapeDtypeStruct((b, ktiles, n2, _CT),
+                                      jnp.float32)] * 2
     if emit_sums:
         out_specs.append(pl.BlockSpec(
             (1, 1, 8, _LANES),
@@ -352,7 +395,7 @@ def _stageA(re3, im3, b, n1, n2, window, means, precision, interpret,
             pltpu.VMEM((2, _CT, n1), jnp.float32),
             pltpu.VMEM((2, _CT, n1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2, ktiles)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=b * n1 * n2 * (8 * _LANES + 8 * r1 + 16),
@@ -443,9 +486,10 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
             raise ValueError(
                 "window spectrum is not edge-sparse; pass means= "
                 "instead (see sparse_window_bins)")
-    re3, im3, b = _prep(re, im, n1, n2)
+    re3, im3, b, blocked_in = _prep(re, im, n1, n2)
     outs = _stageA(re3, im3, b, n1, n2, window, means, precision,
-                   interpret, emit_sums=sparse_demean)
+                   interpret, emit_sums=sparse_demean,
+                   blocked_in=blocked_in)
     if sparse_demean:
         dr, di, sums = outs
         inv_n = jnp.float32(1.0 / (n1 * n2))
@@ -458,7 +502,8 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
     kernel = functools.partial(_stageB_psd_kernel, r1=r1b, ct=_CT,
                                nc=nc, last=last,
                                sparse=sparse_demean)
-    in_spec = pl.BlockSpec((1, n2, _CT), lambda c, s: (s, 0, c),
+    # blocked D': block (s, c) is a fully CONTIGUOUS [n2, ct] slab
+    in_spec = pl.BlockSpec((1, 1, n2, _CT), lambda c, s: (s, c, 0, 0),
                            memory_space=pltpu.VMEM)
     in_specs = [in_spec, in_spec] + cspecs
     operands = [dr, di] + arrays
@@ -504,7 +549,12 @@ def welch_numerator(re, im, window, interpret: bool = False):
     """
     re = jnp.asarray(re)
     im = jnp.asarray(im)
-    if re.ndim == 3:
+    if re.ndim == 4:
+        # pre-blocked [segments, n2//ct, n1, ct] ingest (the blocked
+        # serving contract — contiguous stage-A slab reads).
+        fac = (int(re.shape[2]), int(re.shape[1]) * int(re.shape[3]))
+        axes = (1, 2, 3)
+    elif re.ndim == 3:
         # pre-factorized [segments, n1, n2] ingest — the serving
         # shape; avoids the ~0.7 ms [b, N] -> [b, n1, n2] relayout.
         # _prep is the single validation point for the factor pair.
@@ -533,14 +583,15 @@ def fft_big_pallas_planar(re, im, n1: int, n2: int,
     squared-accumulate (stage B writes spectra instead).
     """
     n1, n2 = int(n1), int(n2)
-    re3, im3, b = _prep(re, im, n1, n2)
+    re3, im3, b, blocked_in = _prep(re, im, n1, n2)
     dr, di = _stageA(re3, im3, b, n1, n2, None, None, precision,
-                     interpret)
+                     interpret, blocked_in=blocked_in)
     r1b = n2 // _LANES
     arrays, cspecs, nc = _const2(n2, r1b, precision)
     kernel = functools.partial(_stageB_fft_kernel, r1=r1b, ct=_CT,
                                nc=nc)
-    in_spec = pl.BlockSpec((1, n2, _CT), lambda s, c: (s, 0, c),
+    # blocked D' (see _stageA_kernel): contiguous [n2, ct] per block
+    in_spec = pl.BlockSpec((1, 1, n2, _CT), lambda s, c: (s, c, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, _CT, n2), lambda s, c: (s, c, 0),
                             memory_space=pltpu.VMEM)

@@ -75,7 +75,7 @@ def test_psd_big_no_window_no_demean():
 
 def test_validation_errors():
     z = np.zeros((1, 256 * 256), np.float32)
-    with pytest.raises(ValueError, match="matches neither"):
+    with pytest.raises(ValueError, match="matches none"):
         FB.psd_big_pallas_planar(z, z, 256, 512, interpret=True)
     with pytest.raises(ValueError, match="supported"):
         FB.fft_big_pallas_planar(
@@ -305,3 +305,46 @@ def test_welch_numerator_3d_ingest_matches_2d():
     # forms -> f32-rounding-level differences only
     scale = float(np.max(np.abs(a2)))
     np.testing.assert_allclose(a3, a2, atol=2e-5 * scale)
+
+
+def test_blocked_ingest_matches_planar():
+    """Pre-blocked x [B, n2//ct, n1, ct] (the contiguous-slab serving
+    contract, ROADMAP_r5 item 2) is bit-identical to the 3-D
+    pre-factorized ingest for both the PSD and FFT entries, and
+    welch_numerator routes the 4-D shape."""
+    rng = np.random.default_rng(7)
+    n1, n2 = 256, 256
+    ct = 128
+    B = 2
+    x = (rng.normal(size=(B, n1, n2)) + 1j * rng.normal(size=(B, n1, n2))
+         ).astype(np.complex64)
+    # x4[b, c, i, l] = x3[b, i, c*ct + l]
+    x4 = np.transpose(x.reshape(B, n1, n2 // ct, ct), (0, 2, 1, 3))
+    w = np.hanning(n1 * n2).astype(np.float32)
+    means = np.stack([x.real.mean((1, 2)), x.imag.mean((1, 2))], -1
+                     ).astype(np.float32)
+
+    want = FB.psd_big_pallas_planar(
+        x.real.copy(), x.imag.copy(), n1, n2, window=w, means=means,
+        interpret=True)
+    got = FB.psd_big_pallas_planar(
+        x4.real.copy(), x4.imag.copy(), n1, n2, window=w, means=means,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    wr, wi = FB.fft_big_pallas_planar(
+        x.real.copy(), x.imag.copy(), n1, n2, interpret=True)
+    gr, gi = FB.fft_big_pallas_planar(
+        x4.real.copy(), x4.imag.copy(), n1, n2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gr), np.asarray(wr))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+    # welch_numerator computes the per-segment means itself, and the
+    # 4-D reduction order differs from the 3-D one in the last ulp —
+    # tight allclose instead of bit-equality.
+    wn = FB.welch_numerator(x.real.copy(), x.imag.copy(), w,
+                            interpret=True)
+    gn = FB.welch_numerator(x4.real.copy(), x4.imag.copy(), w,
+                            interpret=True)
+    wn, gn = np.asarray(wn), np.asarray(gn)
+    assert np.max(np.abs(gn - wn)) < 1e-5 * wn.max()
