@@ -448,8 +448,12 @@ def psd_big_pallas_planar(re, im, n1: int, n2: int, window=None,
     """Sum over segments of |FFT_N((x - mean) * w)|^2, N = n1*n2.
 
     Args:
-      re, im: [segments, N] float32 planes, one N-point segment per
-        row (N = n1 * n2, both factors in fft_pallas's 256..2048 set).
+      re, im: float32 planes, one N-point segment per row
+        (N = n1 * n2, both factors in fft_pallas's 256..2048 set), in
+        any of three layouts: [segments, N], pre-factorized
+        [segments, n1, n2] (avoids the boundary relayout), or
+        pre-blocked [segments, n2//128, n1, 128] (the blocked serving
+        contract — fully contiguous stage-A slab reads).
       window: optional host [N] f32 window (applied per segment).
       means: optional [segments, 2] f32 per-segment (re, im) means,
         subtracted before windowing — Welch's demean convention; the
