@@ -120,6 +120,14 @@ def encode_block(arr: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------- decode
 
+# A network-facing decoder must FAIL CLOSED on adversarial payloads
+# (the reference's recv path deserializes straight off the socket,
+# zmq_node.rs:130-140): recursion is depth-bounded, every declared
+# length is capped against the bytes actually present BEFORE any
+# allocation, and all parse failures map to the CommError taxonomy.
+_MAX_DEPTH = 64
+
+
 class _Reader:
     __slots__ = ("buf", "pos")
 
@@ -133,6 +141,9 @@ class _Reader:
             raise CommError("truncated CBOR payload")
         self.pos += n
         return b
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
 
 
 def _read_len(r: _Reader, info: int) -> int:
@@ -149,7 +160,22 @@ def _read_len(r: _Reader, info: int) -> int:
     raise CommError(f"unsupported CBOR length info {info}")
 
 
-def _decode_item(r: _Reader) -> Any:
+def _read_count(r: _Reader, info: int, per_item: int) -> int:
+    """Declared element count, rejected up front if even minimal
+    encodings (``per_item`` bytes each) cannot fit in the remaining
+    buffer — a forged 2^64 length then fails in O(1), not at a 2^64
+    allocation."""
+    n = _read_len(r, info)
+    if n * per_item > r.remaining():
+        raise CommError(
+            f"CBOR declares {n} elements but only {r.remaining()} "
+            "bytes remain")
+    return n
+
+
+def _decode_item(r: _Reader, depth: int = 0) -> Any:
+    if depth > _MAX_DEPTH:
+        raise CommError(f"CBOR nesting exceeds {_MAX_DEPTH}")
     ib = r.take(1)[0]
     major, info = ib >> 5, ib & 0x1F
     if major == 0:
@@ -157,14 +183,20 @@ def _decode_item(r: _Reader) -> Any:
     if major == 1:
         return -1 - _read_len(r, info)
     if major == 2:  # byte string (a peer using serde_bytes)
-        return np.frombuffer(r.take(_read_len(r, info)), dtype=np.uint8)
+        return np.frombuffer(r.take(_read_count(r, info, 1)),
+                             dtype=np.uint8)
     if major == 3:
-        return r.take(_read_len(r, info)).decode("utf-8")
+        try:
+            return r.take(_read_count(r, info, 1)).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise CommError(f"invalid CBOR text: {e}") from None
     if major == 4:
-        return [_decode_item(r) for _ in range(_read_len(r, info))]
+        return [_decode_item(r, depth + 1)
+                for _ in range(_read_count(r, info, 1))]
     if major == 5:
-        return {_freeze(_decode_item(r)): _decode_item(r)
-                for _ in range(_read_len(r, info))}
+        return {_freeze(_decode_item(r, depth + 1)):
+                _decode_item(r, depth + 1)
+                for _ in range(_read_count(r, info, 2))}
     if major == 7:
         if info == 25:
             return _half_to_float(struct.unpack(">H", r.take(2))[0])
@@ -202,7 +234,21 @@ def decode_block(data: bytes, dtype=None) -> np.ndarray:
     """Decode one CBOR block.  Element shape picks the dtype:
     2-element arrays/maps -> ``complex64``, floats -> ``float32``,
     ints -> ``int32`` (pass ``dtype`` to override, e.g. ``np.int16``
-    for a ``Vec<i16>`` peer)."""
+    for a ``Vec<i16>`` peer).
+
+    Fails closed: any malformed, truncated, over-deep, or
+    length-forged payload raises :class:`CommError` (never a raw
+    Python-level error) — see the fuzz test in ``tests/test_aux.py``."""
+    try:
+        return _decode_block(data, dtype)
+    except CommError:
+        raise
+    except (ValueError, TypeError, OverflowError, MemoryError,
+            RecursionError, struct.error) as e:
+        raise CommError(f"malformed CBOR payload: {e!r}") from None
+
+
+def _decode_block(data: bytes, dtype=None) -> np.ndarray:
     # Fast path: definite array of [0x82 0xfa re 0xfa im] (Vec<Complex
     # <f32>> with finite values) — one structured view, no loop.
     r = _Reader(data)

