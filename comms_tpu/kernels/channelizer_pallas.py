@@ -60,6 +60,13 @@ _HALO = 8                      # f32 row-alignment quantum
 _ROWS = 128                    # input rows per grid step
 CTX_SAMPLES = _HALO * _LANES   # 1024 (>= T-1 for M <= 16, K <= 128)
 
+# Dev probe for the stage-split bound measurement (docs/PERF.md
+# channelizer section): "macs" replaces the branch-MAC stage with a
+# pass-through (same io, no MAC work), "dft" returns the MAC
+# accumulators without the K-point DFT matmul.  Output is WRONG under
+# any skip — bound probes only, never set in production.
+_SKIP = None
+
 
 def step_samples() -> int:
     return _ROWS * _LANES      # 16384 complex samples per step

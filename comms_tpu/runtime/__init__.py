@@ -24,4 +24,5 @@ from comms_tpu.runtime.block import (  # noqa: F401
 )
 from comms_tpu.runtime.graph import Graph, GraphNotConnectedError  # noqa: F401
 from comms_tpu.runtime.pipeline import Pipeline  # noqa: F401
-from comms_tpu.runtime.stream import StreamRunner  # noqa: F401
+from comms_tpu.runtime.stream import (  # noqa: F401
+    BatchedStreamRunner, StreamRunner)

@@ -29,15 +29,16 @@ State stays on device for the whole stream.
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional, Sequence
 
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from comms_tpu.runtime.metrics import ThroughputMeter
 
-__all__ = ["StreamRunner"]
+__all__ = ["StreamRunner", "BatchedStreamRunner"]
 
 
 def _start_host_copy(y) -> None:
@@ -113,3 +114,115 @@ class StreamRunner:
         while pending:
             self._drain(pending.popleft())
         return self.meter
+
+
+class BatchedStreamRunner(StreamRunner):
+    """Serve ``B`` independent streams with ONE device dispatch per
+    round: the per-stream step is lifted over a leading stream axis,
+    so one program launch (and one drain through the depth window)
+    carries ``B`` blocks.
+
+    Why this exists (measured, docs/PERF.md lesson 23): a program
+    launch on the tunneled v5e costs ~4 ms regardless of operand
+    size, serial with compute — a single stream served at realistic
+    per-client block sizes is launch-bound.  Batching B streams into
+    one dispatch amortizes that cost B ways; it is the pod-era
+    analogue of the reference running N independent flowgraphs as N
+    thread sets (``/root/reference/src/node/mod.rs:275-284``).
+
+    Per-stream state pytrees are stacked on the leading axis and stay
+    strictly independent — no cross-stream term exists in the lifted
+    program.  Two lift modes:
+
+    * ``mode="map"`` — ``lax.map`` over the stream axis: the loop
+      body is the SAME trace as the unbatched step, so outputs are
+      bit-identical to B separate runs (tested); stream steps run
+      back-to-back inside one program (right choice when each
+      stream's block already fills the chip, which is the serving
+      regime here).
+    * ``mode="vmap"`` — ``jax.vmap``: stream-parallel batched ops
+      (GEMM batching changes rounding at the ULP level; right choice
+      for many tiny streams).  Note: steps whose Pallas kernels take
+      ``memory_space=ANY`` operands (the fused FM chain, the
+      channelizer family) cannot be vmapped — Mosaic rejects batched
+      blocks there (measured on v5e) — use ``mode="map"``.
+
+    Args:
+      block_fn: per-stream step ``(state, x) -> (y, state)``.
+      states: length-B list of per-stream initial state pytrees.
+      sources: length-B list of per-stream block iterables (leaves
+        are stacked on the host each round), OR pass
+        ``batched_source`` — an iterable of pre-stacked ``[B, ...]``
+        pytrees — to skip host stacking (device-resident serving).
+      sinks: optional length-B list of per-stream callables; each
+        receives its own stream's output block (leading axis
+        sliced off).
+      samples_of: per-ROUND sample count of a *batched* block
+        (defaults to B * leading-leaf block length).
+      depth: in-flight rounds, as in :class:`StreamRunner`.
+    """
+
+    def __init__(self, block_fn: Callable, states: Sequence[Any],
+                 sources: Optional[Sequence[Iterable[Any]]] = None,
+                 sinks: Optional[Sequence[Callable[[Any], None]]] = None,
+                 meter: Optional[ThroughputMeter] = None,
+                 samples_of: Optional[Callable[[Any], int]] = None,
+                 depth: int = 1, mode: str = "map",
+                 batched_source: Optional[Iterable[Any]] = None):
+        B = len(states)
+        if B < 1:
+            raise ValueError("need at least one stream state")
+        if mode == "map":
+            def lifted(state, x):
+                return jax.lax.map(
+                    lambda p: block_fn(p[0], p[1]), (state, x))
+        elif mode == "vmap":
+            lifted = jax.vmap(block_fn)
+        else:
+            raise ValueError(f"mode must be 'map' or 'vmap', got {mode!r}")
+        state0 = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *states)
+
+        if batched_source is None:
+            if sources is None:
+                raise ValueError("pass sources or batched_source")
+            if len(sources) != B:
+                raise ValueError(
+                    f"{len(sources)} sources for {B} stream states")
+
+            def _stacked():
+                for xs in zip(*sources):
+                    yield jax.tree_util.tree_map(
+                        lambda *ls: np.stack(ls), *xs)
+            source: Iterable[Any] = _stacked()
+        else:
+            source = batched_source
+
+        sink = None
+        if sinks is not None:
+            if len(sinks) != B:
+                raise ValueError(
+                    f"{len(sinks)} sinks for {B} stream states")
+
+            def sink(y):
+                for b, s in enumerate(sinks):
+                    s(jax.tree_util.tree_map(lambda a: a[b], y))
+
+        if samples_of is None:
+            def samples_of(x):
+                return B * len(jax.tree_util.tree_leaves(x)[0][0])
+
+        super().__init__(jax.jit(lifted), state0, source, sink=sink,
+                         meter=meter, samples_of=samples_of, depth=depth)
+        self.num_streams = B
+
+    def _drain(self, y) -> None:
+        if self.sink is not None:
+            self.sink(jax.tree_util.tree_map(np.asarray, y))
+        else:
+            jax.block_until_ready(y)
+
+    def stream_states(self):
+        """Unstack the carried state back into B per-stream pytrees."""
+        return [jax.tree_util.tree_map(lambda a: a[b], self.state)
+                for b in range(self.num_streams)]
