@@ -1083,12 +1083,15 @@ def bench_serving_batched():
     from comms_tpu.models import fm_receiver, qpsk_rx, qpsk_rx_stream
     from comms_tpu.runtime import BatchedStreamRunner, StreamRunner
 
-    B, DEPTH, S, RUNS = 8, 16, 16, 3
+    B, DEPTH = 8, 16
 
     def _serve_pair(name, step, init_state, make_block, n_stream,
-                    mode):
+                    mode, S, RUNS=5):
         """Measure single-stream vs B-stream-batched serving of the
-        same step at the same per-stream block size; emit one row."""
+        same step at the same per-stream block size; emit one row.
+        ``S`` rounds per run sizes the timed region >= ~15x the sync
+        round trip (the suite's reproducibility rule); the row is the
+        median of ``RUNS`` runs with spread over the middle three."""
         # device-resident blocks: one per-stream block + its stacked
         # [B, ...] form (values irrelevant to throughput)
         xb = make_block()                       # batched [B, ...] pytree
@@ -1126,7 +1129,8 @@ def bench_serving_batched():
         batches = sorted(run_batched() for _ in range(RUNS))
         single = singles[RUNS // 2]
         agg = batches[RUNS // 2]
-        spread = (batches[-1] / batches[0] - 1.0) * 100.0
+        mid = batches[1:-1] if RUNS >= 5 else batches
+        spread = (mid[-1] / mid[0] - 1.0) * 100.0
         extra = {"spread_pct": round(spread, 1), "B": B, "depth": DEPTH,
                  "mode": mode,
                  "block_per_stream": n_stream,
@@ -1159,7 +1163,8 @@ def bench_serving_batched():
 
     _serve_pair("fm_receiver_serving_batched", fm_step,
                 fm_receiver.fused_init_state,
-                lambda: fm_gen(jax.random.PRNGKey(3)), n_fm, mode="map")
+                lambda: fm_gen(jax.random.PRNGKey(3)), n_fm,
+                mode="unroll", S=96)
 
     # ---- QPSK streaming receiver: 8 clients, 4.19M samples each
     # (32 symbol-kernel quanta); one dispatch then carries the same
@@ -1182,7 +1187,8 @@ def bench_serving_batched():
 
     _serve_pair("qpsk_rx_serving_batched", q_step,
                 lambda: qpsk_rx_stream.init_state_fast(qcfg),
-                lambda: q_gen(jax.random.PRNGKey(5)), n_q, mode="map")
+                lambda: q_gen(jax.random.PRNGKey(5)), n_q,
+                mode="unroll", S=24)
 
 
 def main():

@@ -11,7 +11,7 @@ Functional parity target: the reference's ``BatchFFT``
 (``/root/reference/src/fft/mod.rs:73-96``) at its node tolerance of
 per-bin error < 1e-5 (``src/fft/fft_node.rs:242-244``).
 
-Math (four-step / Bailey, N = R1 * 128, R1 in {2,4,8,16}):
+Math (four-step / Bailey, N = R1 * 128, R1 in {2,...,128}):
 write n = 128*a + b, k = R1*k2 + k1 (a,k1 in [0,R1), b,k2 in [0,128)):
 
   stage 1   Y[k1][r, b]  = sum_a x[r, 128a+b] * w_R1^(a*k1)   (VPU;
@@ -56,8 +56,16 @@ _LANES = 128
 
 
 def supported(n: int) -> bool:
-    """True when this kernel handles n-point FFTs."""
-    return n in (256, 512, 1024, 2048)
+    """True when this kernel handles n-point FFTs.
+
+    R1 = n/128 in {2..128}: stage 1 is the radix-2 DIT network over
+    R1 lane tiles (r1*log2(r1)/2 unrolled butterflies — the VPU cost
+    grows only logarithmically, which is what admits the round-5
+    extension to 4096..16384 for the wideband spectrum-monitoring
+    sizes, VERDICT r4 item 5); the upper limit is the row tile
+    rows_per_step(n) = 2^17/n, which must stay >= the 8-sublane f32
+    tile height — n = 16384 is the last size with t = 8."""
+    return n in (256, 512, 1024, 2048, 4096, 8192, 16384)
 
 
 def rows_per_step(n: int) -> int:
@@ -260,7 +268,7 @@ def fft_pallas_planar(re, im, n: int = 1024,
 
     Args:
       re, im: [rows, n] float32 planes (one FFT per row).
-      n: FFT size, in {256, 512, 1024, 2048}.
+      n: FFT size, a power of two in [256, 16384].
       precision: "split_bf16" (3 MXU passes per dot, parity ~1e-6) or
         "highest" (6 passes, parity ~2e-7) — both well inside the
         reference node tolerance of 1e-5 (fft_node.rs:242-244).
@@ -271,8 +279,8 @@ def fft_pallas_planar(re, im, n: int = 1024,
     """
     n = int(n)
     if not supported(n):
-        raise ValueError(f"fft_pallas supports n in 256/512/1024/2048, "
-                         f"got {n}")
+        raise ValueError(f"fft_pallas supports n in 256..16384 "
+                         f"(powers of two), got {n}")
     re = jnp.asarray(re)
     im = jnp.asarray(im)
     if re.ndim != 2 or re.shape[1] != n or im.shape != re.shape:
@@ -402,8 +410,8 @@ def psd_pallas_planar(re, im, window, n: int = 1024,
     """
     n = int(n)
     if not supported(n):
-        raise ValueError(f"psd_pallas supports n in 256/512/1024/2048, "
-                         f"got {n}")
+        raise ValueError(f"psd_pallas supports n in 256..16384 "
+                         f"(powers of two), got {n}")
     re = jnp.asarray(re)
     im = jnp.asarray(im)
     if re.ndim != 2 or re.shape[1] != n or im.shape != re.shape:
@@ -564,8 +572,8 @@ def psd_stream_pallas_planar(re, im, window, n: int = 1024,
     """
     n = int(n)
     if not supported(n):
-        raise ValueError(f"psd_stream supports n in 256/512/1024/2048, "
-                         f"got {n}")
+        raise ValueError(f"psd_stream supports n in 256..16384 "
+                         f"(powers of two), got {n}")
     re = jnp.asarray(re)
     im = jnp.asarray(im)
     t = rows_per_step(n)

@@ -116,6 +116,55 @@ class StreamRunner:
         return self.meter
 
 
+# Lifted-step cache: a fresh jax.jit per runner would make every
+# BatchedStreamRunner construction recompile the whole B-stream
+# program (measured ~2.6 s for 8 fused FM chains through the tunnel —
+# it silently dominated a 16-round serving run as ~170 ms/round until
+# instrumented).  Keyed weakly on the step so repeated runners over
+# the same step (the serving pattern) reuse one compiled program.
+_LIFT_CACHE: "weakref.WeakKeyDictionary" = None  # built lazily
+
+
+def _lifted_step(block_fn: Callable, B: int, mode: str) -> Callable:
+    global _LIFT_CACHE
+    import weakref
+
+    if _LIFT_CACHE is None:
+        _LIFT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per_fn = _LIFT_CACHE.setdefault(block_fn, {})
+    except TypeError:          # callable without weakref support
+        per_fn = None
+    key = (B, mode)
+    if per_fn is not None and key in per_fn:
+        return per_fn[key]
+
+    tm = jax.tree_util.tree_map
+    if mode == "unroll":
+        def lifted(state, x):
+            ys, sts = [], []
+            for b in range(B):
+                y, s2 = block_fn(tm(lambda a: a[b], state),
+                                 tm(lambda a: a[b], x))
+                ys.append(y)
+                sts.append(s2)
+            return (tm(lambda *ls: jnp.stack(ls), *ys),
+                    tm(lambda *ls: jnp.stack(ls), *sts))
+    elif mode == "map":
+        def lifted(state, x):
+            return jax.lax.map(
+                lambda p: block_fn(p[0], p[1]), (state, x))
+    elif mode == "vmap":
+        lifted = jax.vmap(block_fn)
+    else:
+        raise ValueError(
+            f"mode must be 'unroll', 'map' or 'vmap', got {mode!r}")
+    fn = jax.jit(lifted)
+    if per_fn is not None:
+        per_fn[key] = fn
+    return fn
+
+
 class BatchedStreamRunner(StreamRunner):
     """Serve ``B`` independent streams with ONE device dispatch per
     round: the per-stream step is lifted over a leading stream axis,
@@ -132,20 +181,30 @@ class BatchedStreamRunner(StreamRunner):
 
     Per-stream state pytrees are stacked on the leading axis and stay
     strictly independent — no cross-stream term exists in the lifted
-    program.  Two lift modes:
+    program.  Three lift modes:
 
-    * ``mode="map"`` — ``lax.map`` over the stream axis: the loop
-      body is the SAME trace as the unbatched step, so outputs are
-      bit-identical to B separate runs (tested); stream steps run
-      back-to-back inside one program (right choice when each
-      stream's block already fills the chip, which is the serving
-      regime here).
+    * ``mode="unroll"`` (default) — the per-stream step is traced B
+      times over sliced operands inside ONE program: each stream's
+      subgraph is the SAME trace as the unbatched step (outputs
+      bit-identical to B separate runs — tested on CPU and v5e,
+      including the fused Pallas FM chain), and XLA schedules the B
+      independent subgraphs concurrently.  This is the serving mode:
+      measured on the tunneled v5e it carries 8 fused-FM streams at
+      3.6 Gsps aggregate — 12-30x the launch-bound single-stream
+      rate at the same 1.6M-sample per-stream block (the single
+      stream pays the full ~4-8 ms launch per 22 us of compute).
+    * ``mode="map"`` — ``lax.map`` over the stream axis: same
+      bit-exactness, O(1) program size in B.  AVOID on the tunneled
+      runtime: the scan lowering measured ~16 ms per carried
+      iteration there (131 ms for an 8-stream round whose unrolled
+      form takes ~5 ms), so it is only the right choice when B is
+      large enough that the unrolled program blows up compile time.
     * ``mode="vmap"`` — ``jax.vmap``: stream-parallel batched ops
       (GEMM batching changes rounding at the ULP level; right choice
       for many tiny streams).  Note: steps whose Pallas kernels take
       ``memory_space=ANY`` operands (the fused FM chain, the
       channelizer family) cannot be vmapped — Mosaic rejects batched
-      blocks there (measured on v5e) — use ``mode="map"``.
+      blocks there (measured on v5e) — use ``mode="unroll"``.
 
     Args:
       block_fn: per-stream step ``(state, x) -> (y, state)``.
@@ -167,19 +226,11 @@ class BatchedStreamRunner(StreamRunner):
                  sinks: Optional[Sequence[Callable[[Any], None]]] = None,
                  meter: Optional[ThroughputMeter] = None,
                  samples_of: Optional[Callable[[Any], int]] = None,
-                 depth: int = 1, mode: str = "map",
+                 depth: int = 1, mode: str = "unroll",
                  batched_source: Optional[Iterable[Any]] = None):
         B = len(states)
         if B < 1:
             raise ValueError("need at least one stream state")
-        if mode == "map":
-            def lifted(state, x):
-                return jax.lax.map(
-                    lambda p: block_fn(p[0], p[1]), (state, x))
-        elif mode == "vmap":
-            lifted = jax.vmap(block_fn)
-        else:
-            raise ValueError(f"mode must be 'map' or 'vmap', got {mode!r}")
         state0 = jax.tree_util.tree_map(
             lambda *ls: jnp.stack(ls), *states)
 
@@ -212,8 +263,9 @@ class BatchedStreamRunner(StreamRunner):
             def samples_of(x):
                 return B * len(jax.tree_util.tree_leaves(x)[0][0])
 
-        super().__init__(jax.jit(lifted), state0, source, sink=sink,
-                         meter=meter, samples_of=samples_of, depth=depth)
+        super().__init__(_lifted_step(block_fn, B, mode), state0, source,
+                         sink=sink, meter=meter, samples_of=samples_of,
+                         depth=depth)
         self.num_streams = B
 
     def _drain(self, y) -> None:

@@ -19,7 +19,7 @@ def _rel(y, ref):
     return np.max(np.abs(y - ref)) / np.max(np.abs(ref))
 
 
-@pytest.mark.parametrize("n", [256, 512, 1024, 2048])
+@pytest.mark.parametrize("n", [256, 512, 1024, 2048, 4096, 16384])
 def test_fft_parity(n):
     rng = np.random.default_rng(0)
     rows = 5
@@ -216,3 +216,20 @@ def test_welch_psd_planar_matches_complex_entry():
         jnp.asarray(x.imag.astype(np.float32)), nperseg=n,
         interpret=True)
     assert _rel(np.asarray(p_got), np.asarray(p_ref)) < 1e-4
+
+
+def test_psd_accumulator_extended_size():
+    """Round-5 size extension (VERDICT r4 item 5): the PSD accumulator
+    at a wideband window size (4096) against the f64 oracle."""
+    rng = np.random.default_rng(12)
+    rows, n = 4, 4096
+    x = (rng.standard_normal((rows, n)) +
+         1j * rng.standard_normal((rows, n))).astype(np.complex64)
+    win = spectrum.hann(n)
+    acc = np.asarray(FP.psd_pallas_planar(
+        x.real.astype(np.float32), x.imag.astype(np.float32), win,
+        n=n, interpret=True))
+    xm = x.astype(np.complex128)
+    xm = xm - xm.mean(axis=1, keepdims=True)
+    ref = (np.abs(np.fft.fft(xm * win[None, :], axis=1)) ** 2).sum(axis=0)
+    assert _rel(acc, ref) < 1e-5

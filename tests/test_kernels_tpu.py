@@ -250,3 +250,60 @@ def test_qpsk_sym_kernel_compiled():
     best = qpsk_rx.resolve_ambiguity(cand, ref, search=1500, max_lag=16)
     (rot, lagr), errs, m = best
     assert m >= 2048 and errs == 0, best
+
+
+def test_fft_extended_sizes_compiled():
+    """Round-5 extension (VERDICT r4 item 5): the VMEM-resident FFT
+    kernel compiled at the wideband sizes 4096/8192/16384, per-bin
+    parity inside the reference node tolerance (fft_node.rs:242-244,
+    < 1e-5 relative)."""
+    from comms_tpu.kernels import fft_pallas as FP
+
+    rng = np.random.default_rng(7)
+    for n in (4096, 8192, 16384):
+        rows = FP.rows_per_step(n)
+        re = rng.normal(size=(rows, n)).astype(np.float32)
+        im = rng.normal(size=(rows, n)).astype(np.float32)
+        yr, yi = FP.fft_pallas_planar(jnp.asarray(re), jnp.asarray(im),
+                                      n=n)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.fft.fft((re + 1j * im).astype(np.complex128), axis=1)
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-5, (n, rel)
+
+
+def test_batched_serving_unroll_compiled():
+    """BatchedStreamRunner mode='unroll' over the fused Pallas FM
+    chain, compiled: bit-identical to sequential per-stream runs."""
+    from comms_tpu.models import fm_receiver
+    from comms_tpu.runtime.stream import BatchedStreamRunner
+
+    B, nblk = 3, 2
+    N = fm_receiver.FUSED_BLOCK_QUANTUM
+    cfg = fm_receiver.FmReceiverConfig(block=N)
+    fblk = fm_receiver.make_fused_block_fn(cfg)
+
+    def step(st, x):
+        return fblk(st, x[0], x[1])
+
+    rng = np.random.default_rng(8)
+    xs = rng.integers(0, 256, size=(B, nblk, 2, N), dtype=np.uint8)
+    want = []
+    for b in range(B):
+        st = fm_receiver.fused_init_state()
+        out = []
+        for k in range(nblk):
+            y, st = fblk(st, jnp.asarray(xs[b, k, 0]),
+                         jnp.asarray(xs[b, k, 1]))
+            out.append(np.asarray(y))
+        want.append(out)
+    sinks = [[] for _ in range(B)]
+    r = BatchedStreamRunner(
+        step, [fm_receiver.fused_init_state() for _ in range(B)],
+        sources=[[(xs[b, k, 0], xs[b, k, 1]) for k in range(nblk)]
+                 for b in range(B)],
+        sinks=[sinks[b].append for b in range(B)], mode="unroll")
+    r.run()
+    for b in range(B):
+        for k in range(nblk):
+            np.testing.assert_array_equal(sinks[b][k], want[b][k])

@@ -9,6 +9,7 @@ is operand-size-independent).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +36,11 @@ def _run_separately(blk, states, xs):
     return outs, finals
 
 
-def test_batched_fm_map_bitexact_vs_separate_runs():
-    """mode='map': the lifted body is the SAME trace as the unbatched
-    step — outputs and carried states are bit-identical to B separate
-    runs."""
+@pytest.mark.parametrize("mode", ["unroll", "map"])
+def test_batched_fm_bitexact_vs_separate_runs(mode):
+    """modes 'unroll'/'map': each stream's subgraph is the SAME trace
+    as the unbatched step — outputs and carried states are
+    bit-identical to B separate runs."""
     B, nblk = 3, 3
     cfg = fm_receiver.FmReceiverConfig(block=25 * 64)
     blk = fm_receiver.make_block_fn(cfg)
@@ -52,7 +54,7 @@ def test_batched_fm_map_bitexact_vs_separate_runs():
         blk, [fm_receiver.init_state(cfg) for _ in range(B)],
         sources=[list(xs[b]) for b in range(B)],
         sinks=[sinks_out[b].append for b in range(B)],
-        depth=2, mode="map")
+        depth=2, mode=mode)
     runner.run()
 
     for b in range(B):
@@ -164,7 +166,7 @@ def test_batched_qpsk_fast_matches_separate_and_decodes():
     runner = BatchedStreamRunner(
         wrapped, [qpsk_rx_stream.init_state_fast(cfg) for _ in range(Bs)],
         sources=srcs, sinks=[sinks_out[b].append for b in range(Bs)],
-        depth=2, mode="map")
+        depth=2, mode="unroll")
     runner.run()
 
     for s in range(Bs):
@@ -199,7 +201,7 @@ def test_batched_source_prestacked_and_default_sample_count():
 
     runner = BatchedStreamRunner(
         blk, [fm_receiver.init_state(cfg) for _ in range(B)],
-        batched_source=batched, mode="map")
+        batched_source=batched, mode="unroll")
     meter = runner.run()
     assert runner.blocks_done == nblk
     assert meter.samples == B * nblk * cfg.block
