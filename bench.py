@@ -835,6 +835,31 @@ def bench_kernels():
          {**ex_p, **_roof(best_p, 16 * per_pass, 5 * per_pass * 10, R_p,
                peak_tflops=_RUN_TFLOPS_BF16)})
 
+    # ---- round-5 extended kernel sizes (VERDICT r4 item 5): the same
+    # streaming plane-swap involution at the wideband spectrum-
+    # monitoring sizes the kernel now covers (4096/8192; 16384 is
+    # tested for parity but 8-row tiles leave no batch to amortize).
+    for nfft in (4096, 8192):
+        rowsn = per_pass // nfft          # same 16.8M-sample batch
+        rn = _device_pairs((rowsn, nfft), seed=26)
+        imn = _device_pairs((rowsn, nfft), seed=27)
+
+        def make_fft_planar_n(res, ims, nfft=nfft):
+            s = 1.0 / _math.sqrt(float(nfft))
+
+            def body(c):
+                re, im, acc = c
+                ur, ui = FFTP.fft_pallas_planar(im, re, nfft, scale=s)
+                return (ui, ur, acc + ur[0, 0] * jnp.float32(1e-30))
+            return (res, ims, _f32(0)), body
+
+        msps_n, best_n, R_n, ex_n = _measure_row(
+            make_fft_planar_n, (rn, imn), per_pass)
+        _row(f"kernel_fft{nfft}_pallas_throughput", msps_n / 1e6,
+             {**ex_n, **_roof(best_n, 16 * per_pass,
+                   5 * per_pass * int(np.log2(nfft)), R_n,
+                   peak_tflops=_RUN_TFLOPS_BF16)})
+
     # ---- Welch PSD pair (window+FFT+|.|^2+accumulate, 1024 bins, 50%
     # overlap): XLA formulation vs the fused Pallas accumulator, same
     # welch_psd entry point and sample count.

@@ -166,34 +166,40 @@ def _chan_compute(sr, si, c2, mats, M: int, k: int, mode: str):
     # (The per-term _advance form ran ~6 VPU ops/term/sample and was
     # the kernel's measured bottleneck at M=16.)
     rows = _ROWS
-    groups: dict = {}
-    for kk in range(1, M + 1):
-        delta = _HALO * _LANES + 1 - k * kk
-        q, rem = divmod(delta, _LANES)
-        groups.setdefault(rem, []).append((kk, q))
-    vr = None
-    vi = None
-    for rem, terms in groups.items():
-        if rem == 0:
-            rolled_r, rolled_i = sr, si
-        else:
-            lanes = jax.lax.broadcasted_iota(
-                jnp.int32, (rows + _HALO, _LANES), 1)
-            mask = lanes < _LANES - rem
+    if _SKIP == "macs":            # bound probe: same io, no MAC work
+        vr = sr[_HALO:_HALO + rows, :]
+        vi = si[_HALO:_HALO + rows, :]
+    else:
+        groups: dict = {}
+        for kk in range(1, M + 1):
+            delta = _HALO * _LANES + 1 - k * kk
+            q, rem = divmod(delta, _LANES)
+            groups.setdefault(rem, []).append((kk, q))
+        vr = None
+        vi = None
+        for rem, terms in groups.items():
+            if rem == 0:
+                rolled_r, rolled_i = sr, si
+            else:
+                lanes = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows + _HALO, _LANES), 1)
+                mask = lanes < _LANES - rem
 
-            def rolled(slab):
-                a = pltpu.roll(slab, _LANES - rem, 1)
-                b = pltpu.roll(a, rows + _HALO - 1, 0)
-                return jnp.where(mask, a, b)
+                def rolled(slab):
+                    a = pltpu.roll(slab, _LANES - rem, 1)
+                    b = pltpu.roll(a, rows + _HALO - 1, 0)
+                    return jnp.where(mask, a, b)
 
-            rolled_r = rolled(sr)
-            rolled_i = rolled(si)
-        for kk, q in terms:
-            ck = c2[kk - 1:kk, :]
-            t_r = ck * rolled_r[q:q + rows, :]
-            t_i = ck * rolled_i[q:q + rows, :]
-            vr = t_r if vr is None else vr + t_r
-            vi = t_i if vi is None else vi + t_i
+                rolled_r = rolled(sr)
+                rolled_i = rolled(si)
+            for kk, q in terms:
+                ck = c2[kk - 1:kk, :]
+                t_r = ck * rolled_r[q:q + rows, :]
+                t_i = ck * rolled_i[q:q + rows, :]
+                vr = t_r if vr is None else vr + t_r
+                vi = t_i if vi is None else vi + t_i
+    if _SKIP == "dft":             # bound probe: MACs without the DFT
+        return vr, vi
 
     # ---- per-frame 64-point DFT via the block-diagonal matmul,
     # 3-matmul (Karatsuba) complex product:

@@ -62,9 +62,10 @@ def supported(n: int) -> bool:
     R1 lane tiles (r1*log2(r1)/2 unrolled butterflies — the VPU cost
     grows only logarithmically, which is what admits the round-5
     extension to 4096..16384 for the wideband spectrum-monitoring
-    sizes, VERDICT r4 item 5); the upper limit is the row tile
-    rows_per_step(n) = 2^17/n, which must stay >= the 8-sublane f32
-    tile height — n = 16384 is the last size with t = 8."""
+    sizes, VERDICT r4 item 5); the upper limit is the natural-order
+    unshuffle, whose per-size Mosaic-supported form is documented in
+    :func:`_nat_rows_per_step` / :func:`_unshuffle` — n = 16384
+    (R1 = 128, the per-bin-column form) is the last size covered."""
     return n in (256, 512, 1024, 2048, 4096, 8192, 16384)
 
 
@@ -231,16 +232,64 @@ def _cmatmul(yp_r, yp_i, consts):
     return p1 - p2, p3 - p1 - p2
 
 
+def _nat_rows_per_step(n: int) -> int:
+    """Row tile of the NATURAL-ORDER kernel.  The unshuffle dictates
+    it (measured Mosaic support boundaries, round 5):
+
+    * n <= 1024: the direct ``zs.T.reshape(n, t).T`` needs the
+      reshape's result minor (t = 2^17/n >= 128) at lane width —
+      the original measured-optimal tiling.
+    * 2048..8192: that reshape is an unsupported shape cast (so the
+      n = 2048 natural path NEVER compiled before round 5 — latent);
+      the transpose-chain unshuffle below requires t = 128 exactly.
+    * 16384: t = 128 tiles overflow VMEM; the per-bin-column chain
+      at t = 8 (w = 128/r1 = 1) compiles and is exact.
+    """
+    if n <= 1024:
+        return rows_per_step(n)
+    if n <= 8192:
+        return 128
+    return 8
+
+
+def _unshuffle(zs, r1: int, t: int):
+    """Natural-order unshuffle out[r, r1*k2 + k1] = zs[t*k1 + r, k2],
+    built ONLY from Mosaic-supported layout ops (probed on v5e):
+    pure 2-D transposes, row splits/merges, minor splits/merges at
+    128 lanes, and swapaxes(0,1) with an untouched minor.  The naive
+    ``zs.T.reshape(n, t).T`` form is an unsupported shape cast for
+    every n > 1024."""
+    n = r1 * _LANES
+    if n <= 1024:
+        return zs.T.reshape(n, t).T
+    if n <= 8192:
+        # t = 128: lanes of zs.T are 128*k1 + r, so the minor split
+        # is exactly (k1, r); the row-merge of (k2, k1) is the
+        # natural bin index r1*k2 + k1, and the final transpose puts
+        # r back on rows.  Exact (pure data movement).
+        assert t == _LANES
+        return zs.T.reshape(_LANES, r1, _LANES).reshape(
+            _LANES * r1, _LANES).T
+    # n = 16384 (r1 = 128, t = 8): natural chunk a of the output is
+    # bin column k2 = a spread over all k1 — a single zs column
+    # reshaped (k1-major row split, swapaxes, merge).  Exact.
+    assert r1 == _LANES
+    chunks = []
+    for a in range(r1):
+        col = zs[:, a:a + 1]                       # [r1*t, 1]
+        chunks.append(col.reshape(r1, t, 1).swapaxes(0, 1)
+                      .reshape(t, _LANES))
+    return jnp.concatenate(chunks, axis=1)
+
+
 def _fft_kernel(*refs, r1: int, t: int, nc: int):
     xr_ref, xi_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
     yr_out, yi_out = refs[4 + nc:6 + nc]
-    n = r1 * _LANES
     yp_r, yp_i = _stage12(xr_ref[:], xi_ref[:], wr, wi, r1, t)
     zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
-    # Natural-order unshuffle: out[r, r1*k2 + k1] = zs[t*k1 + r, k2].
-    yr_out[:] = zs_r.T.reshape(n, t).T
-    yi_out[:] = zs_i.T.reshape(n, t).T
+    yr_out[:] = _unshuffle(zs_r, r1, t)
+    yi_out[:] = _unshuffle(zs_i, r1, t)
 
 
 def _const_arrays(n: int, r1: int, precision: str, scale: float = 1.0):
@@ -287,7 +336,7 @@ def fft_pallas_planar(re, im, n: int = 1024,
         raise ValueError(f"expected planar [rows, {n}] f32 pair, got "
                          f"{re.shape} / {im.shape}")
     rows = re.shape[0]
-    t = rows_per_step(n)
+    t = _nat_rows_per_step(n)
     r1 = n // _LANES
     pad = (-rows) % t
     if pad:
@@ -300,6 +349,14 @@ def fft_pallas_planar(re, im, n: int = 1024,
     kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc)
     row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
+    extra = {}
+    if n >= 4096:
+        # t = 128 tiles hold yp + zs + Karatsuba partials at [r1*t,
+        # 128] f32 each — past Mosaic's default scoped-VMEM window.
+        # 32 MB compiles and runs correct at n = 4096 on v5e
+        # (measured); 8192 gets the next step up.
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=(64 if n >= 8192 else 32) * 1024 * 1024)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(steps,),
@@ -322,6 +379,7 @@ def fft_pallas_planar(re, im, n: int = 1024,
             transcendentals=0,
         ),
         interpret=interpret,
+        **extra,
     )(re, im, *arrays)
     if pad:
         yr = yr[:rows]
