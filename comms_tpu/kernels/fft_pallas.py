@@ -252,7 +252,7 @@ def _nat_rows_per_step(n: int) -> int:
     return 8
 
 
-def _unshuffle(zs, r1: int, t: int):
+def _unshuffle(zs, r1: int, t: int, pmat=None):
     """Natural-order unshuffle out[r, r1*k2 + k1] = zs[t*k1 + r, k2],
     built ONLY from Mosaic-supported layout ops (probed on v5e):
     pure 2-D transposes, row splits/merges, minor splits/merges at
@@ -272,24 +272,31 @@ def _unshuffle(zs, r1: int, t: int):
             _LANES * r1, _LANES).T
     # n = 16384 (r1 = 128, t = 8): natural chunk a of the output is
     # bin column k2 = a spread over all k1 — a single zs column
-    # reshaped (k1-major row split, swapaxes, merge).  Exact.
-    assert r1 == _LANES
+    # reshaped (k1-major row split, swapaxes, merge).  The trailing
+    # identity matmul is load-bearing: without it Mosaic's layout
+    # inference rejects the merge's result layout (probed on v5e);
+    # with HIGHEST precision it is exact (each output is one f32
+    # input element times 1.0).
+    assert r1 == _LANES and pmat is not None
     chunks = []
     for a in range(r1):
         col = zs[:, a:a + 1]                       # [r1*t, 1]
-        chunks.append(col.reshape(r1, t, 1).swapaxes(0, 1)
-                      .reshape(t, _LANES))
+        d2 = col.reshape(r1, t, 1).swapaxes(0, 1).reshape(t, _LANES)
+        chunks.append(jnp.dot(d2, pmat,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
     return jnp.concatenate(chunks, axis=1)
 
 
-def _fft_kernel(*refs, r1: int, t: int, nc: int):
+def _fft_kernel(*refs, r1: int, t: int, nc: int, nperm: int = 0):
     xr_ref, xi_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
-    yr_out, yi_out = refs[4 + nc:6 + nc]
+    pmat = refs[4 + nc][:] if nperm else None
+    yr_out, yi_out = refs[4 + nc + nperm:6 + nc + nperm]
     yp_r, yp_i = _stage12(xr_ref[:], xi_ref[:], wr, wi, r1, t)
     zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
-    yr_out[:] = _unshuffle(zs_r, r1, t)
-    yi_out[:] = _unshuffle(zs_i, r1, t)
+    yr_out[:] = _unshuffle(zs_r, r1, t, pmat)
+    yi_out[:] = _unshuffle(zs_i, r1, t, pmat)
 
 
 def _const_arrays(n: int, r1: int, precision: str, scale: float = 1.0):
@@ -346,7 +353,15 @@ def fft_pallas_planar(re, im, n: int = 1024,
     steps = (rows + pad) // t
 
     arrays, cspecs, nc = _const_arrays(n, r1, precision, scale=scale)
-    kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc)
+    nperm = 0
+    if n > 8192:                 # 16384 unshuffle identity (see there)
+        arrays = arrays + [jnp.asarray(np.eye(_LANES, dtype=np.float32))]
+        cspecs = cspecs + [pl.BlockSpec((_LANES, _LANES),
+                                        lambda g: (0, 0),
+                                        memory_space=pltpu.VMEM)]
+        nperm = 1
+    kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc,
+                               nperm=nperm)
     row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     extra = {}

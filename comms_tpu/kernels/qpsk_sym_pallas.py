@@ -106,9 +106,26 @@ def _bands(flat):
     return flat_e[jnp.asarray(ia)], flat_e[jnp.asarray(ib)]
 
 
-def _make_kernel(steps: int, precision):
-    def _kernel(xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
-                base, consts, sr_out, si_out, slab_re, slab_im, sem):
+def _make_kernel(steps: int, precision, panels_hw: int = 0,
+                 block_n: int = 0):
+    """``panels_hw > 0`` additionally accumulates the raw correlation
+    panels of ``demodulation.TimingEstimator.corr_panels`` (same
+    zero-pad semantics) into two extra [256, 256] outputs — the fused
+    stream-step form (VERDICT r4 item 2): symbol GEMM and panels in
+    ONE pass over the planes, so the receiver's two full-rate stages
+    share a single kernel and each input row is read from HBM once."""
+    do_panels = panels_hw > 0
+    if do_panels and not (0 < panels_hw <= 64):
+        raise ValueError(f"panels_hw must be in (0, 64], got {panels_hw}")
+
+    def _kernel(*refs):
+        if do_panels:
+            (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
+             base, consts, sr_out, si_out, p13_out, p24_out,
+             slab_re, slab_im, sem) = refs
+        else:
+            (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
+             base, consts, sr_out, si_out, slab_re, slab_im, sem) = refs
         g = pl.program_id(0)
         n = pl.num_programs(0)
         slot = lax.rem(g, jnp.int32(2))
@@ -170,6 +187,65 @@ def _make_kernel(steps: int, precision):
             def _():
                 issue_look(g + 1, 1 - slot, "start")
 
+        if do_panels:
+            hw = panels_hw
+            RV = 4 * _R                 # 128-lane V rows per step
+            nb = (_R + 2) * 4           # 128-lane rows of the B view
+
+            def prep(slab):
+                # B: slab as 128-lane rows from one 512-row BEFORE the
+                # step (the backward halo row), flat-shifted left by
+                # hw: RB[rr, j] = flat[128*(rr-4) + j - hw].  Both
+                # window pieces are then plain row slices of RB
+                # (their offsets -hw and -hw+128 share one lane
+                # remainder — the channelizer's hoisted-roll trick).
+                B = slab[slot, _HB - 1:_HB + _R + 1, :].reshape(
+                    nb, _LANES)
+                A = pltpu.roll(B, hw, 1)
+                Ar = pltpu.roll(A, 1, 0)
+                lanes2 = lax.broadcasted_iota(jnp.int32, (nb, _LANES), 1)
+                return jnp.where(lanes2 >= hw, A, Ar)
+
+            RBr = prep(slab_re)
+            RBi = prep(slab_im)
+            rows_v = lax.broadcasted_iota(jnp.int32, (RV, _LANES), 0)
+            lanes_v = lax.broadcasted_iota(jnp.int32, (RV, _LANES), 1)
+            sidx = (g * jnp.int32(IN_PER_STEP)
+                    + _LANES * rows_v + lanes_v)
+            # V rows zero-padded past K = N - hw; W left-pad (idx < 0)
+            # zeroed — exactly corr_panels' pad semantics (the slab's
+            # backward row holds the SYMBOL context, which the
+            # standalone panels must not see).
+            vmask = (sidx < jnp.int32(block_n - hw)).astype(jnp.float32)
+            wmask0 = (sidx - jnp.int32(hw) >= 0).astype(jnp.float32)
+            Vr = slab_re[slot, _HB:_HB + _R, :].reshape(RV, _LANES)
+            Vi = slab_im[slot, _HB:_HB + _R, :].reshape(RV, _LANES)
+            V2 = jnp.concatenate([Vr * vmask, Vi * vmask], axis=1)
+            V2t = V2.T                  # [256, RV]
+            parts13, parts24 = [], []
+            for p in (0, 1):
+                Wr = RBr[4 + p:4 + p + RV, :]
+                Wi = RBi[4 + p:4 + p + RV, :]
+                if p == 0:
+                    Wr = Wr * wmask0
+                    Wi = Wi * wmask0
+                parts13.append(jnp.dot(
+                    V2t, Wr, preferred_element_type=jnp.float32,
+                    precision=precision))
+                parts24.append(jnp.dot(
+                    V2t, Wi, preferred_element_type=jnp.float32,
+                    precision=precision))
+            part13 = jnp.concatenate(parts13, axis=1)   # [256, 256]
+            part24 = jnp.concatenate(parts24, axis=1)
+
+            @pl.when(g == 0)
+            def _():
+                p13_out[:] = jnp.zeros_like(p13_out)
+                p24_out[:] = jnp.zeros_like(p24_out)
+
+            p13_out[:] += part13
+            p24_out[:] += part24
+
         def dots(sa, sb, ba, bb):
             return (jnp.dot(sa, ba, preferred_element_type=jnp.float32,
                             precision=precision)
@@ -230,7 +306,8 @@ def _make_kernel(steps: int, precision):
 
 
 def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
-                     precision=None, interpret: bool = False):
+                     precision=None, interpret: bool = False,
+                     panels_hw: int = 0):
     """Fused symbol path on planar f32 IQ.
 
     Args:
@@ -241,6 +318,12 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
       phase0: carried absolute phase at the block start.
       ctx: optional (ctx_re, ctx_im) carried raw tails, MD-1 samples.
       precision: MXU precision for the band dots.
+      panels_hw: if > 0 (and <= 64), ALSO accumulate the raw
+        correlation panels at this halfwidth in the same pass — the
+        fused stream-step form: block k's symbols (carried estimates)
+        and block k's panels (estimates for block k+1) from one HBM
+        read.  Returns ``(sr, si, panels)`` where ``panels`` is the
+        ``TimingEstimator.corr_panels`` tuple (P1, P2, P3, P4, meta).
 
     Returns ``(sr, si)`` [N/4] f32 symbol planes — identical contract
     to ``qpsk_rx._fused_symbol_gemm`` (the artifact frame already
@@ -281,8 +364,23 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
                         w128, wsm])
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sr, si = pl.pallas_call(
-        _make_kernel(steps, precision),
+    sym_spec = pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [sym_spec, sym_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+    ]
+    if panels_hw:
+        pan_spec = pl.BlockSpec((2 * _LANES, 2 * _LANES),
+                                lambda g: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs += [pan_spec, pan_spec]
+        out_shape += [jax.ShapeDtypeStruct((2 * _LANES, 2 * _LANES),
+                                           jnp.float32)] * 2
+    outs = pl.pallas_call(
+        _make_kernel(steps, precision, panels_hw=int(panels_hw),
+                     block_n=n),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # re rows (HBM)
@@ -292,23 +390,16 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # base [steps]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # consts [4]
         ],
-        out_specs=[
-            pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
             pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 4 * steps * _R * _LANES * (_LANES + _ROWW),
+            flops=(2 * 4 * steps * _R * _LANES * (_LANES + _ROWW)
+                   + (16 * n * _LANES if panels_hw else 0)),
             bytes_accessed=2 * 4 * n + 2 * n,
             transcendentals=n // 2,
         ),
@@ -319,4 +410,19 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
         ba_r, bb_r, ba_i, bb_i,
         base, consts,
     )
-    return sr.reshape(-1), si.reshape(-1)
+    if not panels_hw:
+        sr, si = outs
+        return sr.reshape(-1), si.reshape(-1)
+    sr, si, p13, p24 = outs
+    hw = int(panels_hw)
+    width = _LANES + 2 * hw
+    P1 = p13[:_LANES, :width]
+    P3 = p13[_LANES:, :width]
+    P2 = -p24[:_LANES, :width]
+    P4 = -p24[_LANES:, :width]
+    K = n - hw
+    meta = {"nd": hw, "K": K, "Kp": _LANES * (-(-K // _LANES)),
+            "R": -(-K // _LANES), "width": width, "fdt": jnp.float32,
+            "prec": precision}
+    return (sr.reshape(-1), si.reshape(-1),
+            (P1, P2, P3, P4, meta))

@@ -319,6 +319,25 @@ def _estimates_from_panels(cfg: QpskRxConfig, panels):
     return f_est, t_est, lag, shift, p_star
 
 
+def modulated_taps(cfg: QpskRxConfig, w, lag, shift2):
+    """The fused symbol GEMM's traced complex tap planes:
+    conv(matched filter, cubic Lagrange at the estimated offset)
+    modulated by ``e^{j*w*t}``.  Tiny panel-sized ops only — shared
+    by the one-shot core and the fused stream step."""
+    sps = cfg.sps
+    t0 = shift2 + sps
+    tt = jnp.arange(3 * sps)
+    flat12 = jnp.where((tt >= t0) & (tt < t0 + 4),
+                       lag[jnp.clip(tt - t0, 0, 3)], 0.0)
+    flat_full = jnp.convolve(flat12, jnp.asarray(cfg.mf_taps))
+    md = int(flat_full.shape[0])
+    pad_to = -(-md // sps) * sps
+    flat = jnp.concatenate(
+        [flat_full, jnp.zeros(pad_to - md, flat_full.dtype)])
+    tvec = jnp.arange(pad_to, dtype=jnp.float32)
+    return flat * jnp.cos(w * tvec), flat * jnp.sin(w * tvec)
+
+
 def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
                        ctx=None, phase0=0.0):
     """The fused symbol path: ONE traced decimating GEMM ON THE RAW
@@ -344,19 +363,9 @@ def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
     head + symbol-rate de-rotation) runs as ONE fused Pallas kernel
     that reads each raw plane from HBM once (measured 3.1 -> ~1 ms
     at 33.5M samples on v5e); otherwise the XLA formulation below."""
+    fr, fi = modulated_taps(cfg, w, lag, shift2)
+    pad_to = int(fr.shape[0])
     sps = cfg.sps
-    t0 = shift2 + sps
-    tt = jnp.arange(3 * sps)
-    flat12 = jnp.where((tt >= t0) & (tt < t0 + 4),
-                       lag[jnp.clip(tt - t0, 0, 3)], 0.0)
-    flat_full = jnp.convolve(flat12, jnp.asarray(cfg.mf_taps))
-    md = int(flat_full.shape[0])
-    pad_to = -(-md // sps) * sps
-    flat = jnp.concatenate(
-        [flat_full, jnp.zeros(pad_to - md, flat_full.dtype)])
-    tvec = jnp.arange(pad_to, dtype=jnp.float32)
-    fr = flat * jnp.cos(w * tvec)
-    fi = flat * jnp.sin(w * tvec)
 
     from comms_tpu.kernels import qpsk_sym_pallas as _QS
     use_k = cfg.use_pallas_sym

@@ -44,6 +44,7 @@ from comms_tpu.ops import demodulation, fir, taps
 
 __all__ = ["QpskRxStreamConfig", "make_stream_fn", "init_state",
            "make_stream_fast_fn", "init_state_fast",
+           "make_stream_fused_fn",
            "make_stream_split_fns", "make_split_serving_step"]
 
 _TWO_PI = 2.0 * np.pi
@@ -274,6 +275,72 @@ def make_stream_fast_fn(cfg=None):
                                2 * cfg.sps - 4),
             "fphase": fphase,
             "pfine": p_eff,
+            "warm": jnp.ones((), jnp.float32),
+        }
+        return sym_planes, new_state
+
+    return step
+
+
+def make_stream_fused_fn(cfg=None, interpret=None):
+    """SINGLE-KERNEL streaming receiver (VERDICT r4 item 2): the
+    symbol GEMM and the correlation panels run in ONE Pallas pass
+    over the raw planes (``qpsk_sym_pallas.qpsk_symbol_gemm(...,
+    panels_hw=...)``), so the receiver's two full-rate stages share
+    one kernel, each input plane is read from HBM once (the separate
+    XLA panel GEMMs read it again), and no XLA scheduling boundary
+    exists between them — the residual docs/PERF.md charges to
+    co-residency of the two stages in one program.
+
+    Semantics are IDENTICAL to :func:`make_stream_fast_fn` (estimate
+    pipelining: block k's symbols use block k-1's estimates; block
+    k's panels feed block k+1) — the only XLA-side work is the
+    panel-sized estimate chain, which gates nothing full-rate.
+    State pytree and outputs interchange with the fast path
+    mid-stream.  Requires sps=4, block % IN_PER_STEP == 0, and
+    panel halfwidth <= 64 (the default config: 51)."""
+    from comms_tpu.kernels import qpsk_sym_pallas as _QS
+    from comms_tpu.models import qpsk_rx as _rx
+
+    cfg = cfg if cfg is not None else _rx.QpskRxConfig()
+    if cfg.sps != _QS.SPS:
+        raise ValueError(f"fused stream step needs sps={_QS.SPS}")
+    if not (0 < cfg.panel_hw <= 64):
+        raise ValueError(f"panel halfwidth {cfg.panel_hw} outside the "
+                         f"kernel's (0, 64] bound")
+    C = _rx.fused_gemm_ctx_len(cfg)
+    sps = cfg.sps
+
+    @jax.jit
+    def step(state, re, im):
+        n = re.shape[0]
+        itp = (jax.default_backend() != "tpu" if interpret is None
+               else interpret)
+        fr, fi = _rx.modulated_taps(cfg, state["omega"], state["lag"],
+                                    state["shift2"])
+        sr, si, panels = _QS.qpsk_symbol_gemm(
+            re, im, fr, fi, state["omega"] * jnp.float32(sps),
+            phase0=state["theta"],
+            ctx=(state["ctx_re"], state["ctx_im"]),
+            precision=cfg.gemm_precision, interpret=itp,
+            panels_hw=cfg.panel_hw)
+        sym_planes, dtail = _rx._symbol_tail(
+            sr, si, fphase=state["fphase"], pfine=state["pfine"],
+            warm=state["warm"])
+
+        f_b, _t_b, lag_b, shift_b, p_sym = _rx._estimates_from_panels(
+            cfg, panels)
+        new_state = {
+            "ctx_re": re[-C:],
+            "ctx_im": im[-C:],
+            "omega": f_b,
+            "theta": jnp.mod(state["theta"] + state["omega"] * n,
+                             jnp.float32(2.0 * np.pi)),
+            "lag": lag_b,
+            "shift2": jnp.clip(shift_b - p_sym, -cfg.sps,
+                               2 * cfg.sps - 4),
+            "fphase": dtail["fphase_next"],
+            "pfine": dtail["phase"],
             "warm": jnp.ones((), jnp.float32),
         }
         return sym_planes, new_state

@@ -247,3 +247,69 @@ def test_split_serving_step_through_streamrunner():
     for b, (w, g) in enumerate(zip(want, got)):
         np.testing.assert_allclose(g, w, atol=1e-5, rtol=1e-5,
                                    err_msg=f"block {b}")
+
+
+def test_stream_fused_matches_fast():
+    """The single-kernel fused stream step (symbol GEMM + panels in
+    one Pallas pass, VERDICT r4 item 2) is the SAME computation as
+    make_stream_fast_fn: same state evolution, same symbols, on a
+    real waveform with CFO."""
+    from comms_tpu.models import qpsk_rx
+
+    xc, bits = _fused_stream_signal()
+    cfg = qpsk_rx.QpskRxConfig()
+    fast = qpsk_rx_stream.make_stream_fast_fn(cfg)
+    fused = qpsk_rx_stream.make_stream_fused_fn(cfg)
+    st_a = qpsk_rx_stream.init_state_fast(cfg)
+    st_b = qpsk_rx_stream.init_state_fast(cfg)
+
+    from comms_tpu.kernels import qpsk_sym_pallas as QS
+
+    B = QS.IN_PER_STEP
+    nblk = (len(xc) // B)
+    assert nblk >= 2
+    outs = []
+    for b in range(nblk):
+        seg = xc[b * B:(b + 1) * B]
+        re = jnp.asarray(seg.real.astype(np.float32))
+        im = jnp.asarray(seg.imag.astype(np.float32))
+        y_a, st_a = fast(st_a, re, im)
+        y_b, st_b = fused(st_b, re, im)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a),
+                                   atol=2e-3, rtol=2e-3,
+                                   err_msg=f"block {b}")
+        outs.append(np.asarray(y_b))
+        for k in st_a:
+            np.testing.assert_allclose(
+                np.asarray(st_b[k]), np.asarray(st_a[k]),
+                atol=1e-3, rtol=1e-3, err_msg=f"state {k} (block {b})")
+
+    # end-to-end: the fused stream decodes with zero bit errors after
+    # the warm-up block
+    from comms_tpu.models.qpsk_rx import resolve_ambiguity
+
+    M = B // cfg.sps
+    sym_all = np.concatenate(outs[1:], axis=1)
+    margin = 32
+    ref = bits[2 * (M + margin - 8):]
+    (rot, lag), errs, m = resolve_ambiguity(sym_all[:, margin:], ref,
+                                            search=1500, max_lag=16)
+    assert m >= 2048 and errs == 0, (rot, lag, errs, m)
+
+
+def _fused_stream_signal():
+    """A continuous qpsk_tx waveform long enough for >= 2 kernel-sized
+    blocks (IN_PER_STEP samples each), with CFO + phase offset."""
+    from comms_tpu.kernels import qpsk_sym_pallas as QS
+    from comms_tpu.ops import random as crandom
+
+    B = QS.IN_PER_STEP
+    nbits = 2 * (2 * B // SPS) + 256
+    tcfg = qpsk_tx.QpskTxConfig(bits_per_block=nbits, dphase=0.0)
+    iq, _ = qpsk_tx.make_block_fn(tcfg)(qpsk_tx.init_state(tcfg, 3))
+    z = np.asarray(iq).astype(np.float32) / tcfg.scale
+    x = (z[:, 0] + 1j * z[:, 1]).astype(np.complex128)
+    bits, _ = crandom.random_bits_block(crandom.source_init(3), nbits)
+    n = np.arange(len(x))
+    xc = (x * np.exp(1j * (0.006 * n + 0.8))).astype(np.complex64)
+    return xc, np.asarray(bits)
