@@ -62,7 +62,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["qpsk_symbol_gemm", "kernel_ok", "IN_PER_STEP", "SPS"]
+__all__ = ["qpsk_symbol_gemm", "qpsk_panels", "kernel_ok",
+           "IN_PER_STEP", "SPS"]
 
 _LANES = 128
 _ROWW = 512                    # 4 * 128: one-row window advance
@@ -107,21 +108,30 @@ def _bands(flat):
 
 
 def _make_kernel(steps: int, precision, panels_hw: int = 0,
-                 block_n: int = 0):
+                 block_n: int = 0, sym_on: bool = True):
     """``panels_hw > 0`` additionally accumulates the raw correlation
     panels of ``demodulation.TimingEstimator.corr_panels`` (same
     zero-pad semantics) into two extra [256, 256] outputs — the fused
     stream-step form (VERDICT r4 item 2): symbol GEMM and panels in
     ONE pass over the planes, so the receiver's two full-rate stages
-    share a single kernel and each input row is read from HBM once."""
+    share a single kernel and each input row is read from HBM once.
+    ``sym_on=False`` (panels only) drops the symbol GEMM/outputs —
+    the one-shot receiver's panel stage."""
     do_panels = panels_hw > 0
     if do_panels and not (0 < panels_hw <= 64):
         raise ValueError(f"panels_hw must be in (0, 64], got {panels_hw}")
+    if not (sym_on or do_panels):
+        raise ValueError("nothing to compute")
 
     def _kernel(*refs):
-        if do_panels:
+        sr_out = si_out = p13_out = p24_out = None
+        if do_panels and sym_on:
             (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
              base, consts, sr_out, si_out, p13_out, p24_out,
+             slab_re, slab_im, sem) = refs
+        elif do_panels:
+            (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
+             base, consts, p13_out, p24_out,
              slab_re, slab_im, sem) = refs
         else:
             (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
@@ -246,6 +256,9 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
             p13_out[:] += part13
             p24_out[:] += part24
 
+        if not sym_on:
+            return
+
         def dots(sa, sb, ba, bb):
             return (jnp.dot(sa, ba, preferred_element_type=jnp.float32,
                             precision=precision)
@@ -305,9 +318,23 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
     return _kernel
 
 
+def qpsk_panels(re, im, panels_hw: int, precision=None,
+                interpret: bool = False):
+    """Panels-only entry: the raw correlation panels of
+    ``TimingEstimator.corr_panels`` computed by the kernel's
+    accumulator pass (one HBM read, no segment/window operands
+    materialized — the XLA formulation's shifted-reshape pieces read
+    the block again per piece).  Returns the corr_panels tuple."""
+    md = 3 * SPS + 32 - 1          # any legal md; taps are unused
+    z = jnp.zeros((md,), jnp.float32)
+    return qpsk_symbol_gemm(re, im, z, z, jnp.float32(0.0),
+                            precision=precision, interpret=interpret,
+                            panels_hw=panels_hw, _sym_on=False)
+
+
 def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
                      precision=None, interpret: bool = False,
-                     panels_hw: int = 0):
+                     panels_hw: int = 0, _sym_on: bool = True):
     """Fused symbol path on planar f32 IQ.
 
     Args:
@@ -366,11 +393,14 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sym_spec = pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [sym_spec, sym_spec]
-    out_shape = [
-        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
-    ]
+    out_specs = []
+    out_shape = []
+    if _sym_on:
+        out_specs += [sym_spec, sym_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+        ]
     if panels_hw:
         pan_spec = pl.BlockSpec((2 * _LANES, 2 * _LANES),
                                 lambda g: (0, 0),
@@ -380,7 +410,7 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
                                            jnp.float32)] * 2
     outs = pl.pallas_call(
         _make_kernel(steps, precision, panels_hw=int(panels_hw),
-                     block_n=n),
+                     block_n=n, sym_on=_sym_on),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # re rows (HBM)
@@ -413,7 +443,10 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
     if not panels_hw:
         sr, si = outs
         return sr.reshape(-1), si.reshape(-1)
-    sr, si, p13, p24 = outs
+    if _sym_on:
+        sr, si, p13, p24 = outs
+    else:
+        p13, p24 = outs
     hw = int(panels_hw)
     width = _LANES + 2 * hw
     P1 = p13[:_LANES, :width]
@@ -424,5 +457,7 @@ def qpsk_symbol_gemm(re, im, fr, fi, ws, phase0=0.0, ctx=None,
     meta = {"nd": hw, "K": K, "Kp": _LANES * (-(-K // _LANES)),
             "R": -(-K // _LANES), "width": width, "fdt": jnp.float32,
             "prec": precision}
-    return (sr.reshape(-1), si.reshape(-1),
-            (P1, P2, P3, P4, meta))
+    panels = (P1, P2, P3, P4, meta)
+    if not _sym_on:
+        return panels
+    return sr.reshape(-1), si.reshape(-1), panels

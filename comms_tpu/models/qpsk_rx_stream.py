@@ -44,7 +44,7 @@ from comms_tpu.ops import demodulation, fir, taps
 
 __all__ = ["QpskRxStreamConfig", "make_stream_fn", "init_state",
            "make_stream_fast_fn", "init_state_fast",
-           "make_stream_fused_fn",
+           "make_stream_fused_fn", "init_state_fused2",
            "make_stream_split_fns", "make_split_serving_step"]
 
 _TWO_PI = 2.0 * np.pi
@@ -282,7 +282,7 @@ def make_stream_fast_fn(cfg=None):
     return step
 
 
-def make_stream_fused_fn(cfg=None, interpret=None):
+def make_stream_fused_fn(cfg=None, interpret=None, est_lag: int = 1):
     """SINGLE-KERNEL streaming receiver (VERDICT r4 item 2): the
     symbol GEMM and the correlation panels run in ONE Pallas pass
     over the raw planes (``qpsk_sym_pallas.qpsk_symbol_gemm(...,
@@ -297,8 +297,17 @@ def make_stream_fused_fn(cfg=None, interpret=None):
     k's panels feed block k+1) — the only XLA-side work is the
     panel-sized estimate chain, which gates nothing full-rate.
     State pytree and outputs interchange with the fast path
-    mid-stream.  Requires sps=4, block % IN_PER_STEP == 0, and
-    panel halfwidth <= 64 (the default config: 51)."""
+    mid-stream (``est_lag=1``).  Requires sps=4, block % IN_PER_STEP
+    == 0, and panel halfwidth <= 64 (the default config: 51).
+
+    ``est_lag=2`` (measured lever): block k's symbols use block
+    k-2's estimates, so the panel-sized estimate chain for block
+    k-1's carried panels has NO data path into block k's kernel —
+    XLA overlaps it with the kernel instead of serializing the
+    chain between kernels (the +0.28 ms/block the stage split
+    charges to it).  Warm-up grows to two blocks; at serving block
+    sizes the estimator variance is microscopic and a drifting
+    channel re-converges one extra block late."""
     from comms_tpu.kernels import qpsk_sym_pallas as _QS
     from comms_tpu.models import qpsk_rx as _rx
 
@@ -308,8 +317,19 @@ def make_stream_fused_fn(cfg=None, interpret=None):
     if not (0 < cfg.panel_hw <= 64):
         raise ValueError(f"panel halfwidth {cfg.panel_hw} outside the "
                          f"kernel's (0, 64] bound")
+    if est_lag not in (1, 2):
+        raise ValueError(f"est_lag must be 1 or 2, got {est_lag}")
     C = _rx.fused_gemm_ctx_len(cfg)
     sps = cfg.sps
+
+    def _est(panels):
+        f_b, _t_b, lag_b, shift_b, p_sym = _rx._estimates_from_panels(
+            cfg, panels)
+        return (f_b, lag_b,
+                jnp.clip(shift_b - p_sym, -cfg.sps, 2 * cfg.sps - 4))
+
+    def _meta():
+        return {"nd": cfg.panel_hw, "fdt": jnp.float32}
 
     @jax.jit
     def step(state, re, im):
@@ -328,8 +348,14 @@ def make_stream_fused_fn(cfg=None, interpret=None):
             sr, si, fphase=state["fphase"], pfine=state["pfine"],
             warm=state["warm"])
 
-        f_b, _t_b, lag_b, shift_b, p_sym = _rx._estimates_from_panels(
-            cfg, panels)
+        if est_lag == 1:
+            f_b, lag_b, shift2_b = _est(panels)
+        else:
+            # estimates from the CARRIED panels (block k-1): no data
+            # path into this block's kernel, so the chain overlaps it
+            f_b, lag_b, shift2_b = _est(
+                (state["p1"], state["p2"], state["p3"], state["p4"],
+                 _meta()))
         new_state = {
             "ctx_re": re[-C:],
             "ctx_im": im[-C:],
@@ -337,15 +363,30 @@ def make_stream_fused_fn(cfg=None, interpret=None):
             "theta": jnp.mod(state["theta"] + state["omega"] * n,
                              jnp.float32(2.0 * np.pi)),
             "lag": lag_b,
-            "shift2": jnp.clip(shift_b - p_sym, -cfg.sps,
-                               2 * cfg.sps - 4),
+            "shift2": shift2_b,
             "fphase": dtail["fphase_next"],
             "pfine": dtail["phase"],
             "warm": jnp.ones((), jnp.float32),
         }
+        if est_lag == 2:
+            new_state["p1"], new_state["p2"] = panels[0], panels[1]
+            new_state["p3"], new_state["p4"] = panels[2], panels[3]
         return sym_planes, new_state
 
     return step
+
+
+def init_state_fused2(cfg=None):
+    """State for ``make_stream_fused_fn(cfg, est_lag=2)``: the fast
+    state plus carried zero panels (warm-up is two blocks)."""
+    from comms_tpu.models import qpsk_rx as _rx
+
+    cfg = cfg if cfg is not None else _rx.QpskRxConfig()
+    st = init_state_fast(cfg)
+    width = 2 * cfg.panel_hw + 128
+    for k in ("p1", "p2", "p3", "p4"):
+        st[k] = jnp.zeros((128, width), jnp.float32)
+    return st
 
 
 def make_stream_split_fns(cfg=None):
