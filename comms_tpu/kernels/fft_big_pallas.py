@@ -67,14 +67,18 @@ _CT = 128          # column-tile width (n2 lanes per stage-A step)
 
 
 def factorize(n: int):
-    """Pick (N1, N2) with N1*N2 == n, both in fft_pallas's supported
-    set, as square as possible.  Returns None if no pair exists."""
+    """Pick (N1, N2) with N1*N2 == n, both in THIS kernel's stage
+    range 256..2048, as square as possible.  Returns None if no pair
+    exists.  (Pinned explicitly rather than via fft_pallas.supported:
+    round 5 widened that set to 16384, but the tiled stages here are
+    designed and validated for 256..2048-point factors only — n in
+    2^12..2^14 is fft_pallas's own single-pass domain now.)"""
     best = None
     for n1 in (2048, 1024, 512, 256):
         if n % n1:
             continue
         n2 = n // n1
-        if not _FP.supported(n2):
+        if n2 not in (256, 512, 1024, 2048):
             continue
         if best is None or abs(n1 - n2) < abs(best[0] - best[1]):
             best = (n1, n2)
