@@ -850,9 +850,11 @@ def bench_kernels():
 
     # ---- round-5 extended kernel sizes (VERDICT r4 item 5): the same
     # streaming plane-swap involution at the wideband spectrum-
-    # monitoring sizes the kernel now covers (4096/8192; 16384 is
-    # tested for parity but 8-row tiles leave no batch to amortize).
-    for nfft in (4096, 8192):
+    # monitoring sizes the kernel now covers.  Measured 46.7 / 43.8 /
+    # 35.6 Gsps (>= 89% of the 16 B/sample io floor; the 16384 row is
+    # the r-major unshuffle chain — its first per-bin-column form
+    # compiled but ran at 0.92, docs/PERF.md round-5 Mosaic section).
+    for nfft in (4096, 8192, 16384):
         rowsn = per_pass // nfft          # same 16.8M-sample batch
         rn = _device_pairs((rowsn, nfft), seed=26)
         imn = _device_pairs((rowsn, nfft), seed=27)

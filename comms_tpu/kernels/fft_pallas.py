@@ -65,7 +65,7 @@ def supported(n: int) -> bool:
     sizes, VERDICT r4 item 5); the upper limit is the natural-order
     unshuffle, whose per-size Mosaic-supported form is documented in
     :func:`_nat_rows_per_step` / :func:`_unshuffle` — n = 16384
-    (R1 = 128, the per-bin-column form) is the last size covered."""
+    (R1 = 128, the r-major chain) is the last size covered."""
     return n in (256, 512, 1024, 2048, 4096, 8192, 16384)
 
 
@@ -252,13 +252,22 @@ def _nat_rows_per_step(n: int) -> int:
     return 8
 
 
-def _unshuffle(zs, r1: int, t: int, pmat=None):
-    """Natural-order unshuffle out[r, r1*k2 + k1] = zs[t*k1 + r, k2],
-    built ONLY from Mosaic-supported layout ops (probed on v5e):
-    pure 2-D transposes, row splits/merges, minor splits/merges at
-    128 lanes, and swapaxes(0,1) with an untouched minor.  The naive
+def _unshuffle(zs, r1: int, t: int):
+    """Natural-order unshuffle, built ONLY from Mosaic-supported
+    layout ops (probed on v5e): pure 2-D transposes, row
+    splits/merges, minor splits/merges at 128 lanes, and
+    swapaxes(0, 1) with an untouched minor.  The naive
     ``zs.T.reshape(n, t).T`` form is an unsupported shape cast for
-    every n > 1024."""
+    every n > 1024.
+
+    For n <= 8192, zs rows are k1-major (t*k1 + r); for n = 16384
+    the kernel reorders yp R-MAJOR before the stage-2 matmul (row
+    order is free there), which makes the minor split of zs.T land
+    exactly on (r, k1) digits — the per-bin-column form this
+    replaces (128 slice/reshape chains + identity matmuls) compiled
+    but measured 0.92 Gsps on v5e; this chain is the same op class
+    as the t=128 sizes.
+    """
     n = r1 * _LANES
     if n <= 1024:
         return zs.T.reshape(n, t).T
@@ -270,33 +279,30 @@ def _unshuffle(zs, r1: int, t: int, pmat=None):
         assert t == _LANES
         return zs.T.reshape(_LANES, r1, _LANES).reshape(
             _LANES * r1, _LANES).T
-    # n = 16384 (r1 = 128, t = 8): natural chunk a of the output is
-    # bin column k2 = a spread over all k1 — a single zs column
-    # reshaped (k1-major row split, swapaxes, merge).  The trailing
-    # identity matmul is load-bearing: without it Mosaic's layout
-    # inference rejects the merge's result layout (probed on v5e);
-    # with HIGHEST precision it is exact (each output is one f32
-    # input element times 1.0).
-    assert r1 == _LANES and pmat is not None
-    chunks = []
-    for a in range(r1):
-        col = zs[:, a:a + 1]                       # [r1*t, 1]
-        d2 = col.reshape(r1, t, 1).swapaxes(0, 1).reshape(t, _LANES)
-        chunks.append(jnp.dot(d2, pmat,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
-    return jnp.concatenate(chunks, axis=1)
+    # n = 16384 (r1 = 128): zs rows are (r, k1) R-MAJOR here; zs.T's
+    # minor split is exactly (r, k1), the swap puts r on rows, and
+    # the merge makes lanes (k2, k1) = the natural bin 128*k2 + k1.
+    assert r1 == _LANES
+    return zs.T.reshape(_LANES, t, _LANES).swapaxes(0, 1).reshape(t, n)
 
 
-def _fft_kernel(*refs, r1: int, t: int, nc: int, nperm: int = 0):
+def _fft_kernel(*refs, r1: int, t: int, nc: int):
     xr_ref, xi_ref, wr, wi = refs[:4]
     consts = refs[4:4 + nc]
-    pmat = refs[4 + nc][:] if nperm else None
-    yr_out, yi_out = refs[4 + nc + nperm:6 + nc + nperm]
+    yr_out, yi_out = refs[4 + nc:6 + nc]
     yp_r, yp_i = _stage12(xr_ref[:], xi_ref[:], wr, wi, r1, t)
+    if r1 == _LANES:
+        # 16384: reorder the stacked stage-1 rows R-MAJOR before the
+        # matmul (the dot is row-wise, so row order is free) — this
+        # is what aligns the unshuffle's digit split, see _unshuffle.
+        def rmaj(a):
+            return a.reshape(r1, t, _LANES).swapaxes(0, 1).reshape(
+                r1 * t, _LANES)
+        yp_r = rmaj(yp_r)
+        yp_i = rmaj(yp_i)
     zs_r, zs_i = _cmatmul(yp_r, yp_i, consts)
-    yr_out[:] = _unshuffle(zs_r, r1, t, pmat)
-    yi_out[:] = _unshuffle(zs_i, r1, t, pmat)
+    yr_out[:] = _unshuffle(zs_r, r1, t)
+    yi_out[:] = _unshuffle(zs_i, r1, t)
 
 
 def _const_arrays(n: int, r1: int, precision: str, scale: float = 1.0):
@@ -353,15 +359,7 @@ def fft_pallas_planar(re, im, n: int = 1024,
     steps = (rows + pad) // t
 
     arrays, cspecs, nc = _const_arrays(n, r1, precision, scale=scale)
-    nperm = 0
-    if n > 8192:                 # 16384 unshuffle identity (see there)
-        arrays = arrays + [jnp.asarray(np.eye(_LANES, dtype=np.float32))]
-        cspecs = cspecs + [pl.BlockSpec((_LANES, _LANES),
-                                        lambda g: (0, 0),
-                                        memory_space=pltpu.VMEM)]
-        nperm = 1
-    kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc,
-                               nperm=nperm)
+    kernel = functools.partial(_fft_kernel, r1=r1, t=t, nc=nc)
     row_spec = pl.BlockSpec((t, n), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     extra = {}
