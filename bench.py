@@ -737,7 +737,15 @@ def bench_kernels():
     msps_p, best_p, R_p, ex_p = _measure_row(make_fir_pallas, (fres, fims),
                                        per_pass)
     _row("kernel_fir63_throughput", msps_x / 1e6,
-         {**ex_x, **_roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x)})
+         {**ex_x, **_roof(best_x, 16 * per_pass, 8 * 63 * per_pass, R_x),
+          # round-5 two-sided bound (PERF.md dense-FIR section): the
+          # 128-lane band pad is structural (190 MACs/output minimum)
+          # and the shifted-reshape windows materialize ~1.5x the
+          # input -> ~20 Gsps cap; this fallback/oracle row sits at
+          # ~40% of it, the Pallas row is the production path.
+          "bound_basis": ("two-sided ~20 Gsps cap: structural "
+                          "190-MAC band + window materialization "
+                          "(PERF.md round-5 dense-FIR)")})
     _row("kernel_fir63_pallas_throughput", msps_p / 1e6,
          {**ex_p, **_roof(best_p, 16 * per_pass, 8 * 63 * per_pass, R_p)})
 
