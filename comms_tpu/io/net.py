@@ -43,7 +43,8 @@ except Exception:  # pragma: no cover - environment-dependent
     _zmq = None
     HAVE_ZMQ = False
 
-__all__ = ["BlockSender", "BlockReceiver", "HAVE_ZMQ"]
+__all__ = ["BlockSender", "BlockReceiver", "BlockRequester",
+           "BlockReplier", "HAVE_ZMQ"]
 
 _MAGIC = 0x43544655  # "CTFU"
 _HEADER = struct.Struct("<IIQ")  # magic, dtype code, payload bytes
@@ -110,10 +111,14 @@ class BlockSender:
     """
 
     def __init__(self, endpoint: str, sock_type: str = "PUB",
-                 backend: str | None = None, codec: str = "raw"):
+                 backend: str | None = None, codec: str = "raw",
+                 flags: int = 0):
         self.endpoint = endpoint
         self.backend = _resolve_backend(backend)
         self.codec = _resolve_codec(codec)
+        self.flags = int(flags)
+        if self.flags and self.backend != "zmq":
+            raise CommError("socket flags need the zmq backend")
         host, port = _parse_tcp(endpoint)
         if self.backend == "zmq":
             ctx = _zmq.Context.instance()
@@ -123,7 +128,11 @@ class BlockSender:
                 self._sock.bind(endpoint)
             else:
                 self._sock.connect(endpoint)
-            self._send = self._sock.send
+
+            def _zsend(data: bytes, _s=self._sock, _f=self.flags):
+                _s.send(data, _f)
+
+            self._send = _zsend
         else:
             self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -170,11 +179,14 @@ class BlockReceiver:
     def __init__(self, endpoint: str, sock_type: str = "SUB",
                  timeout: Optional[float] = None,
                  backend: str | None = None, codec: str = "raw",
-                 dtype=None):
+                 dtype=None, flags: int = 0):
         self.endpoint = endpoint
         self.backend = _resolve_backend(backend)
         self.codec = _resolve_codec(codec)
         self.dtype = dtype  # optional decode override for codec="cbor"
+        self.flags = int(flags)
+        if self.flags and self.backend != "zmq":
+            raise CommError("socket flags need the zmq backend")
         host, port = _parse_tcp(endpoint)
         if self.backend == "zmq":
             ctx = _zmq.Context.instance()
@@ -193,7 +205,7 @@ class BlockReceiver:
 
     def recv(self) -> np.ndarray:
         if self.backend == "zmq":
-            data = self._sock.recv()
+            data = self._sock.recv(self.flags)
             if self.codec == "cbor":  # bare CBOR: comms-rs compatible
                 from comms_tpu.io import cbor
 
@@ -233,6 +245,83 @@ class BlockReceiver:
             self._sock.close(0)
         else:
             self._sock.close()
+
+
+class BlockRequester:
+    """REQ side of a request-reply block exchange (zmq backend only).
+
+    The reference's constructor accepts ANY ``zmq::SocketType`` plus a
+    flags word (``zmq_node.rs:44-46,112``); its one-directional
+    ZMQSend/ZMQRecv wrappers leave the REQ/REP state machine to the
+    caller.  Here the round trip is explicit: ``ask(block) -> reply
+    block`` — useful as a serving RPC (send a sample block, get the
+    processed block back)."""
+
+    def __init__(self, endpoint: str, timeout: Optional[float] = None,
+                 codec: str = "raw", dtype=None, flags: int = 0):
+        if not HAVE_ZMQ:
+            raise CommError("REQ/REP needs the zmq backend")
+        self.codec = _resolve_codec(codec)
+        self.dtype = dtype
+        self.flags = int(flags)
+        ctx = _zmq.Context.instance()
+        self._sock = ctx.socket(_zmq.REQ)
+        if timeout is not None:
+            self._sock.setsockopt(_zmq.RCVTIMEO, int(timeout * 1000))
+        self._sock.connect(endpoint)
+
+    def ask(self, arr) -> np.ndarray:
+        arr = np.asarray(arr)
+        if self.codec == "cbor":
+            from comms_tpu.io import cbor
+
+            self._sock.send(cbor.encode_block(arr), self.flags)
+            return cbor.decode_block(self._sock.recv(self.flags),
+                                     dtype=self.dtype)
+        self._sock.send(_pack(arr), self.flags)
+        data = self._sock.recv(self.flags)
+        code, nbytes = _unpack_header(data[: _HEADER.size])
+        return np.frombuffer(data[_HEADER.size:],
+                             dtype=_code_dtype(code))
+
+    def close(self):
+        self._sock.close(0)
+
+
+class BlockReplier:
+    """REP side: ``serve_once(fn)`` receives a block, applies ``fn``,
+    sends the result back.  Binds, as a reference REP node would."""
+
+    def __init__(self, endpoint: str, timeout: Optional[float] = None,
+                 codec: str = "raw", dtype=None, flags: int = 0):
+        if not HAVE_ZMQ:
+            raise CommError("REQ/REP needs the zmq backend")
+        self.codec = _resolve_codec(codec)
+        self.dtype = dtype
+        self.flags = int(flags)
+        ctx = _zmq.Context.instance()
+        self._sock = ctx.socket(_zmq.REP)
+        if timeout is not None:
+            self._sock.setsockopt(_zmq.RCVTIMEO, int(timeout * 1000))
+        self._sock.bind(endpoint)
+
+    def serve_once(self, fn) -> None:
+        data = self._sock.recv(self.flags)
+        if self.codec == "cbor":
+            from comms_tpu.io import cbor
+
+            block = cbor.decode_block(data, dtype=self.dtype)
+            out = np.asarray(fn(block))
+            self._sock.send(cbor.encode_block(out), self.flags)
+            return
+        code, nbytes = _unpack_header(data[: _HEADER.size])
+        block = np.frombuffer(data[_HEADER.size:],
+                              dtype=_code_dtype(code))
+        out = np.asarray(fn(block))
+        self._sock.send(_pack(out), self.flags)
+
+    def close(self):
+        self._sock.close(0)
 
 
 def _resolve_backend(backend: str | None) -> str:
