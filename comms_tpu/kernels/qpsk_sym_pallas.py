@@ -62,8 +62,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["qpsk_symbol_gemm", "qpsk_panels", "kernel_ok",
-           "IN_PER_STEP", "SPS"]
+__all__ = ["qpsk_symbol_gemm", "qpsk_symbol_gemm_scalars",
+           "qpsk_panels", "kernel_ok", "IN_PER_STEP", "SPS"]
 
 _LANES = 128
 _ROWW = 512                    # 4 * 128: one-row window advance
@@ -107,8 +107,75 @@ def _bands(flat):
     return flat_e[jnp.asarray(ia)], flat_e[jnp.asarray(ib)]
 
 
+def _mf_shift_rows(mf_taps: np.ndarray) -> np.ndarray:
+    """Host [16, 128] rows MS[s, m] = mf[m - s] (s in [0, 12); the
+    rest zero) — the 12 static shifts the in-kernel tap build selects
+    among (t0 + j with t0 = shift2 + 4 in [0, 8], j in [0, 4))."""
+    mf = np.asarray(mf_taps, np.float64)
+    T = mf.shape[0]
+    MS = np.zeros((16, _LANES), np.float32)
+    for s in range(12):
+        MS[s, s:s + T] = mf.astype(np.float32)
+    return MS
+
+
+def _build_bands_inkernel(msrows, scal_f, scal_i, md: int):
+    """Tap + band construction from SMEM scalars, Mosaic-safe ops
+    only (scalar selects, [1, 128] row FMAs, transcendentals,
+    iota-masked accumulation): returns (ba_r, bb_r, ba_i, bb_i,
+    fr0, fi0) — the same values ``_bands(modulated_taps(...))``
+    produces in XLA, computed once at grid step 0 (round 5: the
+    ~12-fusion XLA tap chain costs ~0.35 ms/block of per-fusion
+    scheduling on this runtime, docs/PERF.md)."""
+    w = scal_f[0]
+    t0i = scal_i[0] + jnp.int32(SPS)
+    # flat = conv(lagrange-at-t0, mf), as 12 static-shift rows with
+    # runtime 0/1 coefficients a_s = sum_j lag_j * [t0 + j == s]
+    flat = jnp.zeros((1, _LANES), jnp.float32)
+    for s in range(12):
+        a_s = jnp.float32(0.0)
+        for j in range(4):
+            a_s = a_s + scal_f[1 + j] * jnp.where(
+                t0i == jnp.int32(s - j), jnp.float32(1.0),
+                jnp.float32(0.0))
+        flat = flat + a_s * msrows[s:s + 1, :]
+    lanes1 = lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    tvec = lanes1.astype(jnp.float32)
+    fr_row = flat * jnp.cos(w * tvec)
+    fi_row = flat * jnp.sin(w * tvec)
+
+    def lane_val(row, m):
+        # [1, 128] lane-replicated: Mosaic rejects [1, 1] -> [R, 128]
+        # broadcasts ("both sublanes and lanes"); staging through a
+        # lanes-only broadcast keeps every later broadcast
+        # sublane-only.
+        v = jnp.sum(jnp.where(lanes1 == m, row, 0.0), keepdims=True)
+        return jnp.broadcast_to(v, (1, _LANES))
+
+    ja = lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    wa = lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    ta = 132 + 4 * ja - wa
+    jb = lax.broadcasted_iota(jnp.int32, (_ROWW, _LANES), 1)
+    wb = lax.broadcasted_iota(jnp.int32, (_ROWW, _LANES), 0)
+    tb = 4 * jb + 4 - wb
+    ba_r = jnp.zeros((_LANES, _LANES), jnp.float32)
+    ba_i = jnp.zeros((_LANES, _LANES), jnp.float32)
+    bb_r = jnp.zeros((_ROWW, _LANES), jnp.float32)
+    bb_i = jnp.zeros((_ROWW, _LANES), jnp.float32)
+    for m in range(md):
+        fr_m = lane_val(fr_row, m)
+        fi_m = lane_val(fi_row, m)
+        ba_r = ba_r + jnp.where(ta == m, fr_m, 0.0)
+        ba_i = ba_i + jnp.where(ta == m, fi_m, 0.0)
+        bb_r = bb_r + jnp.where(tb == m, fr_m, 0.0)
+        bb_i = bb_i + jnp.where(tb == m, fi_m, 0.0)
+    return (ba_r, bb_r, ba_i, bb_i,
+            lane_val(fr_row, 0), lane_val(fi_row, 0))
+
+
 def _make_kernel(steps: int, precision, panels_hw: int = 0,
-                 block_n: int = 0, sym_on: bool = True):
+                 block_n: int = 0, sym_on: bool = True,
+                 inkernel_taps: bool = False, md_flat: int = 0):
     """``panels_hw > 0`` additionally accumulates the raw correlation
     panels of ``demodulation.TimingEstimator.corr_panels`` (same
     zero-pad semantics) into two extra [256, 256] outputs — the fused
@@ -116,7 +183,9 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
     ONE pass over the planes, so the receiver's two full-rate stages
     share a single kernel and each input row is read from HBM once.
     ``sym_on=False`` (panels only) drops the symbol GEMM/outputs —
-    the one-shot receiver's panel stage."""
+    the one-shot receiver's panel stage.  ``inkernel_taps`` replaces
+    the band/base/consts operands with (mf shift rows, SMEM scalars)
+    and builds the bands in VMEM scratch at step 0."""
     do_panels = panels_hw > 0
     if do_panels and not (0 < panels_hw <= 64):
         raise ValueError(f"panels_hw must be in (0, 64], got {panels_hw}")
@@ -125,7 +194,20 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
 
     def _kernel(*refs):
         sr_out = si_out = p13_out = p24_out = None
-        if do_panels and sym_on:
+        if inkernel_taps:
+            nout = (2 if sym_on else 0) + (2 if do_panels else 0)
+            (xr_hbm, xi_hbm, ctx_re, ctx_im, msrows, scal_f,
+             scal_i) = refs[:7]
+            outs = refs[7:7 + nout]
+            if sym_on:
+                sr_out, si_out = outs[0], outs[1]
+                if do_panels:
+                    p13_out, p24_out = outs[2], outs[3]
+            else:
+                p13_out, p24_out = outs[0], outs[1]
+            (slab_re, slab_im, bar_s, bbr_s, bai_s, bbi_s, fcol_s,
+             sem) = refs[7 + nout:]
+        elif do_panels and sym_on:
             (xr_hbm, xi_hbm, ctx_re, ctx_im, ba_r, bb_r, ba_i, bb_i,
              base, consts, sr_out, si_out, p13_out, p24_out,
              slab_re, slab_im, sem) = refs
@@ -139,6 +221,18 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
         g = pl.program_id(0)
         n = pl.num_programs(0)
         slot = lax.rem(g, jnp.int32(2))
+
+        if inkernel_taps and sym_on:
+            @pl.when(g == 0)
+            def _():
+                b = _build_bands_inkernel(msrows, scal_f, scal_i,
+                                          md_flat)
+                bar_s[:] = b[0]
+                bbr_s[:] = b[1]
+                bai_s[:] = b[2]
+                bbi_s[:] = b[3]
+                fcol_s[0:1, :] = b[4]
+                fcol_s[1:2, :] = b[5]
 
         def issue(step, s, op):
             getattr(pltpu.make_async_copy(
@@ -270,21 +364,39 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
         sb_r = slab_re[slot, _HB:_HB + _R, :]
         sa_i = slab_im[slot, h0:h0 + _R, 384:512]
         sb_i = slab_im[slot, _HB:_HB + _R, :]
+        if inkernel_taps:
+            bar_v, bbr_v = bar_s[...], bbr_s[...]
+            bai_v, bbi_v = bai_s[...], bbi_s[...]
+        else:
+            bar_v, bbr_v = ba_r[...], bb_r[...]
+            bai_v, bbi_v = ba_i[...], bb_i[...]
         if _SKIP == "dot":
             prr = sb_r[:, 0:_LANES]
             pri = sb_r[:, 128:256]
             pir = sb_i[:, 0:_LANES]
             pii = sb_i[:, 128:256]
         else:
-            prr = dots(sa_r, sb_r, ba_r[...], bb_r[...])   # xr * fr
-            pri = dots(sa_r, sb_r, ba_i[...], bb_i[...])   # xr * fi
-            pir = dots(sa_i, sb_i, ba_r[...], bb_r[...])   # xi * fr
-            pii = dots(sa_i, sb_i, ba_i[...], bb_i[...])   # xi * fi
+            prr = dots(sa_r, sb_r, bar_v, bbr_v)   # xr * fr
+            pri = dots(sa_r, sb_r, bai_v, bbi_v)   # xr * fi
+            pir = dots(sa_i, sb_i, bar_v, bbr_v)   # xi * fr
+            pii = dots(sa_i, sb_i, bai_v, bbi_v)   # xi * fi
 
-        fr0 = consts[0]
-        fi0 = consts[1]
-        w128 = consts[2]
-        wsm = consts[3]
+        if inkernel_taps:
+            two_pi = jnp.float32(2.0 * np.pi)
+            fr0 = fcol_s[0:1, :]
+            fi0 = fcol_s[1:2, :]
+            wsm = jnp.mod(scal_f[0] * jnp.float32(SPS), two_pi)
+            w128 = jnp.mod(wsm * jnp.float32(_LANES), two_pi)
+            base_g = jnp.mod(
+                scal_f[5] + wsm
+                + (w128 * jnp.float32(_R)) * g.astype(jnp.float32),
+                two_pi)
+        else:
+            fr0 = consts[0]
+            fi0 = consts[1]
+            w128 = consts[2]
+            wsm = consts[3]
+            base_g = base[g]
 
         lanes = lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
         last = lanes == _LANES - 1
@@ -308,7 +420,7 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
             si_out[:] = yi
             return
         rows = lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
-        ang = (base[g] + w128 * rows.astype(jnp.float32)
+        ang = (base_g + w128 * rows.astype(jnp.float32)
                + wsm * lanes.astype(jnp.float32))
         c = jnp.cos(ang)
         s = jnp.sin(ang)
@@ -316,6 +428,120 @@ def _make_kernel(steps: int, precision, panels_hw: int = 0,
         si_out[:] = yi * c - yr * s
 
     return _kernel
+
+
+def qpsk_symbol_gemm_scalars(re, im, mf_taps, w, lag, shift2,
+                             phase0=0.0, ctx=None, precision=None,
+                             interpret: bool = False,
+                             panels_hw: int = 0):
+    """In-kernel-taps variant of :func:`qpsk_symbol_gemm`: instead of
+    traced tap planes, takes the RAW estimate scalars ``(w, lag[4],
+    shift2)`` plus the static matched-filter taps, and builds the
+    modulated tap bands INSIDE the kernel at grid step 0 (VMEM
+    scratch, SMEM scalars).  This deletes the ~12-fusion XLA tap
+    chain (modulated_taps + _bands gathers), whose per-fusion
+    scheduling cost is ~0.35 ms/block on the tunneled runtime
+    (docs/PERF.md round-5 QPSK section).  Semantics identical to
+    ``qpsk_symbol_gemm(re, im, *modulated_taps(...), w*sps, ...)``.
+    """
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    n = int(re.shape[0])
+    mf = np.asarray(mf_taps, np.float64)
+    T = int(mf.shape[0])
+    if T > 116:
+        raise ValueError(f"mf taps {T} exceed the shift-row width")
+    md_flat = 3 * SPS + T - 1
+    md = -(-md_flat // SPS) * SPS          # ctx length is md - 1
+    if not kernel_ok(n, md, SPS):
+        raise ValueError(f"block {n} / taps {md} outside kernel bounds")
+    steps = n // IN_PER_STEP
+
+    if ctx is None:
+        row_re = jnp.zeros((1, _ROWW), jnp.float32)
+        row_im = jnp.zeros((1, _ROWW), jnp.float32)
+    else:
+        cr = jnp.asarray(ctx[0], jnp.float32)
+        ci = jnp.asarray(ctx[1], jnp.float32)
+        if int(cr.shape[0]) != md - 1:
+            raise ValueError(f"ctx must be MD-1 = {md - 1} samples, "
+                             f"got {cr.shape[0]}")
+        z = jnp.zeros((_ROWW - (md - 1),), jnp.float32)
+        row_re = jnp.concatenate([z, cr])[None, :]
+        row_im = jnp.concatenate([z, ci])[None, :]
+
+    lag = jnp.asarray(lag, jnp.float32)
+    scal_f = jnp.stack([jnp.asarray(w, jnp.float32),
+                        lag[0], lag[1], lag[2], lag[3],
+                        jnp.asarray(phase0, jnp.float32),
+                        jnp.float32(0.0), jnp.float32(0.0)])
+    scal_i = jnp.asarray(shift2, jnp.int32).reshape(1)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sym_spec = pl.BlockSpec((_R, _LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [sym_spec, sym_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((steps * _R, _LANES), jnp.float32),
+    ]
+    if panels_hw:
+        pan_spec = pl.BlockSpec((2 * _LANES, 2 * _LANES),
+                                lambda g: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs += [pan_spec, pan_spec]
+        out_shape += [jax.ShapeDtypeStruct((2 * _LANES, 2 * _LANES),
+                                           jnp.float32)] * 2
+    outs = pl.pallas_call(
+        _make_kernel(steps, precision, panels_hw=int(panels_hw),
+                     block_n=n, sym_on=True, inkernel_taps=True,
+                     md_flat=md_flat),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # re rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # im rows (HBM)
+            vspec, vspec,                           # ctx rows [1, 512]
+            vspec,                                  # mf shift rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal_f [8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal_i [1]
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
+            pltpu.VMEM((2, _HB + _R + _HF, _ROWW), jnp.float32),
+            pltpu.VMEM((_LANES, _LANES), jnp.float32),   # BA re
+            pltpu.VMEM((_ROWW, _LANES), jnp.float32),    # BB re
+            pltpu.VMEM((_LANES, _LANES), jnp.float32),   # BA im
+            pltpu.VMEM((_ROWW, _LANES), jnp.float32),    # BB im
+            pltpu.VMEM((8, _LANES), jnp.float32),        # fr0/fi0
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * 4 * steps * _R * _LANES * (_LANES + _ROWW)
+                   + (16 * n * _LANES if panels_hw else 0)),
+            bytes_accessed=2 * 4 * n + 2 * n,
+            transcendentals=n // 2,
+        ),
+        interpret=interpret,
+    )(
+        re.reshape(-1, _ROWW), im.reshape(-1, _ROWW),
+        row_re, row_im,
+        jnp.asarray(_mf_shift_rows(mf)), scal_f, scal_i,
+    )
+    if not panels_hw:
+        sr, si = outs
+        return sr.reshape(-1), si.reshape(-1)
+    sr, si, p13, p24 = outs
+    hw = int(panels_hw)
+    width = _LANES + 2 * hw
+    K = n - hw
+    meta = {"nd": hw, "K": K, "Kp": _LANES * (-(-K // _LANES)),
+            "R": -(-K // _LANES), "width": width, "fdt": jnp.float32,
+            "prec": precision}
+    return (sr.reshape(-1), si.reshape(-1),
+            (p13[:_LANES, :width], -p24[:_LANES, :width],
+             p13[_LANES:, :width], -p24[_LANES:, :width], meta))
 
 
 def qpsk_panels(re, im, panels_hw: int, precision=None,

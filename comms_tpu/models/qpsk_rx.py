@@ -381,9 +381,9 @@ def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
     head + symbol-rate de-rotation) runs as ONE fused Pallas kernel
     that reads each raw plane from HBM once (measured 3.1 -> ~1 ms
     at 33.5M samples on v5e); otherwise the XLA formulation below."""
-    fr, fi = modulated_taps(cfg, w, lag, shift2)
-    pad_to = int(fr.shape[0])
     sps = cfg.sps
+    md_flat = 3 * sps + int(cfg.mf_taps.shape[0]) - 1
+    pad_to = -(-md_flat // sps) * sps
 
     from comms_tpu.kernels import qpsk_sym_pallas as _QS
     use_k = cfg.use_pallas_sym
@@ -391,10 +391,15 @@ def _fused_symbol_gemm(cfg: QpskRxConfig, re, im, w, lag, shift2,
         use_k = (jax.default_backend() == "tpu"
                  and _QS.kernel_ok(int(re.shape[0]), pad_to, sps))
     if use_k:
-        return _QS.qpsk_symbol_gemm(
-            re, im, fr, fi, w * jnp.float32(sps), phase0=phase0,
+        # round 5: the estimate scalars go straight into the kernel
+        # (SMEM) and the modulated tap bands build in VMEM scratch at
+        # grid step 0 — the ~12-fusion XLA tap chain measured
+        # ~0.35 ms/block of per-fusion scheduling (docs/PERF.md).
+        return _QS.qpsk_symbol_gemm_scalars(
+            re, im, cfg.mf_taps, w, lag, shift2, phase0=phase0,
             ctx=ctx, precision=cfg.gemm_precision,
             interpret=jax.default_backend() != "tpu")
+    fr, fi = modulated_taps(cfg, w, lag, shift2)
 
     # Main GEMM always with the ZERO head extension: a zero jnp.pad
     # fuses into the window reads, while concatenating real carried

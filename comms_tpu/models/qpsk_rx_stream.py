@@ -336,11 +336,13 @@ def make_stream_fused_fn(cfg=None, interpret=None, est_lag: int = 1):
         n = re.shape[0]
         itp = (jax.default_backend() != "tpu" if interpret is None
                else interpret)
-        fr, fi = _rx.modulated_taps(cfg, state["omega"], state["lag"],
-                                    state["shift2"])
-        sr, si, panels = _QS.qpsk_symbol_gemm(
-            re, im, fr, fi, state["omega"] * jnp.float32(sps),
-            phase0=state["theta"],
+        # in-kernel tap build (round 5): the estimate scalars go
+        # straight into the kernel as SMEM operands and the modulated
+        # tap bands are built in VMEM scratch at grid step 0 —
+        # deleting the ~12-fusion XLA tap chain from the step.
+        sr, si, panels = _QS.qpsk_symbol_gemm_scalars(
+            re, im, cfg.mf_taps, state["omega"], state["lag"],
+            state["shift2"], phase0=state["theta"],
             ctx=(state["ctx_re"], state["ctx_im"]),
             precision=cfg.gemm_precision, interpret=itp,
             panels_hw=cfg.panel_hw)
