@@ -307,3 +307,50 @@ def test_batched_serving_unroll_compiled():
     for b in range(B):
         for k in range(nblk):
             np.testing.assert_array_equal(sinks[b][k], want[b][k])
+
+
+def test_qpsk_scalars_kernel_compiled():
+    """The in-kernel tap/band build (round 5): compiled parity vs the
+    XLA-built-taps kernel across the shift2 range, plus the panels
+    output against the XLA corr_panels oracle."""
+    from comms_tpu.kernels import qpsk_sym_pallas as QS
+    from comms_tpu.models import qpsk_rx
+
+    cfg = qpsk_rx.QpskRxConfig()
+    rng = np.random.default_rng(11)
+    N = QS.IN_PER_STEP
+    re = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    im = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    w = jnp.float32(0.013)
+    lag = jnp.asarray(np.array([-0.05, 0.8, 0.3, -0.04], np.float32))
+    for s2v in (-4, 0, 4):
+        s2 = jnp.int32(s2v)
+        fr, fi = qpsk_rx.modulated_taps(cfg, w, lag, s2)
+        C = int(fr.shape[0]) - 1
+        ctx = (jnp.asarray(rng.normal(size=C).astype(np.float32)),
+               jnp.asarray(rng.normal(size=C).astype(np.float32)))
+        a1, b1 = QS.qpsk_symbol_gemm(re, im, fr, fi, w * 4,
+                                     phase0=jnp.float32(1.1), ctx=ctx)
+        a2, b2 = QS.qpsk_symbol_gemm_scalars(
+            re, im, cfg.mf_taps, w, lag, s2, phase0=jnp.float32(1.1),
+            ctx=ctx)
+        err = max(float(jnp.max(jnp.abs(a1 - a2))),
+                  float(jnp.max(jnp.abs(b1 - b2))))
+        scale = float(jnp.max(jnp.abs(a1)))
+        # Mosaic's in-kernel cos/sin approximation puts ~3e-3
+        # RELATIVE on the modulated taps vs the XLA-built ones
+        # (measured; precision-independent, so not bf16 rounding) —
+        # inside the documented DEFAULT-GEMM budget; decision-level
+        # equivalence + zero BER on real waveforms is verified by
+        # the stream tests and the on-chip BER drives.
+        assert err < 2e-2 * scale, (s2v, err, scale)
+
+    # panels vs the XLA oracle
+    _, _, Pk = QS.qpsk_symbol_gemm_scalars(
+        re, im, cfg.mf_taps, w, lag, jnp.int32(0),
+        panels_hw=cfg.panel_hw)
+    Pr = cfg.timing.corr_panels(re, im, halfwidth=cfg.panel_hw)
+    for i in range(4):
+        a, b = np.asarray(Pr[i]), np.asarray(Pk[i])
+        scale = np.max(np.abs(a)) or 1.0
+        assert np.max(np.abs(a - b)) < 1e-5 * scale, i
