@@ -154,3 +154,58 @@ def test_fir_planar_single_tap_gain():
         cr, ci, tile_rows=8, interpret=True)
     assert np.allclose(np.asarray(yr), 2.0 * xr, atol=1e-2)
     assert np.allclose(np.asarray(yi), 2.0 * xi, atol=1e-2)
+
+
+def test_panel_reductions_groundwork():
+    """Mosaic groundwork for the boundary block (ROADMAP_r6 item 3):
+    the masked-diagonal panel reductions match the XLA estimate
+    chain's values (lag_sums_r2 / the v=-1 frequency diagonal / the
+    mod-sps folds) in interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from comms_tpu.kernels import panel_reduce_pallas as PR
+    from comms_tpu.models import qpsk_rx
+
+    cfg = qpsk_rx.QpskRxConfig()
+    hw = cfg.panel_hw
+    rng = np.random.default_rng(3)
+    N = 1 << 14
+    re = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    panels = cfg.timing.corr_panels(re, im, halfwidth=hw)
+    P1, P2, P3, P4, meta = panels
+
+    # pack into the fused kernel's [256, 256] accumulator layout
+    width = 128 + 2 * hw
+    p13 = np.zeros((256, 256), np.float32)
+    p24 = np.zeros((256, 256), np.float32)
+    p13[:128, :width] = np.asarray(P1)
+    p13[128:, :width] = np.asarray(P3)
+    p24[:128, :width] = -np.asarray(P2)
+    p24[128:, :width] = -np.asarray(P4)
+
+    out = np.asarray(PR.panel_reductions(p13, p24, hw, interpret=True))
+
+    gr_ref, gi_ref = cfg.timing.lag_sums_r2(panels)
+    gr_ref = np.asarray(gr_ref)
+    gi_ref = np.asarray(gi_ref)
+    scale = np.max(np.abs(gr_ref)) or 1.0
+    assert np.max(np.abs(out[0, :2 * hw + 1] - gr_ref)) < 1e-4 * scale
+    assert np.max(np.abs(out[1, :2 * hw + 1] - gi_ref)) < 1e-4 * scale
+
+    # f_est: the v = -1 diagonal's angle
+    f_ref = float(np.arctan2(gi_ref[hw - 1], gr_ref[hw - 1]))
+    assert abs(out[2, 0] - f_ref) < 1e-5
+
+    # mod-sps folds vs a direct numpy oracle on Er
+    ph = 2.0 * np.pi * (np.arange(128) % cfg.sps) / cfg.sps
+    c2 = np.cos(ph)[:, None]
+    s2 = np.sin(ph)[:, None]
+    Er = ((c2 * np.asarray(P1) + s2 * np.asarray(P3))
+          - (c2 * np.asarray(P4) - s2 * np.asarray(P2)))
+    for a in range(cfg.sps):
+        for v in (0, 7, 2 * hw):
+            ref = sum(Er[j, j + v] for j in range(128)
+                      if j % cfg.sps == a and j + v < width)
+            assert abs(out[8 + a, v] - ref) < 1e-4 * scale, (a, v)
